@@ -190,6 +190,8 @@ object XsdLexical {
       Some(lt.toNanoOfDay / 1000L)
     } catch { case _: Throwable => None }
 
+  def hasTz(lex: String): Boolean = splitTz(lex.trim)._2.isDefined
+
   private def splitTz(t: String): (String, Option[String]) =
     if (t.endsWith("Z")) (t.dropRight(1), Some("Z"))
     else {
@@ -245,7 +247,11 @@ object LitCompare {
         for (x <- XsdLexical.parseBool(a.lex); y <- XsdLexical.parseBool(b.lex))
           yield x.compareTo(y)
       case FDate | FTime | FDateTime =>
-        for {
+        // naive vs timezone-aware datetimes are incomparable (Python
+        // raises TypeError — compare.py:8-17 deliberately avoids rdflib's
+        // forced total order), e.g. SHT core/node/minInclusive-003
+        if (fa != FDate && XsdLexical.hasTz(a.lex) != XsdLexical.hasTz(b.lex)) None
+        else for {
           x <- XsdLexical.parseTemporal(a.lex, a.effectiveDt)
           y <- XsdLexical.parseTemporal(b.lex, b.effectiveDt)
         } yield x.compareTo(y)

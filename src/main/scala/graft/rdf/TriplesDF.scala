@@ -1,0 +1,152 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-side triple representation.
+  *
+  * Schema: s STRUCT<v,k,dt,lang>, p STRING, o STRUCT<v,k,dt,lang>
+  * where k: 0=IRI, 1=BNode, 2=Literal; dt/lang are "" when absent so
+  * struct equality gives rdflib-style *term* equality for joins/distinct.
+  * Predicate is a top-level string column — the SHACL workload is
+  * predicate-driven, so filters on `p` prune partitions/row-groups first
+  * (mirrors the reference's POS index, graph_abstraction.py usage).
+  */
+object TriplesDF {
+  final case class TermRow(v: String, k: Byte, dt: String, lang: String)
+  object TermRow {
+    def of(n: Node): TermRow = n match {
+      case Iri(x) => TermRow(x, 0, "", "")
+      case BNode(id) => TermRow(id, 1, "", "")
+      case Lit(lex, dt, lang) => TermRow(lex, 2, dt, lang)
+    }
+    def toNode(t: TermRow): Node = t.k match {
+      case 0 => Iri(t.v)
+      case 1 => BNode(t.v)
+      case _ => Lit(t.v, t.dt, t.lang)
+    }
+  }
+  final case class TripleRow(s: TermRow, p: String, o: TermRow)
+
+  val termType: StructType = StructType(Seq(
+    StructField("v", StringType, nullable = false),
+    StructField("k", ByteType, nullable = false),
+    StructField("dt", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("s", termType, nullable = false),
+    StructField("p", StringType, nullable = false),
+    StructField("o", termType, nullable = false)))
+
+  def rowOf(n: Node): Row = n match {
+    case Iri(v) => Row(v, 0.toByte, "", "")
+    case BNode(id) => Row(id, 1.toByte, "", "")
+    case Lit(lex, dt, lang) => Row(lex, 2.toByte, dt, lang)
+  }
+
+  def nodeOf(r: Row): Node = r.getByte(1) match {
+    case 0 => Iri(r.getString(0))
+    case 1 => BNode(r.getString(0))
+    case _ => Lit(r.getString(0), r.getString(2), r.getString(3))
+  }
+
+  /** Constant term column for plan-time constants. */
+  def termLit(n: Node): Column = n match {
+    case Iri(v) => struct(lit(v).as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    case BNode(id) => struct(lit(id).as("v"), lit(1.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    case Lit(lex, dt, lang) => struct(lit(lex).as("v"), lit(2.toByte).as("k"), lit(dt).as("dt"), lit(lang).as("lang"))
+  }
+
+  def nullTerm: Column = lit(null).cast(termType)
+
+  /** Canonical term key of a term struct column (= Node.key). */
+  def termKey(c: Column): Column =
+    when(c.isNull, lit(null))
+      .when(c("k") === 0, concat(lit("<"), c("v"), lit(">")))
+      .when(c("k") === 1, concat(lit("_:"), c("v")))
+      .otherwise(concat(lit("\""), c("v"), lit("\""),
+        when(c("lang") =!= "", concat(lit("@"), lower(c("lang"))))
+          .when(c("dt") =!= "", concat(lit("^^"), c("dt")))
+          .otherwise(lit(""))))
+
+  def fromTriples(spark: SparkSession, ts: Seq[Triple]): DataFrame = {
+    val rows = ts.map(t => Row(rowOf(t.s), t.p.value, rowOf(t.o)))
+    spark.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  def fromMemGraph(spark: SparkSession, g: MemGraph): DataFrame =
+    fromTriples(spark, g.toSeq)
+
+  def collectTriples(df: DataFrame): Seq[Triple] =
+    df.collect().toSeq.map(r =>
+      Triple(nodeOf(r.getStruct(0)), Iri(r.getString(1)), nodeOf(r.getStruct(2))))
+
+  /** Distributed N-Triples scan: text lines -> triples (the at-scale
+    * ingest path; each line parses independently). */
+  def readNTriples(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+    val parsed = lines.flatMap { line =>
+      val t = line.trim
+      if (t.isEmpty || t.startsWith("#")) Iterator.empty
+      else {
+        val (triples, _) = new TurtleParser(t, "file:///", "nt").parse()
+        triples.iterator.map(tr => TripleRow(TermRow.of(tr.s), tr.p.value, TermRow.of(tr.o)))
+      }
+    }
+    parsed.toDF("s", "p", "o")
+  }
+}
+
+/** Scalar kernels used inside DataFrame plans. Registered once per session.
+  * Semantics: SPARQL-operator comparison (rdfutil/compare.py:179-203) and
+  * XSD well-formedness (value_constraints.py:219-267). */
+object Kernels {
+  @volatile private var registeredFor: Set[Int] = Set.empty
+
+  def ensure(spark: SparkSession): Unit = {
+    val id = System.identityHashCode(spark)
+    if (registeredFor.contains(id)) return
+    synchronized {
+      if (registeredFor.contains(id)) return
+      // cmp(value term fields, constant literal fields) -> Int or null
+      spark.udf.register("rdf_cmp",
+        (vv: String, vk: Byte, vdt: String, vlang: String,
+         blex: String, bdt: String, blang: String) => {
+          if (vk != 2) null
+          else LitCompare.compare(Lit(vv, vdt, vlang), Lit(blex, bdt, blang))
+            .map(Integer.valueOf).orNull
+        })
+      // well-formedness of a lexical form for a datatype
+      spark.udf.register("rdf_well_typed",
+        (lex: String, dt: String) => XsdLexical.isValid(lex, dt))
+      // sh:lessThan pair check -> true when the pair VIOLATES
+      // (string/non-string mix, incomparable, or not strictly less) —
+      // property_pair_constraints.py:347-380
+      spark.udf.register("rdf_lt_violates",
+        (vv: String, vk: Byte, vdt: String, vlang: String,
+         cv: String, ck: Byte, cdt: String, clang: String, orEquals: Boolean) => {
+          def isStringy(k: Byte, dt: String, lang: String): Boolean =
+            k == 0 || (k == 2 && (dt.isEmpty || dt == XSD.string || lang.nonEmpty))
+          if (vk == 1 || ck == 1) true // BNode: reference raises; we report
+          else {
+            val vs = isStringy(vk, vdt, vlang)
+            val cs = isStringy(ck, cdt, clang)
+            if (vs != cs) true
+            else if (vs) {
+              val a = vv; val b = cv
+              if (orEquals) !(a <= b) else !(a < b)
+            } else {
+              LitCompare.compare(Lit(vv, vdt, vlang), Lit(cv, cdt, clang)) match {
+                case Some(c) => if (orEquals) c > 0 else c >= 0
+                case None => true
+              }
+            }
+          }
+        })
+      registeredFor += id
+    }
+  }
+}

@@ -1,0 +1,471 @@
+package graft.shacl
+
+import graft.rdf._
+import graft.rdf.TriplesDF.{termLit, termKey, nullTerm, termType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+final class ReportableError(msg: String) extends RuntimeException(msg)
+
+final case class ValidationOptions(
+  maxDepth: Int = 15,
+  inference: String = "none" // none | rdfs
+)
+
+/** Catalyst-native SHACL validation engine.
+  *
+  * Everything is set-oriented: a shape compiles into DataFrame plans over a
+  * triples frame (s,p,o term structs); no per-focus loops. The recursion
+  * spine of the reference (shape.validate -> constraint -> shape.validate,
+  * /root/reference/pyshacl/shape.py:621-822) becomes recursive *plan
+  * construction*; per-value results are rows of one unioned violations
+  * DataFrame collected once per validation.
+  */
+final class ValidationEngine(
+    spark: SparkSession,
+    triples: DataFrame,
+    shapes: Map[Node, ShapeIR],
+    sg: MemGraph,
+    opts: ValidationOptions = ValidationOptions()) {
+  import ConstraintIR._
+  import PathIR._
+  import spark.implicits._
+
+  Kernels.ensure(spark)
+
+  private val T = triples
+
+  /** Violation row: focus, value (nullable), result path key (nullable),
+    * component IRI, source shape key. Severity/messages resolved from the
+    * shape IR at report-build time. */
+  private val violSchema = StructType(Seq(
+    StructField("f", termType, nullable = false),
+    StructField("v", termType, nullable = true),
+    StructField("path", StringType, nullable = true),
+    StructField("comp", StringType, nullable = false),
+    StructField("shape", StringType, nullable = false),
+    StructField("orig", termType, nullable = false)))
+
+  private def emptyViol: DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), violSchema)
+
+  private def termsDF(nodes: Seq[Node], col: String): DataFrame = {
+    val rows = nodes.map(n => Row(TriplesDF.rowOf(n)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField(col, termType, nullable = false))))
+  }
+
+  // ---------------------------------------------------------------------
+  // rdfs:subClassOf closure (schema triples are small even at 100 TB data
+  // scale: collected once, expanded at plan time into isin literal lists
+  // so the type scan keeps predicate pushdown).
+  // ---------------------------------------------------------------------
+  private lazy val subClassPairs: Seq[(String, String)] =
+    T.filter($"p" === RDFS.subClassOf.value)
+      .select(termKey($"s"), termKey($"o")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  private lazy val upAdj: Map[String, Seq[String]] =
+    subClassPairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  private lazy val downAdj: Map[String, Seq[String]] =
+    subClassPairs.groupBy(_._2).map { case (k, vs) => k -> vs.map(_._1) }
+
+  private def closure(start: String, adj: Map[String, Seq[String]]): Set[String] = {
+    val seen = scala.collection.mutable.Set(start)
+    var frontier = List(start)
+    while (frontier.nonEmpty)
+      frontier = frontier.flatMap(adj.getOrElse(_, Nil)).filter(seen.add)
+    seen.toSet
+  }
+
+  /** class key -> {itself + all transitive subclasses} (data-graph walk,
+    * shape.py:342-354). */
+  def downClosure(classKey: String): Set[String] = closure(classKey, downAdj)
+
+  // ---------------------------------------------------------------------
+  // Targets (shape.py:321-391)
+  // ---------------------------------------------------------------------
+  def targetsDF(shape: ShapeIR): Option[DataFrame] = {
+    val t = shape.targets
+    if (t.isEmpty) return None
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    if (t.nodes.nonEmpty) parts += termsDF(t.nodes, "f")
+    val classKeys = (t.classes ++ t.implicitClass).flatMap(c => downClosure(c.key)).distinct
+    if (classKeys.nonEmpty)
+      parts += T.filter($"p" === RDF.ty.value && termKey($"o").isin(classKeys: _*))
+        .select($"s".as("f"))
+    if (t.subjectsOf.nonEmpty)
+      parts += T.filter($"p".isin(t.subjectsOf.map(_.value): _*)).select($"s".as("f"))
+    if (t.objectsOf.nonEmpty)
+      parts += T.filter($"p".isin(t.objectsOf.map(_.value): _*)).select($"o".as("f"))
+    Some(parts.reduce(_ unionByName _).distinct())
+  }
+
+  // ---------------------------------------------------------------------
+  // Property paths (expression_helper.py:31-155): frontier has cols (f, v);
+  // each step joins v against the triples frame.
+  // ---------------------------------------------------------------------
+  def step(frontier: DataFrame, path: PathIR): DataFrame = path match {
+    case PPred(p) =>
+      val t = T.filter($"p" === p).select($"s".as("_s"), $"o".as("_o"))
+      frontier.join(t, frontier("v") === t("_s")).select(frontier("f"), t("_o").as("v"))
+    case PInv(PPred(p)) =>
+      val t = T.filter($"p" === p).select($"s".as("_s"), $"o".as("_o"))
+      frontier.join(t, frontier("v") === t("_o")).select(frontier("f"), t("_s").as("v"))
+    case PInv(inner) => step(frontier, PathIR.invert(PInv(inner))) // normalize
+    case PSeq(parts) => parts.foldLeft(frontier)(step)
+    case PAlt(alts) => alts.map(step(frontier, _)).reduce(_ unionByName _).distinct()
+    case PZeroOrOne(inner) => frontier.unionByName(step(frontier, inner)).distinct()
+    case PZeroOrMore(inner) => kleene(frontier, inner)
+    case POneOrMore(inner) => kleene(step(frontier, inner).distinct(), inner)
+  }
+
+  /** Reflexive-transitive closure from `seed`: iterative frontier joins with
+    * lineage truncation — the GraphFrames-style fixpoint (SURVEY §4.2). */
+  private def kleene(seed: DataFrame, inner: PathIR): DataFrame = {
+    var all = seed.distinct().localCheckpoint()
+    var frontier = all
+    var n = all.count()
+    var iter = 0
+    while (n > 0 && iter < 100) {
+      val next = step(frontier, inner).distinct().except(all).localCheckpoint()
+      n = next.count()
+      if (n > 0) all = all.unionByName(next).localCheckpoint()
+      frontier = next
+      iter += 1
+    }
+    all
+  }
+
+  def valueNodes(shape: ShapeIR, focus: DataFrame): DataFrame =
+    shape.path match {
+      case None => focus.select($"f", $"f".as("v"))
+      case Some(p) => step(focus.select($"f", $"f".as("v")), p).distinct()
+    }
+
+  // ---------------------------------------------------------------------
+  // Shape evaluation
+  // ---------------------------------------------------------------------
+  private def finish(df: DataFrame, comp: Iri, shape: ShapeIR): DataFrame = {
+    val withV = if (df.columns.contains("v")) df else df.withColumn("v", nullTerm)
+    val withP =
+      if (df.columns.contains("path")) withV
+      else withV.withColumn("path",
+        shape.pathNode.map(n => lit(n.key)).getOrElse(lit(null).cast(StringType)))
+    withP.select($"f", $"v", $"path",
+      lit(comp.value).as("comp"), lit(shape.id.key).as("shape"),
+      (if (withP.columns.contains("orig")) $"orig" else $"f").as("orig"))
+  }
+
+  private def childShape(ref: Node, what: String): ShapeIR =
+    shapes.getOrElse(ref,
+      throw new ReportableError(s"Shape pointed to by $what does not exist: $ref"))
+
+  /** Distinct foci (as col f) that get >=1 violation from `ref` evaluated
+    * with the given nodes as focus set. Conformance = not in this set. */
+  private def violatorFoci(ref: Node, what: String, nodes: DataFrame,
+                           stack: List[(String, String)], viaComp: String): DataFrame = {
+    val cs = childShape(ref, what)
+    val edge = (viaComp, cs.id.key)
+    if (stack.contains(edge)) return emptyViol.select($"f") // recursion break
+    if (stack.length >= opts.maxDepth)
+      throw new ReportableError("Validation path too deep!")
+    violations(cs, nodes, edge :: stack).select($"f").distinct()
+  }
+
+  /** Full violations DF for one shape against a focus DF (col f). */
+  def violations(shape: ShapeIR, focus: DataFrame,
+                 stack: List[(String, String)] = Nil): DataFrame = {
+    if (shape.deactivated) return emptyViol
+    val V = valueNodes(shape, focus).localCheckpoint() // reused by most constraints
+    val parts = shape.constraints.map(evalConstraint(shape, focus, V, _, stack))
+    if (parts.isEmpty) emptyViol else parts.reduce(_ unionByName _)
+  }
+
+  private def strCoerce(c: Column): Column = c("v") // lexical form / IRI string
+
+  private def evalConstraint(shape: ShapeIR, T0: DataFrame, V: DataFrame,
+                             c: ConstraintIR, stack: List[(String, String)]): DataFrame = c match {
+
+    case CClass(classes) =>
+      classes.map { cls =>
+        val allowed = downClosure(cls.key).toSeq
+        val inst = T.filter($"p" === RDF.ty.value && termKey($"o").isin(allowed: _*))
+          .select($"s".as("_i")).distinct()
+        val lits = V.filter($"v"("k") === 2)
+        val nonInst = V.filter($"v"("k") =!= 2)
+          .join(inst, V("v") === inst("_i"), "left_anti")
+        finish(lits.unionByName(nonInst), SH.ClassConstraintComponent, shape)
+      }.reduce(_ unionByName _)
+
+    case CDatatype(dtIri) =>
+      val dt = dtIri.value
+      val vd = $"v"("dt"); val vl = $"v"("lang")
+      val matches =
+        (vd === dt && vl === "" && callUDF("rdf_well_typed", $"v"("v"), lit(dt))) ||
+          lit(dt == RDFS.LiteralC.value) ||
+          (lit(dt == RDFS.Datatype.value) && vd =!= "") ||
+          (lit(dt == XSD.string) && vd === "" && vl === "") ||
+          (lit(dt == RDF.langString) && vl =!= "")
+      finish(V.filter($"v"("k") =!= 2 || !matches), SH.DatatypeConstraintComponent, shape)
+
+    case CNodeKind(kind) =>
+      val allowed: Seq[Int] = kind match {
+        case SH.IRIKind => Seq(0)
+        case SH.BlankNode => Seq(1)
+        case SH.LiteralKind => Seq(2)
+        case SH.BlankNodeOrIRI => Seq(0, 1)
+        case SH.BlankNodeOrLiteral => Seq(1, 2)
+        case SH.IRIOrLiteral => Seq(0, 2)
+        case _ => throw new ReportableError(s"Unknown sh:nodeKind $kind")
+      }
+      finish(V.filter(!$"v"("k").isin(allowed: _*)), SH.NodeKindConstraintComponent, shape)
+
+    case CMinCount(n) =>
+      if (n == 0) emptyViol // cardinality_constraints.py:102-104
+      else {
+        val cnt = V.groupBy($"f".as("_cf")).agg(count(lit(1)).as("_c"))
+        // left join: foci with zero values must still report
+        val bad = T0.join(cnt, T0("f") === cnt("_cf"), "left")
+          .filter(coalesce($"_c", lit(0L)) < n).select(T0("f"))
+        finish(bad, SH.MinCountConstraintComponent, shape)
+      }
+
+    case CMaxCount(n) =>
+      val bad = V.groupBy($"f").agg(count(lit(1)).as("_c")).filter($"_c" > n).select($"f")
+      finish(bad, SH.MaxCountConstraintComponent, shape)
+
+    case CRange(op, bound, comp) =>
+      val cmp = callUDF("rdf_cmp", $"v"("v"), $"v"("k"), $"v"("dt"), $"v"("lang"),
+        lit(bound.lex), lit(bound.dt), lit(bound.lang))
+      val ok = op match {
+        case -2 => cmp > 0 // minExclusive
+        case -1 => cmp >= 0 // minInclusive
+        case 1 => cmp <= 0 // maxInclusive
+        case 2 => cmp < 0 // maxExclusive
+      }
+      finish(V.filter(cmp.isNull || !ok), comp, shape)
+
+    case CMinLength(n) =>
+      if (n == 0) emptyViol // string_based_constraints.py len-0 always passes
+      else finish(V.filter($"v"("k") === 1 || length(strCoerce($"v")) < n),
+        SH.MinLengthConstraintComponent, shape)
+
+    case CMaxLength(n) =>
+      finish(V.filter($"v"("k") === 1 || length(strCoerce($"v")) > n),
+        SH.MaxLengthConstraintComponent, shape)
+
+    case CPattern(pattern, flags) =>
+      val jflags = flags.map(_.filter("imsxq".contains(_))).filter(_.nonEmpty)
+        .map(f => s"(?$f)").getOrElse("")
+      val bad = V.filter($"v"("k") === 1 ||
+        !strCoerce($"v").rlike(jflags + pattern))
+      finish(bad, SH.PatternConstraintComponent, shape)
+
+    case CLanguageIn(langs) =>
+      val vl = lower($"v"("lang"))
+      val matched = langs.foldLeft(lit(false)) { (acc, l) =>
+        if (l == "*") acc || (vl =!= "")
+        else acc || vl === l.toLowerCase || vl.startsWith(l.toLowerCase + "-")
+      }
+      finish(V.filter(!($"v"("k") === 2 && matched)), SH.LanguageInConstraintComponent, shape)
+
+    case CUniqueLang =>
+      val bad = V.filter($"v"("k") === 2 && $"v"("lang") =!= "")
+        .groupBy($"f", lower($"v"("lang")).as("_l")).agg(count(lit(1)).as("_c"))
+        .filter($"_c" >= 2).select($"f")
+      finish(bad, SH.UniqueLangConstraintComponent, shape)
+
+    case CEquals(props) =>
+      props.map { p =>
+        val O = step(T0.select($"f", $"f".as("v")), PPred(p.value)).distinct()
+          .select($"f".as("_of"), $"v".as("_ov"))
+        val missV = V.join(O, V("f") === O("_of") && V("v") === O("_ov"), "left_anti")
+        val missO = O.join(V, O("_of") === V("f") && O("_ov") === V("v"), "left_anti")
+          .select($"_of".as("f"), $"_ov".as("v"))
+        finish(missV.select($"f", $"v").unionByName(missO), SH.EqualsConstraintComponent, shape)
+      }.reduce(_ unionByName _)
+
+    case CDisjoint(props) =>
+      props.map { p =>
+        val O = step(T0.select($"f", $"f".as("v")), PPred(p.value)).distinct()
+          .select($"f".as("_of"), $"v".as("_ov"))
+        val common = V.join(O, V("f") === O("_of") && V("v") === O("_ov"), "left_semi")
+        finish(common, SH.DisjointConstraintComponent, shape)
+      }.reduce(_ unionByName _)
+
+    case CLessThan(props, orEquals) =>
+      val comp = if (orEquals) SH.LessThanOrEqualsConstraintComponent
+                 else SH.LessThanConstraintComponent
+      props.map { p =>
+        val O = step(T0.select($"f", $"f".as("v")), PPred(p.value)).distinct()
+          .select($"f".as("_of"), $"v".as("_ov"))
+        val pairs = V.join(O, V("f") === O("_of")) // per-focus θ-join
+        val bad = pairs.filter(callUDF("rdf_lt_violates",
+          $"v"("v"), $"v"("k"), $"v"("dt"), $"v"("lang"),
+          $"_ov"("v"), $"_ov"("k"), $"_ov"("dt"), $"_ov"("lang"), lit(orEquals)))
+          .select($"f", $"v")
+        finish(bad, comp, shape)
+      }.reduce(_ unionByName _)
+
+    case CNot(refs) =>
+      refs.map { ref =>
+        val nodes = V.select($"v".as("f")).distinct()
+        val viol = violatorFoci(ref, "sh:not", nodes, stack, shape.id.key + "|not").
+          select($"f".as("_vf"))
+        // value CONFORMS to the sub-shape => violation
+        val bad = V.join(viol, V("v") === $"_vf", "left_anti").select($"f", $"v")
+        finish(bad, SH.NotConstraintComponent, shape)
+      }.reduce(_ unionByName _)
+
+    case CAnd(lists) =>
+      lists.map { members =>
+        val nodes = V.select($"v".as("f")).distinct()
+        val anyViol = members.map(m =>
+            violatorFoci(m, "sh:and", nodes, stack, shape.id.key + "|and"))
+          .reduce(_ unionByName _).distinct().select($"f".as("_vf"))
+        val bad = V.join(anyViol, V("v") === $"_vf", "left_semi").select($"f", $"v")
+        finish(bad, SH.AndConstraintComponent, shape)
+      }.reduce(_ unionByName _)
+
+    case COr(lists) =>
+      lists.map { members =>
+        val nodes = V.select($"v".as("f")).distinct()
+        // violates iff value fails EVERY member
+        val bad = members.foldLeft(V.select($"f", $"v")) { (cur, m) =>
+          val viol = violatorFoci(m, "sh:or", nodes, stack, shape.id.key + "|or")
+            .select($"f".as("_vf"))
+          cur.join(viol, cur("v") === $"_vf", "left_semi")
+        }
+        finish(bad, SH.OrConstraintComponent, shape)
+      }.reduce(_ unionByName _)
+
+    case CXone(lists) =>
+      lists.map { members =>
+        val nodes = V.select($"v".as("f")).distinct()
+        val conformCounts = members.map { m =>
+          val viol = violatorFoci(m, "sh:xone", nodes, stack, shape.id.key + "|xone")
+            .select($"f".as("_vf"))
+          nodes.join(viol, nodes("f") === $"_vf", "left_anti").select($"f".as("_cn"))
+        }.reduce(_ unionByName _).groupBy($"_cn").agg(count(lit(1)).as("_cc"))
+        val bad = V.join(conformCounts, V("v") === $"_cn", "left")
+          .filter(coalesce($"_cc", lit(0L)) =!= 1).select($"f", $"v")
+        finish(bad, SH.XoneConstraintComponent, shape)
+      }.reduce(_ unionByName _)
+
+    case CNode(refs) =>
+      refs.map { ref =>
+        val cs = childShape(ref, "sh:node")
+        if (cs.isPropertyShape)
+          throw new ReportableError("Shape pointed to by sh:node is not a well-formed SHACL NodeShape.")
+        val nodes = V.select($"v".as("f")).distinct()
+        val viol = violatorFoci(ref, "sh:node", nodes, stack, shape.id.key + "|node")
+          .select($"f".as("_vf"))
+        val bad = V.join(viol, V("v") === $"_vf", "left_semi").select($"f", $"v")
+        finish(bad, SH.NodeConstraintComponent, shape)
+      }.reduce(_ unionByName _)
+
+    case CProperty(refs) =>
+      refs.map { ref =>
+        val cs = childShape(ref, "sh:property")
+        if (!cs.isPropertyShape)
+          throw new ReportableError(s"'$ref' exists but is not a well-formed SHACL PropertyShape.")
+        val edge = (shape.id.key + "|property", cs.id.key)
+        if (stack.contains(edge)) emptyViol
+        else if (stack.length >= opts.maxDepth) throw new ReportableError("Validation path too deep!")
+        else {
+          // Child reports pass through, once per parent (focus,value) pair —
+          // a value shared by several foci yields duplicate results, like the
+          // reference's per-pair recursion (shape_based_constraints.py:128-135;
+          // see SHT core/property/property-001 which expects the duplicates).
+          val nodes = V.select($"v".as("f")).distinct()
+          val childViol = violations(cs, nodes, edge :: stack)
+          val parents = V.select($"f".as("_pf"), $"v".as("_pv"))
+          childViol.join(parents, childViol("orig") === $"_pv")
+            .select(childViol("f"), childViol("v"), childViol("path"),
+              childViol("comp"), childViol("shape"), $"_pf".as("orig"))
+        }
+      }.reduce(_ unionByName _)
+
+    case CQualified(ref, min, max, disjoint) =>
+      val vals = V.select($"v".as("f")).distinct()
+      val viol = violatorFoci(ref, "sh:qualifiedValueShape", vals, stack, shape.id.key + "|qvs")
+        .select($"f".as("_vf"))
+      var confV = V.join(viol, V("v") === $"_vf", "left_anti").select($"f", $"v")
+      if (disjoint) {
+        // sibling shapes: sh:property/sh:qualifiedValueShape of parents minus self
+        // (shape_based_constraints.py:396-412)
+        val siblings = sg.subjects(SH.property, shape.id).flatMap(p =>
+          sg.objects(p, SH.property)).flatMap(ps =>
+          sg.objects(ps, SH.qualifiedValueShape)).filter(_ != ref).toList.distinct
+        for (sib <- siblings if shapes.contains(sib)) {
+          val sibConf = vals.join(
+            violatorFoci(sib, "sibling", vals, stack, shape.id.key + "|qvs-sib")
+              .select($"f".as("_sf")), $"f" === $"_sf", "left_anti")
+            .select($"f".as("_cf"))
+          confV = confV.join(sibConf, confV("v") === $"_cf", "left_anti")
+        }
+      }
+      val counts = confV.groupBy($"f".as("_qf")).agg(count(lit(1)).as("_qc"))
+      val withC = T0.join(counts, T0("f") === $"_qf", "left")
+        .select(T0("f"), coalesce($"_qc", lit(0L)).as("_qc"))
+      val minViol = min.map(m => finish(withC.filter($"_qc" < m).select($"f"),
+        SH.QualifiedMinCountConstraintComponent, shape))
+      val maxViol = max.map(m => finish(withC.filter($"_qc" > m).select($"f"),
+        SH.QualifiedMaxCountConstraintComponent, shape))
+      (minViol.toList ++ maxViol.toList).reduceOption(_ unionByName _).getOrElse(emptyViol)
+
+    case CClosed(ignored) =>
+      // allowed predicates = sh:path IRIs of property shapes at this shape
+      val propPaths = sg.objects(shape.id, SH.property)
+        .flatMap(ps => sg.objects(ps, SH.path)).collect { case Iri(v) => v }.toSeq
+      val allowed = (propPaths ++ ignored.collect { case Iri(v) => v }).distinct
+      val subj = V.select($"f", $"v").filter($"v"("k") =!= 2)
+      val tt = T.select($"s".as("_ts"), $"p".as("_tp"), $"o".as("_to"))
+      val offending = subj.join(tt, subj("v") === tt("_ts"))
+        .filter(!$"_tp".isin(allowed: _*))
+        .filter(!($"_tp" === RDF.ty.value && $"_to"("k") === 0 && $"_to"("v") === RDFS.Resource.value))
+      val rows = offending.select($"f", $"_to".as("v"),
+        concat(lit("<"), $"_tp", lit(">")).as("path"))
+      finish(rows, SH.ClosedConstraintComponent, shape)
+
+    case CHasValue(values) =>
+      values.map { hv =>
+        val present = V.filter(termKey($"v") === hv.key).select($"f".as("_pf")).distinct()
+        val bad = T0.join(present, T0("f") === $"_pf", "left_anti").select($"f")
+        finish(bad, SH.HasValueConstraintComponent, shape)
+      }.reduce(_ unionByName _)
+
+    case CIn(values) =>
+      val keys = values.map(_.key)
+      finish(V.filter(!termKey($"v").isin(keys: _*)), SH.InConstraintComponent, shape)
+  }
+
+  /** Top-level run: every shape in the cache validates against its own
+    * targets (validator.py:332-337). Returns the collected result rows. */
+  def run(): Seq[ResultRow] = {
+    val parts = shapes.values.toSeq.sortBy(_.id.key).flatMap { shape =>
+      if (shape.deactivated) None
+      else targetsDF(shape).map(t => violations(shape, t.localCheckpoint()))
+    }
+    if (parts.isEmpty) return Nil
+    val all = parts.reduce(_ unionByName _)
+    all.collect().toSeq.map { r =>
+      ResultRow(
+        focus = TriplesDF.nodeOf(r.getStruct(0)),
+        value = Option(r.getStruct(1)).map(TriplesDF.nodeOf),
+        pathKey = Option(r.getString(2)),
+        component = Iri(r.getString(3)),
+        shapeKey = r.getString(4))
+    }
+  }
+}
+
+final case class ResultRow(
+  focus: Node,
+  value: Option[Node],
+  pathKey: Option[String],
+  component: Iri,
+  shapeKey: String)

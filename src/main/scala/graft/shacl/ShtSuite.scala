@@ -1,0 +1,68 @@
+package graft.shacl
+
+import graft.rdf._
+import org.apache.spark.sql.SparkSession
+
+/** W3C SHACL test-suite (SHT) harness: loads manifest-bearing fixture files
+  * (mf:entries -> sht:Validate with mf:action {sht:dataGraph,
+  * sht:shapesGraph} and an inline mf:result sh:ValidationReport), runs the
+  * engine with the reference's parity settings (inference='rdfs',
+  * /root/reference/test/test_sht_validate.py:43), and compares with the
+  * reference's conformance keying (ReportCompare). */
+object ShtSuite {
+  val MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+  val SHT = "http://www.w3.org/ns/shacl-test#"
+
+  final case class CaseResult(file: String, entry: String, passed: Boolean, detail: String)
+
+  def findFixtures(rootDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(rootDir))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".ttl")).toList.sorted
+      .filter { f =>
+        val content = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+        content.contains("sht:Validate")
+      }
+  }
+
+  def runFile(spark: SparkSession, file: String): Seq[CaseResult] = {
+    val base = "file://" + file
+    val g = TurtleParser.parseFile(file)
+    val entries = g.subjects(RDF.ty, Iri(SHT + "Validate")).toList
+    entries.flatMap { entry =>
+      val entryName = entry match { case Iri(v) => v; case other => other.key }
+      try {
+        val action = g.value(entry, Iri(MF + "action"))
+          .getOrElse(throw new ReportableError("no mf:action"))
+        val dataRef = g.value(action, Iri(SHT + "dataGraph"))
+        val shapesRef = g.value(action, Iri(SHT + "shapesGraph"))
+        def resolveGraph(ref: Option[Node], role: String): MemGraph = ref match {
+          case Some(Iri(v)) if v == base => g
+          case Some(Iri(v)) if v.startsWith("file://") =>
+            TurtleParser.parseFile(v.stripPrefix("file://"), bnodePrefix = role)
+          case None => g
+          case other => throw new ReportableError(s"unsupported graph ref $other")
+        }
+        val dataG = resolveGraph(dataRef, "d")
+        val shapesG = resolveGraph(shapesRef, "s")
+        val expectedReport = g.value(entry, Iri(MF + "result"))
+          .getOrElse(throw new ReportableError("no mf:result"))
+        val outcome = Validator.validateGraph(spark, dataG, Some(shapesG),
+          ValidationOptions(inference = "rdfs"))
+        val log = new StringBuilder
+        val ok = ReportCompare.compare(outcome.reportGraph.copyGraph(), g.copyGraph(), expectedReport, log)
+        Some(CaseResult(file, entryName, ok, log.toString))
+      } catch {
+        case e: Throwable =>
+          Some(CaseResult(file, entryName, passed = false,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+  }
+
+  def runAll(spark: SparkSession, rootDir: String,
+             exclude: Seq[String] = Seq("datatype-ill-formed")): Seq[CaseResult] = {
+    val files = findFixtures(rootDir).filterNot(f => exclude.exists(f.contains))
+    files.flatMap(runFile(spark, _))
+  }
+}

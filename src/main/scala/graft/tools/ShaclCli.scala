@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.rdf._
+import graft.shacl._
+import org.apache.spark.sql.SparkSession
+
+/** CLI validator, pySHACL-CLI-shaped (/root/reference/pyshacl/cli.py:243-420):
+  * exit 0 conforms / 1 not / 2 error; prints the report text and, with -f
+  * ttl, the report triples.
+  *
+  * Usage: runMain graft.tools.ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [--ttl]
+  */
+object ShaclCli {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [--ttl]"); sys.exit(2) }
+    val pos = args.filterNot(_.startsWith("--")).toList
+    val inference = if (args.contains("--inference")) "rdfs"
+      else args.sliding(2).collectFirst { case Array("--inference", v) => v }.getOrElse("none")
+    val asTtl = args.contains("--ttl")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-shacl")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val dataG = TurtleParser.parseFile(pos.head, bnodePrefix = "d")
+      val shapesG = pos.lift(1).map(TurtleParser.parseFile(_, bnodePrefix = "s"))
+      val out = Validator.validateGraph(spark, dataG, shapesG,
+        ValidationOptions(inference = inference))
+      println(out.reportText)
+      if (asTtl) println(NTriplesWriter.write(out.reportGraph))
+      spark.stop()
+      sys.exit(if (out.conforms) 0 else 1)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"error: ${e.getMessage}")
+        spark.stop()
+        sys.exit(2)
+    }
+  }
+}
+
+/** Batch SHT-suite runner: prints per-case pass/fail + totals.
+  * Usage: runMain graft.tools.ShtCli [suiteDir] */
+object ShtCli {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/reference/test/resources/sht_tests/core")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-sht")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val results = ShtSuite.runAll(spark, dir)
+    results.foreach { r =>
+      val mark = if (r.passed) "PASS" else "FAIL"
+      println(f"$mark ${r.file.stripPrefix(dir)}%-60s ${if (r.passed) "" else r.detail.linesIterator.mkString(" | ")}")
+    }
+    val pass = results.count(_.passed)
+    println(s"TOTAL: $pass/${results.size} passed")
+    spark.stop()
+    if (pass < results.size) sys.exit(1)
+  }
+}
