@@ -1,0 +1,111 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class KgSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connected components match a union-find oracle") {
+    // deterministic random graph
+    val rnd = new scala.util.Random(7)
+    val n = 500
+    val edges = (1 to 700).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // driver-side union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // min id in component
+        val r = find(v.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct.filter(u => find(u.toInt) == r).min
+      }).toMap
+
+    val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vertex mapped, to the component min
+    assert(expected.keySet == got.keySet)
+    val diff = expected.filter { case (k, v) => got(k) != v }
+    assert(diff.isEmpty, s"mismatched: ${diff.take(5)}")
+  }
+
+  test("span tagger preserves per-row span-sequence (kind,text,media_ref,order)") {
+    val docs = DocSynth.docs(spark, 200, seed = 42, partitions = 4)
+    val tagged = KgPipeline.tagSpans(docs)
+    // reassemble and compare against the source rows
+    val back = tagged.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"span_idx", $"kind", $"text", $"media_ref", $"offset"))).as("xs"))
+      .select($"doc_id", expr("transform(xs, x -> struct(x.kind as kind, x.text as text, x.media_ref as media_ref, x.offset as offset))").as("spans"))
+    val orig = docs.toDF().select($"doc_id", $"spans")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("pipeline is resumable: second run reuses persisted stages") {
+    val out = java.nio.file.Files.createTempDirectory("kgresume").toString
+    val c1 = KgPipeline.run(spark, out, 300, partitions = 4, validate = false, runId = "a")
+    val c2 = KgPipeline.run(spark, out, 300, partitions = 4, validate = false, runId = "b")
+    assert(c1 == c2)
+    // every stage of run b must be a resume (skip), recorded in metrics
+    val lin = new Lineage(spark, out, "b")
+    val resumed = lin.metrics().filter($"runId" === "b" && $"metric" === "resumed").count()
+    assert(resumed >= 5, s"expected all 5 stages resumed, got $resumed")
+    // changed input => recompute
+    val c3 = KgPipeline.run(spark, out, 301, partitions = 4, validate = false, runId = "c")
+    assert(c3.docs == 301)
+  }
+
+  test("emitted triples match an independently-computed oracle with P/R = 1") {
+    val out = java.nio.file.Files.createTempDirectory("kgpr").toString
+    KgPipeline.run(spark, out, 400, partitions = 4, validate = false, runId = "pr")
+    val got = spark.read.parquet(s"$out/triple_store")
+      .select($"s", $"p", $"o").as[(String, String, String)].collect().toSet
+
+    // oracle: recompute mentions + CC driver-side from the same synth
+    val docs = (0L until 400L).map(id => id -> DocSynth.spansFor(42, id))
+    val mentions = docs.flatMap { case (id, spans) =>
+      spans.zipWithIndex.collect { case (s, i) if s.kind == "text" =>
+        "Entity_[0-9]+".r.findAllIn(s.text).map(m => (id, i, m.stripPrefix("Entity_").toLong))
+      }.flatten
+    }
+    val edges = mentions.groupBy(_._1).values.flatMap { ms =>
+      val sorted = ms.sortBy(m => (m._2, m._3)).map(_._3)
+      sorted.zip(sorted.drop(1))
+    }.toSeq
+    val ids = mentions.map(_._3).distinct
+    val idx = ids.sorted.zipWithIndex.toMap
+    val parent = Array.tabulate(ids.size)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val ra = find(idx(a)); val rb = find(idx(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val sortedIds = ids.sorted
+    val comp: Map[Long, Long] = ids.map { v =>
+      val r = find(idx(v)); v -> sortedIds(r)
+    }.toMap
+    // min-id per component: relabel to true min
+    val byRoot = comp.groupBy(_._2).flatMap { case (_, m) =>
+      val minId = m.keys.min; m.keys.map(_ -> minId)
+    }
+    val KG = KgPipeline.KG
+    val expected = mentions.flatMap { case (id, _, e) =>
+      val c = byRoot(e)
+      Seq(
+        (s"http://graft.dev/doc/$id", KG + "mentions", s"${KG}entity/$e"),
+        (s"${KG}entity/$c", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", KG + "Entity"),
+        (s"${KG}entity/$c", KG + "label", s"Entity_$c")) ++
+        (if (e != c) Seq((s"${KG}entity/$e", KG + "canonical", s"${KG}entity/$c")) else Nil)
+    }.toSet
+    val precision = got.intersect(expected).size.toDouble / got.size
+    val recall = got.intersect(expected).size.toDouble / expected.size
+    assert(precision >= 0.95 && recall >= 0.95,
+      s"P=$precision R=$recall got=${got.size} expected=${expected.size} " +
+        s"gotOnly=${got.diff(expected).take(3)} expOnly=${expected.diff(got).take(3)}")
+  }
+}

@@ -1,0 +1,20 @@
+package graft.shacl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** W3C SHACL core conformance — the parity gate vs the reference
+  * (BASELINE.md: identical verdicts + report triples, keyed per
+  * /root/reference/pyshacl/validator_conformance.py:80-189; excluded
+  * known reference failure: datatype-ill-formed, FEATURES.md:199-203). */
+class ShtConformanceSpec extends AnyFunSuite {
+  val suiteDir = "/root/reference/test/resources/sht_tests/core"
+
+  test("W3C SHACL core suite passes end to end") {
+    val results = ShtSuite.runAll(TestSpark.spark, suiteDir)
+    val failures = results.filterNot(_.passed)
+    assert(results.size >= 97, s"expected >=97 cases, found ${results.size}")
+    assert(failures.isEmpty, failures.map(f =>
+      s"${f.file} [${f.entry}]: ${f.detail.linesIterator.take(2).mkString(" | ")}").mkString("\n"))
+  }
+}
