@@ -1,24 +1,112 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"triples_per_sec","value":N,"unit":"triples/sec",
+  *  "queries":{...per-query seconds...},"sf":dir,
+  *  "scaling":{"t8":s,"t32":s,"tps8":n,"tps32":n,"efficiency":e}}
+  *
+  * The scaling block runs the SAME KG-construction job on the SAME input at
+  * local[8] and local[32] (the sandbox stand-in for N vs 4N executors per
+  * the driver instruction); efficiency = (tps32/tps8)/4.
+  */
 object Bench {
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** One KG pipeline pass (no lineage persistence — pure compute) at the
+    * given session; returns emitted triple count. */
+  private def pipelineOnce(spark: SparkSession, nDocs: Long, parts: Int): Long = {
+    val docs = graft.kg.DocSynth.docs(spark, nDocs, 42, parts)
+    val spans = graft.kg.KgPipeline.tagSpans(docs)
+    val ments = graft.kg.KgPipeline.mentions(spans)
+    // persist the link table: it feeds edges, vertices AND materialization
+    // (in production runs the lineage layer persists it to parquet)
+    val links = graft.kg.KgPipeline.linkEntities(spark, ments).toDF().persist()
+    try {
+      links.count()
+      val comps = graft.kg.KgPipeline.canonicalize(spark, links).persist()
+      try {
+        comps.count()
+        graft.kg.KgPipeline.materializeTriples(links, comps).count()
+      } finally { comps.unpersist(false) }
+    } finally { links.unpersist(false) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toLong
+
+    // headline operator queries at local[cpus]
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, dt) = timed {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // KG pipeline throughput at local[cpus]
+    val (triplesN, tMain) = timed(pipelineOnce(spark, nDocs, cpus))
     spark.stop()
+
+    // Scaling: same job, same input, at N and 4N cores. Docs use fat=20
+    // (web-document-sized text) so per-doc compute dominates fixed costs;
+    // min-of-2 runs per level damps co-tenant noise on this box (load avg
+    // ~7-9 at idle). Both (4 -> 16) and (8 -> 32) pairs are reported; the
+    // box advertises 32 CPUs but sustained thread scaling saturates ~16.
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "60000").toLong
+    def scaleRun(c: Int): (Long, Double) = {
+      val sp = session(c)
+      try {
+        scalePipeline(sp, 5000, 64) // JIT warmup
+        val (n1, d1) = timed(scalePipeline(sp, scaleDocs, 128))
+        val (_, d2) = timed(scalePipeline(sp, scaleDocs, 128))
+        (n1, math.min(d1, d2))
+      } finally sp.stop()
+    }
+    val (nS, t4) = scaleRun(4)
+    val (_, t16) = scaleRun(16)
+    val (_, t8) = scaleRun(8)
+    val (_, t32) = scaleRun(32)
+    def eff(tn: Double, t4n: Double): Double = (tn / t4n) / 4.0
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val tps = triplesN / tMain
+    println(
+      f"""{"metric":"triples_per_sec","value":$tps%.0f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","pipeline":{"docs":$nDocs,"triples":$triplesN,"seconds":$tMain%.2f},"scaling":{"docs":$scaleDocs,"triples":$nS,"t4":$t4%.2f,"t16":$t16%.2f,"t8":$t8%.2f,"t32":$t32%.2f,"tps4":${nS / t4}%.0f,"tps16":${nS / t16}%.0f,"tps8":${nS / t8}%.0f,"tps32":${nS / t32}%.0f,"efficiency_4_to_8":${(t4 / t8) / 2.0}%.3f,"efficiency_4_to_16":${eff(t4, t16)}%.3f,"efficiency_8_to_32":${eff(t8, t32)}%.3f}}""")
+  }
+
+  /** Scaling workload: the full pipeline over web-document-sized (fat=20)
+    * docs — compute-dominant, shuffle-light, representative of the 100 TB
+    * regime where per-doc work dwarfs coordination. */
+  private def scalePipeline(spark: SparkSession, nDocs: Long, parts: Int): Long = {
+    val docs = graft.kg.DocSynth.docs(spark, nDocs, 42, parts, fat = 20)
+    val links = graft.kg.KgPipeline.linkEntities(spark,
+      graft.kg.KgPipeline.mentions(graft.kg.KgPipeline.tagSpans(docs))).toDF().persist()
+    try {
+      links.count()
+      val comps = graft.kg.KgPipeline.canonicalize(spark, links).persist()
+      try {
+        comps.count()
+        graft.kg.KgPipeline.materializeTriples(links, comps).count()
+      } finally comps.unpersist(false)
+    } finally links.unpersist(false)
   }
 }

@@ -1,0 +1,357 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.kg.ConnectedComponents
+
+/** The operator showcase the driver's DuckDB oracle checks at sf0.01.
+  *
+  * Each query is the relational kernel of an operator from SURVEY.md §2 (the
+  * SHACL engine's joins/aggregations) or a training-data-pipeline operator
+  * (dedup/similarity/text analysis), expressed over the driver-provided
+  * parquet tables. Aggregates avoid raw double sums (cents-as-BIGINT or
+  * exact counts) so Spark and DuckDB hash identically.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --------------------------------------------------------------------
+  // SHACL operator kernels (SURVEY §2.3-2.5) over TPC-H-ish tables
+  // --------------------------------------------------------------------
+
+  /** sh:targetSubjectsOf — distinct subjects of a predicate (§2.3). */
+  val qTargetSubjectsOf: Q = (s, d) =>
+    t(s, d, "orders").select(col("o_custkey")).distinct()
+
+  /** sh:minCount with the essential LEFT JOIN (zero-valued foci report). */
+  val qMinCount: Q = (s, d) => {
+    val c = t(s, d, "customer"); val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("cnt"))
+      .filter(col("cnt") < 1).select(col("c_custkey"))
+  }
+
+  /** sh:maxCount — hash agg + filter (partial agg map-side for free). */
+  val qMaxCount: Q = (s, d) =>
+    t(s, d, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 20)
+
+  /** sh:class — anti-join against the instance set (§2.5 #1). */
+  val qClassAnti: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val bigParts = t(s, d, "part").filter(col("p_size") > 25).select(col("p_partkey"))
+    li.join(bigParts, li("l_partkey") === bigParts("p_partkey"), "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+  }
+
+  /** sh:pattern — unanchored regex search, negated (§2.5 #12). */
+  val qPattern: Q = (s, d) =>
+    t(s, d, "part").filter(!col("p_name").rlike("r.*d")).select(col("p_partkey"), col("p_name"))
+
+  /** sh:minExclusive/maxInclusive — typed range filters (§2.5 #6-9). */
+  val qRange: Q = (s, d) =>
+    t(s, d, "lineitem").filter(col("l_quantity") < 3 || col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** sh:uniqueLang — groupBy(focus, tag) having count>=2 (§2.5 #14). */
+  val qUniqueLangKernel: Q = (s, d) =>
+    t(s, d, "orders").groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+
+  /** sh:equals — full-outer symmetric difference (§2.5 #15). */
+  val qEqualsSymdiff: Q = (s, d) => {
+    val c = t(s, d, "customer").select(col("c_nationkey").as("ck")).distinct()
+    val sup = t(s, d, "supplier").select(col("s_nationkey").as("sk")).distinct()
+    c.join(sup, c("ck") === sup("sk"), "full_outer")
+      .filter(col("ck").isNull || col("sk").isNull)
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        col("ck").isNull.as("missing_in_customer"))
+  }
+
+  /** sh:disjoint — semi-join intersection (§2.5 #16). */
+  val qDisjointSemi: Q = (s, d) => {
+    val c = t(s, d, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val sup = t(s, d, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    c.join(sup, Seq("nationkey"), "left_semi")
+  }
+
+  /** sh:lessThan — per-focus θ-join pair comparison (§2.5 #17). */
+  val qLessThanPairs: Q = (s, d) => {
+    val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(!(o("o_orderdate") < li("l_shipdate")))
+      .select(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** SHACL path sequence (§2.4) — 2-hop join + exact cents aggregation. */
+  val qPathSeqAgg: Q = (s, d) => {
+    val c = t(s, d, "customer"); val o = t(s, d, "orders"); val li = t(s, d, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("c_custkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** sh:alternativePath — union + distinct (§2.4). */
+  val qPathAlt: Q = (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionByName(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  /** sh:inversePath — reversed join direction, then aggregate (§2.4). */
+  val qPathInverse: Q = (s, d) => {
+    val r = t(s, d, "region"); val n = t(s, d, "nation"); val sup = t(s, d, "supplier")
+    r.join(n, n("n_regionkey") === r("r_regionkey"))
+      .join(sup, sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("r_regionkey")).agg(count(lit(1)).as("n_sup"))
+  }
+
+  /** sh:zeroOrMorePath — iterative frontier-join transitive closure over a
+    * derived parent edge (p_partkey -> p_partkey/2), seeded at node 1
+    * (§2.4; the engine's kleene kernel on real data). */
+  val qClosure: Q = (s, d) => {
+    import s.implicits._
+    val edges = t(s, d, "part")
+      .select((col("p_partkey") / 2).cast("bigint").as("parent"), col("p_partkey").as("child"))
+      .filter(col("parent") >= 1)
+    var all = Seq(1L).toDF("node").localCheckpoint()
+    var frontier = all
+    var n = 1L
+    while (n > 0) {
+      val next = frontier.join(edges, frontier("node") === edges("parent"))
+        .select(col("child").as("node")).distinct()
+        .join(all, Seq("node"), "left_anti").localCheckpoint()
+      n = next.count()
+      if (n > 0) all = all.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    all
+  }
+
+  /** Connected components (canonicalization kernel) over a deterministic
+    * chain: edge (k, k+1) unless k % 10 == 9 -> components are decades;
+    * the Spark side runs the real large-star/small-star algorithm. */
+  val qConnectedComponents: Q = (s, d) => {
+    val keys = t(s, d, "part").select(col("p_partkey"))
+    val edges = keys.filter(col("p_partkey") % 10 =!= 9)
+      .select(col("p_partkey").as("src"), (col("p_partkey") + 1).as("dst"))
+    val cc = ConnectedComponents.run(s, edges)
+    ConnectedComponents.withSingletons(cc, keys.select(col("p_partkey").as("id")))
+  }
+
+  // --------------------------------------------------------------------
+  // Training-data pipeline operators over documents / embeddings / events
+  // --------------------------------------------------------------------
+
+  /** Mention detection kernel: tokenize + filter + count (§ KG pipeline). */
+  val qMentionTokens: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 6)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Token counting. */
+  val qTokenCount: Q = (s, d) =>
+    t(s, d, "documents").select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+
+  /** Quality scoring (punct/stopword ratios). */
+  val qQuality: Q = (s, d) =>
+    t(s, d, "documents").select(col("doc_id"),
+      TextOps.punctRatio(col("text")).as("punct_ratio"),
+      TextOps.stopwordRatio(col("text")).as("stop_ratio"))
+
+  /** Language-ID accuracy matrix vs the gold lang column. */
+  val qLangId: Q = (s, d) =>
+    t(s, d, "documents").select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("cnt"))
+
+  /** Document fingerprinting. */
+  val qFingerprint: Q = (s, d) =>
+    t(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  /** Exact dedup groups (may be empty at small sf — that is the answer). */
+  val qDedupExact: Q = (s, d) =>
+    Dedup.exact(t(s, d, "documents"), "doc_id", "text").select(col("fp"), col("cnt"))
+
+  /** MinHash+LSH near-dup candidates (banded signature join). */
+  val qMinhashLsh: Q = (s, d) =>
+    Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")
+
+  /** SimHash near-dup candidates (chunk-bucketed Hamming). */
+  val qSimhash: Q = (s, d) =>
+    Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxDist = 10)
+
+  /** n-gram Jaccard verify over LSH candidates. */
+  val qNgramJaccard: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Dedup.ngramJaccard(docs, "doc_id", "text",
+      Dedup.minhashLsh(docs, "doc_id", "text").select(col("id_a"), col("id_b")))
+  }
+
+  /** Brute-force cosine top-k ANN (queries = vec_id < 8). */
+  val qAnnBruteForce: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .select(col("q_id"), col("rank"), col("item_id"))
+  }
+
+  /** LSH-bucketed ANN (the scale path; recall measured in tests). */
+  val qAnnLsh: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .select(col("q_id"), col("rank"), col("item_id"))
+  }
+
+  /** Embedding norms (aggregate/zip_with kernels). */
+  val qEmbedNorm: Q = (s, d) =>
+    t(s, d, "embeddings").select(col("vec_id"),
+      round(Similarity.norm(col("embedding")), 4).as("nrm"))
+
+  /** Windowed aggregation over the events stream table (same transform the
+    * streaming path uses; exact int aggregates). */
+  val qWindowAgg: Q = (s, d) =>
+    t(s, d, "events").groupBy(date_trunc("hour", col("ts")).as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+
+  // --------------------------------------------------------------------
+  // Oracle SQL (DuckDB dialect) — column names/aliases match exactly
+  // --------------------------------------------------------------------
+
+  private def langIdSql: String = {
+    // must mirror TextOps.langId exactly (same markers, same tie-break)
+    val markers = Seq(
+      "en" -> Seq(" the ", " and ", " of ", " is "),
+      "fr" -> Seq(" le ", " la ", " et ", " est "),
+      "es" -> Seq(" el ", " y ", " que ", " es "),
+      "de" -> Seq(" der ", " die ", " und ", " ist "),
+      "zh" -> Seq("的", "是", "了", "在"))
+    def score(l: String): String = markers.find(_._1 == l).get._2
+      .map(m => s"(CASE WHEN contains(' ' || lower(text) || ' ', '$m') THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val cases = markers.zipWithIndex.map { case ((l, _), i) =>
+      val laters = markers.drop(i + 1).map(x => score(x._1))
+      val cond = (s"${score(l)} > 0" +: laters.map(o => s"${score(l)} >= $o")).mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"SELECT lang, predicted, COUNT(*) AS cnt FROM (SELECT lang, (CASE $cases ELSE 'und' END) AS predicted FROM documents) GROUP BY lang, predicted"
+  }
+
+  private val stopwordsSql =
+    "('the','a','of','and','to','in','is','it','le','la','el','der','die','und','et','de','y','que')"
+
+  val oracle: Map[String, String] = Map(
+    "q_target_subjects_of" -> "SELECT DISTINCT o_custkey FROM orders",
+    "q_mincount" ->
+      """SELECT c_custkey FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey HAVING COUNT(o_orderkey) < 1""".stripMargin,
+    "q_maxcount" ->
+      "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey HAVING COUNT(*) > 20",
+    "q_class_anti" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 25)""".stripMargin,
+    "q_pattern" ->
+      "SELECT p_partkey, p_name FROM part WHERE NOT regexp_matches(p_name, 'r.*d')",
+    "q_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity < 3 OR l_quantity >= 48""".stripMargin,
+    "q_uniquelang_kernel" ->
+      """SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_custkey, o_orderpriority HAVING COUNT(*) >= 2""".stripMargin,
+    "q_equals_symdiff" ->
+      """SELECT COALESCE(ck, sk) AS nationkey, (ck IS NULL) AS missing_in_customer FROM
+        |(SELECT DISTINCT c_nationkey AS ck FROM customer) c
+        |FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS sk FROM supplier) s
+        |ON c.ck = s.sk WHERE ck IS NULL OR sk IS NULL""".stripMargin,
+    "q_disjoint_semi" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = c_nationkey)""".stripMargin,
+    "q_lessthan_pairs" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE NOT (o_orderdate < l_shipdate)""".stripMargin,
+    "q_path_seq_agg" ->
+      """SELECT c_custkey, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |COUNT(*) AS n_items FROM customer
+        |JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q_path_alt" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |UNION SELECT DISTINCT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q_path_inverse" ->
+      """SELECT r_regionkey, COUNT(*) AS n_sup FROM region
+        |JOIN nation ON n_regionkey = r_regionkey JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY r_regionkey""".stripMargin,
+    "q_closure" ->
+      """WITH RECURSIVE reach(node) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node
+        |  UNION
+        |  SELECT p.p_partkey AS node FROM part p, reach r WHERE p.p_partkey // 2 = r.node
+        |) SELECT node FROM reach""".stripMargin,
+    "q_connected_components" ->
+      """SELECT p_partkey AS id, CAST(p_partkey - (p_partkey % 10) AS BIGINT) AS component
+        |FROM part""".stripMargin,
+    "q_mention_tokens" ->
+      """SELECT token, COUNT(*) AS cnt FROM
+        |(SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |WHERE length(token) >= 6 GROUP BY token""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN 0
+        |ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens FROM documents""".stripMargin,
+    "q_quality" ->
+      ("""SELECT doc_id,
+        |round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+        |round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t IN """.stripMargin +
+      stopwordsSql +
+      """)) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 4) AS stop_ratio
+        |FROM documents""".stripMargin),
+    "q_langid" -> langIdSql,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp, COUNT(*) AS cnt
+        |FROM documents GROUP BY fp HAVING COUNT(*) > 1""".stripMargin,
+    "q_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
+        |MIN(event_id) AS min_id, MAX(event_id) AS max_id FROM events
+        |GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+    // q_minhash_lsh / q_simhash / q_ngram_jaccard / q_ann_* are hash-kernel
+    // based (xxhash64) — not DuckDB-expressible; driver rows-only check.
+  )
+
+  val all: Map[String, Q] = Map(
+    "q_target_subjects_of" -> qTargetSubjectsOf,
+    "q_mincount" -> qMinCount,
+    "q_maxcount" -> qMaxCount,
+    "q_class_anti" -> qClassAnti,
+    "q_pattern" -> qPattern,
+    "q_range" -> qRange,
+    "q_uniquelang_kernel" -> qUniqueLangKernel,
+    "q_equals_symdiff" -> qEqualsSymdiff,
+    "q_disjoint_semi" -> qDisjointSemi,
+    "q_lessthan_pairs" -> qLessThanPairs,
+    "q_path_seq_agg" -> qPathSeqAgg,
+    "q_path_alt" -> qPathAlt,
+    "q_path_inverse" -> qPathInverse,
+    "q_closure" -> qClosure,
+    "q_connected_components" -> qConnectedComponents,
+    "q_mention_tokens" -> qMentionTokens,
+    "q_token_count" -> qTokenCount,
+    "q_quality" -> qQuality,
+    "q_langid" -> qLangId,
+    "q_fingerprint" -> qFingerprint,
+    "q_dedup_exact" -> qDedupExact,
+    "q_minhash_lsh" -> qMinhashLsh,
+    "q_simhash" -> qSimhash,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_ann_bruteforce" -> qAnnBruteForce,
+    "q_ann_lsh" -> qAnnLsh,
+    "q_embed_norm" -> qEmbedNorm,
+    "q_window_agg" -> qWindowAgg
+  )
+}

@@ -1,13 +1,22 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the KG-construction + SHACL relational core in one plan —
+    * 2-hop path join, exact aggregation, anti-join gate. Driver
+    * smoke-checks rows > 0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.qPathSeqAgg(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator kernel (SURVEY.md §2 + the
+    * training-data ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  /** DuckDB-equivalent SQL for every hash-comparable query; hash-kernel
+    * queries (xxhash64-based LSH/SimHash/ANN) are rows-only checked. */
+  def oracleSql: Map[String, String] = Queries.oracle
 }

@@ -50,10 +50,17 @@ object ConnectedComponents {
         .unionByName(smallMins.select($"m".as("a"), $"u".as("b")))
         .filter($"a" =!= $"b")
       val next = large.unionByName(small).distinct().localCheckpoint()
-      // converged when the edge set is a stable star forest
-      val changed = next.exceptAll(edges).limit(1).count() +
-        edges.exceptAll(next).limit(1).count()
-      converged = changed == 0
+      // converged when the edge set is a stable star forest; compared via
+      // (count, xxhash64-sum) digest — one lightweight agg per side instead
+      // of two anti-join scans (collision probability is negligible, and a
+      // false match would only end the loop one round early on an
+      // already-stable forest)
+      def digest(df: DataFrame): (Long, String) = {
+        // decimal sum: exact and overflow-proof under ANSI mode
+        val r = df.agg(count(lit(1)), sum(xxhash64($"a", $"b").cast("decimal(38,0)"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+      }
+      converged = digest(next) == digest(edges)
       edges = next
       iter += 1
     }

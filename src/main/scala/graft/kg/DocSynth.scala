@@ -42,7 +42,10 @@ object DocSynth {
   private val words = Vector("the", "fast", "graph", "node", "edge", "span", "link",
     "data", "text", "media", "image", "audio", "doc", "entity", "mention", "a", "of")
 
-  def spansFor(seed: Long, id: Long): Seq[Span] = {
+  /** `fat` scales tokens-per-span (1 = unit-test size; ~20 approximates a
+    * real web document and makes per-doc compute dominate shuffle cost in
+    * benchmarks). Token content is unchanged for fat=1. */
+  def spansFor(seed: Long, id: Long, fat: Int = 1): Seq[Span] = {
     val nSpans = 2 + (u01(seed, id, -1) * 6).toInt // 2..7 spans
     var offset = 0
     (0 until nSpans).map { j =>
@@ -53,7 +56,7 @@ object DocSynth {
         offset += 1
         s
       } else {
-        val nTok = 3 + (u01(seed, id, 300 + j) * 8).toInt
+        val nTok = (3 + (u01(seed, id, 300 + j) * 8).toInt) * fat
         val toks = (0 until nTok).map { t =>
           val u = u01(seed, id, 1000 + j * 64 + t)
           if (u < 0.35) s"Entity_${entityAt(seed, id, j * 64 + t)}"
@@ -68,8 +71,8 @@ object DocSynth {
   }
 
   def docs(spark: SparkSession, n: Long, seed: Long = 42,
-           partitions: Int = 32): Dataset[Doc] = {
+           partitions: Int = 32, fat: Int = 1): Dataset[Doc] = {
     import spark.implicits._
-    spark.range(0, n, 1, partitions).map(id => Doc(s"doc:$id", spansFor(seed, id)))
+    spark.range(0, n, 1, partitions).map(id => Doc(s"doc:$id", spansFor(seed, id, fat)))
   }
 }

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale notes (100 TB): every variant avoids the quadratic all-pairs join —
+  * exact dedup is one hash-groupBy; MinHash/SimHash bucket first (band join /
+  * prefix join) so the candidate join is bounded per bucket; the verify step
+  * runs only inside candidate pairs. AQE skew-join splitting covers hot
+  * buckets (boilerplate-heavy shards).
+  */
+object Dedup {
+
+  /** Exact duplicates: hash-groupBy on a normalized fingerprint (map-side
+    * partial agg for free). Returns (fp, cnt, doc_ids) for groups > 1. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("cnt") > 1)
+
+  /** Word k-shingles as an array column (codegen'd, no UDF). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - k,
+          array_join(slice(toks, i + lit(1), lit(k)), " "))),
+      x => x.isNotNull)
+  }
+
+  /** MinHash signature (n permutations) of the shingle set, as an array:
+    * perm_i(s) = min over shingles of xxhash64(shingle, salt_i). */
+  def minhash(shingleCol: Column, n: Int = 16): Column =
+    array((0 until n).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** MinHash signature table via explode + groupBy: one pass over shingles,
+    * n min-aggregates — avoids inlining the shingle expression n times into
+    * one giant codegen stage (the array-expression form regresses ~20x). */
+  def minhashSig(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+      .groupBy(col("id"))
+      .agg(array((0 until n).map(i => min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
+
+  /** MinHash+LSH near-duplicate candidate pairs: signatures banded into
+    * `bands`, exploded, grouped by (band, band-hash). One shuffle to bucket,
+    * one self-join *within* buckets — never all-pairs. Returns candidate
+    * (id_a, id_b, n_shared_bands). */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = bands
+    val sig = minhashSig(docs, idCol, textCol, n)
+    val bandWidth = n / rows
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until rows).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(array_join(transform(
+            slice(col("sig"), b * bandWidth + 1, bandWidth),
+            x => x.cast("string")), ",")).as("h"))): _*)))
+      .select(col("id"), col("col.band").as("band"), col("col.h").as("h"))
+    val a = banded.select(col("band"), col("h"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("h"), col("id").as("id_b"))
+    a.join(b, Seq("band", "h")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** SimHash: sign-aggregated 64-bit token hashes -> one BIGINT per doc.
+    * Near-dups = small Hamming distance; join candidates by 16-bit chunks
+    * (any equal chunk => candidate), again avoiding all-pairs. */
+  def simhash(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val mask = lit(1L << bit)
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+      when(votes > 0, mask).otherwise(lit(0L))
+    }.reduce[Column](_ bitwiseOR _)
+  }
+
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates within Hamming distance <= maxDist,
+    * bucketed by 16-bit chunks (pigeonhole: dist<=3 => some chunk equal). */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        col("sh").bitwiseAND(lit(0xffffL << (c * 16)))): _*)))
+      .select(col("id"), col("sh"), col("pos").as("chunk"), col("col").as("ck"))
+    val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Exact n-gram Jaccard similarity for a candidate pair set (verify step
+    * after LSH): explode-join-count, set semantics. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   candidates: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    val withA = candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+    val withB = withA.join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    withB.select(col("id_a"), col("id_b"),
+      round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 4).as("jaccard"))
+  }
+}

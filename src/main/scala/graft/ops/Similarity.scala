@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k (one broadcast of the query set, one
+  * codegen'd zip_with dot product, one windowed top-k — correct at any
+  * scale, linear cost). Scale path: random-hyperplane LSH bucketing (or the
+  * same code with an IVF coarse quantizer column), so candidates per query
+  * are bounded; cosine verify runs only inside buckets.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (greatest(norm(a), lit(1e-12)) * greatest(norm(b), lit(1e-12))), 6)
+
+  /** Brute-force cosine top-k: every (query, item) pair via broadcast of the
+    * (small) query side, windowed rank per query. */
+  def bruteForceTopK(items: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val scored = it.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("item_id"))
+      .select(col("q_id"), col("item_id"), cosine(col("q_vec"), col("item_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits from deterministic
+    * pseudo-random hyperplanes (hash-derived, no external randomness). */
+  def rhpSignature(vec: Column, bits: Int = 8): Column =
+    (0 until bits).map { b =>
+      val proj = aggregate(
+        transform(vec, (x, i) =>
+          x.cast("double") *
+            // deterministic pseudo-gaussian weight from (bit, dim) hash
+            ((pmod(xxhash64(concat(lit(b.toString), lit(":"), i.cast("string"))), lit(1000L))
+              .cast("double") / 500.0d) - 1.0d)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce[Column](_ bitwiseOR _)
+
+  /** LSH-bucketed ANN: join items and queries on the signature bucket, rank
+    * within buckets. Recall < 1 by construction; measure vs brute force. */
+  def lshTopK(items: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
+      rhpSignature(col(vecCol), bits).as("sig"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      rhpSignature(col(vecCol), bits).as("sig"))
+    val scored = it.join(broadcast(q), Seq("sig"))
+      .filter(col("q_id") =!= col("item_id"))
+      .select(col("q_id"), col("item_id"), cosine(col("q_vec"), col("item_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

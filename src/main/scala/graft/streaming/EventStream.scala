@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface for the events table. The reference is
+  * strictly batch (SURVEY §2.12), so this is forward-looking pipeline
+  * infrastructure: watermarked windowed aggregation + a stateful
+  * per-user session counter via mapGroupsWithState. Batch and streaming
+  * share the same transformation so results are comparable. */
+object EventStream {
+
+  /** Tumbling-window aggregation (shared by batch + streaming). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("sv"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sv"))
+
+  /** Run the streaming query against a parquet directory source and drain
+    * it into an in-memory table; returns the query for inspection. */
+  def runFromParquet(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema).parquet(dir)
+    windowedCounts(src).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  final case class UserState(count: Long, lastTs: Long)
+  final case class UserActivity(user_id: Long, events: Long)
+
+  /** Stateful custom operator: running per-user event counts with
+    * processing-time timeout (KeyValueGroupedDataset.mapGroupsWithState). */
+  def userActivity(spark: SparkSession, events: DataFrame): Dataset[UserActivity] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var c = prev.count; var last = prev.lastTs
+          rows.foreach { r => c += 1; last = math.max(last, r._2) }
+          state.update(UserState(c, last))
+          UserActivity(user, c)
+      }
+  }
+}
