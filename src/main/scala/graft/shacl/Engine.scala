@@ -10,7 +10,9 @@ final class ReportableError(msg: String) extends RuntimeException(msg)
 
 final case class ValidationOptions(
   maxDepth: Int = 15,
-  inference: String = "none" // none | rdfs
+  inference: String = "none", // none | rdfs
+  advanced: Boolean = false, // apply SHACL-AF rules before validating
+  iterateRules: Boolean = false
 )
 
 /** Catalyst-native SHACL validation engine.
@@ -442,6 +444,11 @@ final class ValidationEngine(
       val keys = values.map(_.key)
       finish(V.filter(!termKey($"v").isin(keys: _*)), SH.InConstraintComponent, shape)
   }
+
+  /** Public conformance helper (used by the rules engine's sh:filterShape):
+    * distinct foci of `nodes` that fail shape `ref`. */
+  def violatorsOf(ref: Node, nodes: DataFrame): DataFrame =
+    violations(childShape(ref, "sh:filterShape"), nodes).select($"f").distinct()
 
   /** Top-level run: every shape in the cache validates against its own
     * targets (validator.py:332-337). Returns the collected result rows. */

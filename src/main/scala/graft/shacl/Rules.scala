@@ -1,0 +1,193 @@
+package graft.shacl
+
+import graft.rdf._
+import graft.rdf.TriplesDF.{termLit, termKey}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SHACL-AF rules engine — the reference's KG-construction heart
+  * (/root/reference/pyshacl/rules/__init__.py:20-124 + rules/triple).
+  *
+  * TripleRule semantics: per applicable focus node, the S×P×O cartesian
+  * product of three node-expression results is added to the data graph;
+  * rules run in (shape sh:order, rule sh:order); with iterate_rules each
+  * shape's rule list repeats to fixpoint (cap 100). Here the per-focus
+  * loop is a 3-way join on the focus column and "new triples only" is a
+  * left-anti join against the current triples frame.
+  *
+  * Node expressions (/root/reference/pyshacl/helper/expression_helper.py:158-285):
+  * sh:this, constants, sh:path, sh:union, sh:intersection, sh:filterShape.
+  * SPARQL FunctionExpressions are deferred (need the SPARQL frontend, v2).
+  */
+sealed trait NodeExprIR
+object NodeExprIR {
+  case object EThis extends NodeExprIR
+  final case class EConst(n: Node) extends NodeExprIR
+  final case class EUnion(parts: List[NodeExprIR]) extends NodeExprIR
+  final case class EIntersection(parts: List[NodeExprIR]) extends NodeExprIR
+  final case class EPath(paths: List[PathIR]) extends NodeExprIR
+  final case class EFilterShape(filter: Node, nodes: NodeExprIR) extends NodeExprIR
+
+  def parse(sg: MemGraph, compiler: ShapeCompiler, expr: Node): NodeExprIR = expr match {
+    case SH.thisNode => EThis
+    case i: Iri => EConst(i)
+    case l: Lit => EConst(l)
+    case b: BNode =>
+      val unions = sg.objects(b, SH.union).toList
+      val inters = sg.objects(b, SH.intersection).toList
+      if (unions.nonEmpty && inters.nonEmpty)
+        throw new ReportableError("Cannot have sh:intersection and sh:union on the same bnode.")
+      if (unions.nonEmpty)
+        EUnion(sg.items(unions.head).map(parse(sg, compiler, _)))
+      else if (inters.nonEmpty)
+        EIntersection(sg.items(inters.head).map(parse(sg, compiler, _)))
+      else {
+        val paths = sg.objects(b, SH.path).toList
+        if (paths.nonEmpty) EPath(paths.map(compiler.parsePath(_)))
+        else {
+          val filters = sg.objects(b, SH.filterShape).toList
+          val nodes = sg.objects(b, SH.nodes).toList
+          if (filters.nonEmpty && nodes.nonEmpty)
+            EFilterShape(filters.head, parse(sg, compiler, nodes.head))
+          else
+            throw new ReportableError(
+              s"Unsupported node expression $b (SPARQL FunctionExpressions are not supported yet)")
+        }
+      }
+  }
+}
+
+final case class TripleRuleIR(
+  shape: Node,
+  ruleNode: Node,
+  s: NodeExprIR, p: NodeExprIR, o: NodeExprIR,
+  conditions: List[Node],
+  order: BigDecimal,
+  deactivated: Boolean)
+
+object RulesEngine {
+  import NodeExprIR._
+
+  /** Gather TripleRules (rules/__init__.py:20-86). SPARQLRules raise. */
+  def gatherRules(sg: MemGraph, compiler: ShapeCompiler): List[TripleRuleIR] = {
+    val tripleRuleNodes = sg.subjects(RDF.ty, SH.TripleRule).toSet
+    val sparqlRuleNodes = sg.subjects(RDF.ty, SH.SPARQLRule).toSet
+    if (tripleRuleNodes.intersect(sparqlRuleNodes).nonEmpty)
+      throw new ReportableError("A SHACL Rule cannot be both a TripleRule and a SPARQLRule.")
+    sg.subjectObjects(SH.rule).toList.map { case (shapeNode, ruleNode) =>
+      if (sparqlRuleNodes.contains(ruleNode))
+        throw new ReportableError("SPARQLRule is not supported yet (needs the SPARQL frontend).")
+      if (!tripleRuleNodes.contains(ruleNode))
+        throw new ReportableError(
+          "when using sh:rule, the Rule must be defined as either a TripleRule or SPARQLRule.")
+      def one(p: Iri, what: String): Node = sg.objects(ruleNode, p).toList match {
+        case List(x) => x
+        case Nil => throw new ReportableError(s"No $what")
+        case _ => throw new ReportableError(s"Too many $what")
+      }
+      val conditions = sg.objects(ruleNode, SH.condition).toList.flatMap { c =>
+        if (sg.value(c, RDF.first).isDefined) sg.items(c) else List(c)
+      }
+      val order = sg.value(ruleNode, SH.order) match {
+        case Some(Lit(lex, _, _)) => try BigDecimal(lex) catch { case _: Throwable => BigDecimal(0) }
+        case _ => BigDecimal(0)
+      }
+      val deact = sg.value(ruleNode, SH.deactivated).exists {
+        case Lit("true", _, _) => true
+        case _ => false
+      }
+      TripleRuleIR(shapeNode, ruleNode,
+        parse(sg, compiler, one(SH.subject, "sh:subject")),
+        parse(sg, compiler, one(SH.predicate, "sh:predicate")),
+        parse(sg, compiler, one(SH.objectP, "sh:object")),
+        conditions, order, deact)
+    }
+  }
+
+  /** Rules-only entry point (pyshacl.shacl_rules / RuleExpandRunner.run,
+    * /root/reference/pyshacl/rule_expand_runner.py:131-252): returns the
+    * expanded triples frame (input ∪ rule-derived). */
+  def expand(
+      spark: SparkSession,
+      triples0: DataFrame,
+      sg: MemGraph,
+      iterateRules: Boolean = false,
+      maxIterations: Int = 100): DataFrame = {
+    val compiler = new ShapeCompiler(sg)
+    val shapes = compiler.compile()
+    val rules = gatherRules(sg, compiler)
+    if (rules.isEmpty) return triples0
+
+    var triples = triples0.localCheckpoint()
+    // shapes sorted by sh:order, then each shape's rules by sh:order
+    val byShape = rules.groupBy(_.shape).toList
+      .sortBy { case (sh, _) => (shapes.get(sh).map(_.order).getOrElse(BigDecimal(0)), sh.key) }
+    for ((shapeNode, shapeRules) <- byShape) {
+      val shape = shapes.getOrElse(shapeNode,
+        throw new ReportableError("The shape that rule is attached to is not a valid SHACL Shape."))
+      val sorted = shapeRules.sortBy(r => (r.order, r.ruleNode.key))
+      var keepGoing = true
+      var iters = 0
+      while (keepGoing) {
+        if (iters >= maxIterations)
+          throw new ReportableError(s"SHACL Shape Rule iteration exceeded iteration limit of $maxIterations.")
+        iters += 1
+        var added = 0L
+        for (r <- sorted if !r.deactivated) {
+          val engine = new ValidationEngine(spark, triples, shapes, sg)
+          engine.targetsDF(shape) match {
+            case None => // no targets: no focus nodes
+            case Some(t0) =>
+              var focus = t0
+              // sh:condition: keep foci conforming to every condition shape
+              for (c <- r.conditions) {
+                val condShape = shapes.getOrElse(c,
+                  throw new ReportableError("A SHACL Rule Condition must be an existing well-formed SHACL Shape."))
+                val viol = engine.violations(condShape, focus).select(col("f").as("_vf")).distinct()
+                focus = focus.join(viol, focus("f") === col("_vf"), "left_anti")
+              }
+              val S = evalExpr(engine, focus, r.s).select(col("f"), col("v").as("_s"))
+              val P = evalExpr(engine, focus, r.p).select(col("f"), col("v").as("_p"))
+                .filter(col("_p")("k") === 0) // predicates must be IRIs
+              val O = evalExpr(engine, focus, r.o).select(col("f"), col("v").as("_o"))
+              val product = S.join(P, "f").join(O, "f")
+                .select(col("_s").as("s"), col("_p")("v").as("p"), col("_o").as("o"))
+                .distinct()
+              val fresh = product.join(triples,
+                product("s") === triples("s") && product("p") === triples("p") &&
+                  product("o") === triples("o"), "left_anti")
+                .localCheckpoint()
+              val n = fresh.count()
+              if (n > 0) {
+                triples = triples.unionByName(fresh).localCheckpoint()
+                added += n
+              }
+          }
+        }
+        keepGoing = added > 0 && iterateRules
+      }
+    }
+    triples
+  }
+
+  /** Node-expression evaluation: focus frame (col f) -> (f, v) pairs. */
+  def evalExpr(engine: ValidationEngine, focus: DataFrame, e: NodeExprIR): DataFrame = e match {
+    case EThis => focus.select(col("f"), col("f").as("v"))
+    case EConst(n) => focus.select(col("f"), termLit(n).as("v"))
+    case EUnion(parts) =>
+      parts.map(evalExpr(engine, focus, _)).reduce(_ unionByName _).distinct()
+    case EIntersection(parts) =>
+      parts.map(evalExpr(engine, focus, _)).reduce { (a, b) =>
+        a.join(b.select(col("f").as("_if"), col("v").as("_iv")),
+          a("f") === col("_if") && a("v") === col("_iv"), "left_semi")
+      }.distinct()
+    case EPath(paths) =>
+      paths.map(p => engine.step(focus.select(col("f"), col("f").as("v")), p))
+        .reduce(_ unionByName _).distinct()
+    case EFilterShape(filterRef, nodesExpr) =>
+      val nodes = evalExpr(engine, focus, nodesExpr)
+      val viol = engine.violatorsOf(filterRef, nodes.select(col("v").as("f")).distinct())
+        .select(col("f").as("_vf"))
+      nodes.join(viol, nodes("v") === col("_vf"), "left_anti")
+  }
+}

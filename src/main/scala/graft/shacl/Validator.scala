@@ -42,8 +42,13 @@ object Validator {
       shapesGraph: MemGraph,
       dataCbd: Node => Seq[Triple],
       opts: ValidationOptions = ValidationOptions()): Outcome = {
+    // advanced mode: apply SHACL-AF rules (graph mutation) before any
+    // constraint runs — validator.py:323-330
+    val expanded =
+      if (opts.advanced) RulesEngine.expand(spark, triples, shapesGraph, opts.iterateRules)
+      else triples
     val shapes = new ShapeCompiler(shapesGraph).compile()
-    val engine = new ValidationEngine(spark, triples, shapes, shapesGraph, opts)
+    val engine = new ValidationEngine(spark, expanded, shapes, shapesGraph, opts)
     val rows = engine.run()
     val (conforms, g, rep) = ReportBuilder.build(rows, shapes, shapesGraph, dataCbd)
     Outcome(conforms, g, rep, ReportBuilder.text(conforms, rows, shapes), rows)
