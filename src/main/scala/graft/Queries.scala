@@ -311,10 +311,10 @@ object Queries {
         |FROM documents""".stripMargin),
     "q_langid" -> langIdSql,
     "q_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
     "q_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp, COUNT(*) AS cnt
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp, COUNT(*) AS cnt
         |FROM documents GROUP BY fp HAVING COUNT(*) > 1""".stripMargin,
     "q_window_agg" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,

@@ -75,5 +75,5 @@ object TextOps {
   /** Rolling-hash document fingerprint: md5 of the alnum-normalized text
     * (stable across engines). */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 }

@@ -12,7 +12,15 @@ final case class ValidationOptions(
   maxDepth: Int = 15,
   inference: String = "none", // none | rdfs
   advanced: Boolean = false, // apply SHACL-AF rules before validating
-  iterateRules: Boolean = false
+  iterateRules: Boolean = false,
+  // allow_infos / allow_warnings (shape.py:729-741): results at/below the
+  // allowed severity still report but do not flip conformance
+  allowInfos: Boolean = false,
+  allowWarnings: Boolean = false,
+  // abort_on_first (validator.py:336-337)
+  abortOnFirst: Boolean = false,
+  // CLI focus-node filter (shape.py:670-684): restrict to these IRIs
+  focusNodes: Option[Set[String]] = None
 )
 
 /** Catalyst-native SHACL validation engine.
@@ -453,21 +461,40 @@ final class ValidationEngine(
   /** Top-level run: every shape in the cache validates against its own
     * targets (validator.py:332-337). Returns the collected result rows. */
   def run(): Seq[ResultRow] = {
+    def focusFilter(t: DataFrame): DataFrame = opts.focusNodes match {
+      case Some(irises) => t.filter($"f"("k") === 0 && $"f"("v").isin(irises.toSeq: _*))
+      case None => t
+    }
+    if (opts.abortOnFirst) {
+      // short-circuit: evaluate shape by shape, stop at the first
+      // non-conforming one (LIMIT-1 existence semantics per shape)
+      val buf = scala.collection.mutable.ListBuffer.empty[Row]
+      val it = shapes.values.toSeq.sortBy(_.id.key).iterator
+      while (it.hasNext && buf.isEmpty) {
+        val shape = it.next()
+        if (!shape.deactivated)
+          targetsDF(shape).map(focusFilter).foreach { t =>
+            buf ++= violations(shape, t.localCheckpoint()).collect()
+          }
+      }
+      return buf.toSeq.map(rowToResult)
+    }
     val parts = shapes.values.toSeq.sortBy(_.id.key).flatMap { shape =>
       if (shape.deactivated) None
-      else targetsDF(shape).map(t => violations(shape, t.localCheckpoint()))
+      else targetsDF(shape).map(t => violations(shape, focusFilter(t).localCheckpoint()))
     }
     if (parts.isEmpty) return Nil
     val all = parts.reduce(_ unionByName _)
-    all.collect().toSeq.map { r =>
-      ResultRow(
-        focus = TriplesDF.nodeOf(r.getStruct(0)),
-        value = Option(r.getStruct(1)).map(TriplesDF.nodeOf),
-        pathKey = Option(r.getString(2)),
-        component = Iri(r.getString(3)),
-        shapeKey = r.getString(4))
-    }
+    all.collect().toSeq.map(rowToResult)
   }
+
+  private def rowToResult(r: Row): ResultRow =
+    ResultRow(
+      focus = TriplesDF.nodeOf(r.getStruct(0)),
+      value = Option(r.getStruct(1)).map(TriplesDF.nodeOf),
+      pathKey = Option(r.getString(2)),
+      component = Iri(r.getString(3)),
+      shapeKey = r.getString(4))
 }
 
 final case class ResultRow(

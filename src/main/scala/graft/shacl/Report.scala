@@ -27,10 +27,11 @@ object ReportBuilder {
       results: Seq[ResultRow],
       shapes: Map[Node, ShapeIR],
       sg: MemGraph,
-      dataCbd: Node => Seq[Triple]): (Boolean, MemGraph, Node) = {
+      dataCbd: Node => Seq[Triple],
+      conformsOverride: Option[Boolean] = None): (Boolean, MemGraph, Node) = {
     val g = new MemGraph
     val report = BNode("vreport")
-    val conforms = results.isEmpty
+    val conforms = conformsOverride.getOrElse(results.isEmpty)
     g.add(report, RDF.ty, SH.ValidationReport)
     g.add(report, SH.conforms, Lit(conforms.toString, XSD.boolean))
     val shapesByKey: Map[String, ShapeIR] = shapes.values.map(s => s.id.key -> s).toMap

@@ -50,7 +50,18 @@ object Validator {
     val shapes = new ShapeCompiler(shapesGraph).compile()
     val engine = new ValidationEngine(spark, expanded, shapes, shapesGraph, opts)
     val rows = engine.run()
-    val (conforms, g, rep) = ReportBuilder.build(rows, shapes, shapesGraph, dataCbd)
+    // allow_infos/allow_warnings: allowed severities still report but do not
+    // flip conformance (shape.py:729-741)
+    val allowed: Set[Iri] =
+      (if (opts.allowWarnings) Set(SH.Info, SH.Warning)
+       else if (opts.allowInfos) Set(SH.Info)
+       else Set.empty[Iri])
+    val shapesByKey = shapes.values.map(sh => sh.id.key -> sh).toMap
+    val blocking = rows.filterNot(r =>
+      allowed.contains(shapesByKey.get(r.shapeKey).map(_.severity).getOrElse(SH.Violation)))
+    val conformsV = blocking.isEmpty
+    val (conforms, g, rep) = ReportBuilder.build(rows, shapes, shapesGraph, dataCbd,
+      conformsOverride = Some(conformsV))
     Outcome(conforms, g, rep, ReportBuilder.text(conforms, rows, shapes), rows)
   }
 

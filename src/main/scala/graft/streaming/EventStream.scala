@@ -12,12 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Tumbling-window aggregation (shared by batch + streaming). */
-  def windowedCounts(events: DataFrame): DataFrame =
+  def windowedCounts(events0: DataFrame): DataFrame = {
+    val events = events0.withColumn("ts", col("ts").cast("timestamp"))
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("sv"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sv"))
+  }
 
   /** Run the streaming query against a parquet directory source and drain
     * it into an in-memory table; returns the query for inspection. */
@@ -38,7 +40,7 @@ object EventStream {
     * processing-time timeout (KeyValueGroupedDataset.mapGroupsWithState). */
   def userActivity(spark: SparkSession, events: DataFrame): Dataset[UserActivity] = {
     import spark.implicits._
-    events.select(col("user_id").cast("long"), col("ts").cast("long"))
+    events.select(col("user_id").cast("long"), col("ts").cast("timestamp").cast("long"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {

@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ShaclCli {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [--ttl]"); sys.exit(2) }
+    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first]"); sys.exit(2) }
     val pos = args.filterNot(_.startsWith("--")).toList
     val inference = if (args.contains("--inference")) "rdfs"
       else args.sliding(2).collectFirst { case Array("--inference", v) => v }.getOrElse("none")
@@ -29,7 +29,12 @@ object ShaclCli {
       val dataG = TurtleParser.parseFile(pos.head, bnodePrefix = "d")
       val shapesG = pos.lift(1).map(TurtleParser.parseFile(_, bnodePrefix = "s"))
       val out = Validator.validateGraph(spark, dataG, shapesG,
-        ValidationOptions(inference = inference))
+        ValidationOptions(inference = inference,
+          advanced = args.contains("--advanced"),
+          iterateRules = args.contains("--iterate-rules"),
+          allowInfos = args.contains("--allow-infos"),
+          allowWarnings = args.contains("--allow-warnings"),
+          abortOnFirst = args.contains("--abort-first")))
       println(out.reportText)
       if (asTtl) println(NTriplesWriter.write(out.reportGraph))
       spark.stop()
