@@ -1,0 +1,24 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for representative queries so plan
+  * regressions (lost pushdown, missed broadcast, codegen breaks) are
+  * visible. Usage: runMain graft.tools.PlanCheck [sfDir] [names...] */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_path_seq_agg", "q_class_anti", "q_range", "q_mincount", "q_minhash_lsh")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"========== $n ==========")
+      graft.Queries.all(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
