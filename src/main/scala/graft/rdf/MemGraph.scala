@@ -42,7 +42,11 @@ final class MemGraph extends Serializable {
             byPred.get(t.p).foreach(_.remove((t.s, t.o)))
             byObj.get(t.o).foreach(_.remove((t.s, t.p)))
           }
+          // drop empty buckets so predicates()/triples() don't report
+          // stale keys (this broke report-message cleaning)
+          if (os.isEmpty) po.remove(t.p)
         }
+        if (po.isEmpty) bySubj.remove(t.s)
       }
     }
 

@@ -111,33 +111,42 @@ object ReportCompare {
   }
 
   /** Symmetric structural bnode compare (compare.py:19-176), ignoring
-    * rdf:type rdfs:Resource objects; recursion cap 10. */
-  def compareBlank(g1: MemGraph, b1: BNode, g2: MemGraph, b2: BNode, depth: Int = 0): Boolean = {
+    * rdf:type rdfs:Resource objects; recursion cap 10. `why` (top-level
+    * calls only) records the first mismatching predicate/object. */
+  def compareBlank(g1: MemGraph, b1: BNode, g2: MemGraph, b2: BNode, depth: Int = 0,
+                   why: StringBuilder = new StringBuilder): Boolean = {
     if (depth >= 10) return false
     val ps1 = g1.predicates(b1).toSet
     val ps2 = g2.predicates(b2).toSet
     if (ps1.isEmpty && ps2.isEmpty) return true
-    if (ps1.isEmpty || ps2.isEmpty) return false
+    if (ps1.isEmpty || ps2.isEmpty) { why.append(s"one side empty: $b1 vs $b2\n"); return false }
     val isL1 = ps1.contains(RDF.first); val isL2 = ps2.contains(RDF.first)
     if (isL1 && isL2) return compareList(g1, b1, g2, b2, depth)
-    if (isL1 || isL2) return false
+    if (isL1 || isL2) { why.append(s"list vs non-list: $b1 vs $b2\n"); return false }
 
     def oneDirection(ga: MemGraph, ba: BNode, psa: Set[Iri], gb: MemGraph, bb: BNode,
-                     psb: Set[Iri]): Boolean =
+                     psb: Set[Iri], dir: String): Boolean =
       psa.forall { p =>
-        if (!psb.contains(p)) false
-        else {
+        if (!psb.contains(p)) {
+          why.append(s"$dir: predicate $p on $ba missing on $bb\n")
+          false
+        } else {
           val oa = ga.objects(ba, p).filter(_ != RDFS.Resource).toList
           val ob = mutable.ListBuffer.empty[Node] ++= gb.objects(bb, p)
           oa.forall { o1 =>
             ob.indexWhere(o2 => compareNode(ga, o1, gb, o2, depth + 1)) match {
-              case -1 => false
+              case -1 =>
+                why.append(
+                  s"$dir: $ba $p ${keyString(ga, o1, structural = true)} unmatched " +
+                    s"(candidates: ${ob.map(keyString(gb, _, structural = true)).mkString(" | ")})\n")
+                false
               case idx => ob.remove(idx); true
             }
           }
         }
       }
-    oneDirection(g1, b1, ps1, g2, b2, ps2) && oneDirection(g2, b2, ps2, g1, b1, ps1)
+    oneDirection(g1, b1, ps1, g2, b2, ps2, "a->e") &&
+      oneDirection(g2, b2, ps2, g1, b1, ps1, "e->a")
   }
 
   /** Structural stringification of a node for result keying, playing the
@@ -192,8 +201,9 @@ object ReportCompare {
 
     (actualReport, expectedReport) match {
       case (a: BNode, e: BNode) =>
-        if (!compareBlank(actual, a, expected, e)) {
-          log.append("structural report compare failed\n"); return false
+        val why = new StringBuilder
+        if (!compareBlank(actual, a, expected, e, why = why)) {
+          log.append(s"structural report compare failed: $why\n"); return false
         }
       case _ =>
     }

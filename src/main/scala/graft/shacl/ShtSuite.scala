@@ -65,4 +65,48 @@ object ShtSuite {
     val files = findFixtures(rootDir).filterNot(f => exclude.exists(f.contains))
     files.flatMap(runFile(spark, _))
   }
+
+  // -------------------------------------------------------------------
+  // DASH dash:GraphValidationTestCase fixtures (the whole file is both
+  // data and shapes graph; expected report inline via dash:expectedResult
+  // — /root/reference/pyshacl/validator_conformance.py:396-434). Note the
+  // reference's own CI only enables one of these core files; we run the
+  // full set and track the pass list explicitly.
+  // -------------------------------------------------------------------
+  val DASHNS = "http://datashapes.org/dash#"
+
+  def findDashFixtures(rootDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(rootDir))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".test.ttl")).toList.sorted
+      .filter { f =>
+        val content = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+        content.contains("dash:GraphValidationTestCase")
+      }
+  }
+
+  def runDashFile(spark: SparkSession, file: String): Seq[CaseResult] = {
+    val g = TurtleParser.parseFile(file)
+    val cases = g.subjects(RDF.ty, Iri(DASHNS + "GraphValidationTestCase")).toList
+    cases.flatMap { tc =>
+      try {
+        val expected = g.value(tc, Iri(DASHNS + "expectedResult"))
+          .getOrElse(throw new ReportableError("no dash:expectedResult"))
+        val outcome = Validator.validateGraph(spark, g, Some(g),
+          ValidationOptions(inference = "rdfs"))
+        val log = new StringBuilder
+        val ok = ReportCompare.compare(outcome.reportGraph.copyGraph(), g.copyGraph(), expected, log)
+        Some(CaseResult(file, tc.key, ok, log.toString))
+      } catch {
+        case e: Throwable =>
+          Some(CaseResult(file, tc.key, passed = false,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+  }
+
+  def runAllDash(spark: SparkSession, rootDir: String,
+                 exclude: Seq[String] = Nil): Seq[CaseResult] =
+    findDashFixtures(rootDir).filterNot(f => exclude.exists(f.contains))
+      .flatMap(runDashFile(spark, _))
 }

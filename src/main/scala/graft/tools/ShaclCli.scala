@@ -61,7 +61,9 @@ object ShtCli {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val results = ShtSuite.runAll(spark, dir)
+    val results =
+      if (args.contains("--dash")) ShtSuite.runAllDash(spark, dir)
+      else ShtSuite.runAll(spark, dir)
     results.foreach { r =>
       val mark = if (r.passed) "PASS" else "FAIL"
       println(f"$mark ${r.file.stripPrefix(dir)}%-60s ${if (r.passed) "" else r.detail.linesIterator.mkString(" | ")}")

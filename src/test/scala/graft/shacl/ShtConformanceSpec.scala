@@ -18,3 +18,16 @@ class ShtConformanceSpec extends AnyFunSuite {
       s"${f.file} [${f.entry}]: ${f.detail.linesIterator.take(2).mkString(" | ")}").mkString("\n"))
   }
 }
+
+/** DASH core suite (dash:GraphValidationTestCase fixtures) — broader than
+  * the reference's own CI, which enables only one of these files. */
+class DashConformanceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("DASH core suite passes end to end") {
+    val results = ShtSuite.runAllDash(graft.TestSpark.spark,
+      "/root/reference/test/resources/dash_tests/core")
+    val failures = results.filterNot(_.passed)
+    assert(results.size >= 85, s"expected >=85 cases, found ${results.size}")
+    assert(failures.isEmpty, failures.map(f =>
+      s"${f.file}: ${f.detail.linesIterator.take(1).mkString}").mkString("\n"))
+  }
+}
