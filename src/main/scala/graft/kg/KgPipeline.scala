@@ -81,10 +81,17 @@ object KgPipeline {
   }
 
   /** Stage 5: triple materialization (TripleRule-style S×P×O per focus,
-    * new-only via left_anti against the existing store). */
+    * new-only via left_anti against the existing store). The links ⋈
+    * components join salts Zipf-head entity ids explicitly (Skew.saltedJoin)
+    * — the join AQE cannot pre-split because it sits inside the
+    * driver-orchestrated stage sequence. */
   def materializeTriples(links: DataFrame, components: DataFrame): DataFrame = {
-    val ent = links.select(col("doc_id"), col("span_idx"), col("entity_id"), col("score"))
-      .join(components.withColumnRenamed("id", "entity_id"), Seq("entity_id"))
+    val spark = links.sparkSession
+    val linksSel = links.select(col("doc_id"), col("span_idx"), col("entity_id"), col("score"))
+    val nLinks = linksSel.count()
+    val hot = Skew.hotKeys(linksSel, "entity_id", threshold = math.max(1000L, nLinks / 500L))
+    val ent = Skew.saltedJoin(spark, linksSel,
+      components.withColumnRenamed("id", "entity_id"), "entity_id", hot)
     val docIri = concat(lit("http://graft.dev/doc/"), regexp_replace(col("doc_id"), "^doc:", ""))
     val entIri = concat(lit(KG), lit("entity/"), col("entity_id"))
     val canonIri = concat(lit(KG), lit("entity/"), col("component"))
@@ -135,10 +142,10 @@ object KgPipeline {
       // predicate-partitioned store: filters on p prune whole directories
       materializeTriples(links, comps)
     }
-    // store layout: partition by predicate local name
-    val store = s"$outRoot/triple_store"
-    triples.withColumn("p_part", regexp_extract(col("p"), "[#/]([A-Za-z]+)$", 1))
-      .write.mode("overwrite").partitionBy("p_part").parquet(store)
+    // Iceberg-shaped store: snapshot append, predicate partitioning;
+    // lineage-gated so resumed runs do not commit duplicate snapshots
+    val store = new TripleStore(spark, s"$outRoot/triple_store")
+    lin.marker("store", ck) { store.append(triples); triples.count() }
 
     // Validate the emitted graph AT SCALE: the (s,p,o) strings lift into
     // the engine's term-struct frame; no driver collect of the data.
@@ -163,7 +170,7 @@ object KgPipeline {
       links = spark.read.parquet(s"$outRoot/links").count(),
       entities = spark.read.parquet(s"$outRoot/links").select(col("entity_id")).distinct().count(),
       components = spark.read.parquet(s"$outRoot/components").select(col("component")).distinct().count(),
-      triples = spark.read.parquet(store).count(),
+      triples = store.read().count(),
       conforms = conforms)
   }
 }

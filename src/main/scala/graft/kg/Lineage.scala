@@ -43,6 +43,16 @@ final class Lineage(spark: SparkSession, root: String, runId: String) {
     readLineage().filter(e => e.stage == stage && e.status == "done")
       .sortBy(_.updatedAt).lastOption
 
+  /** Run a side-effecting step at most once per input checksum (e.g. a
+    * store snapshot commit); replays are skipped on resume. */
+  def marker(name: String, inputChecksum: String)(action: => Long): Unit =
+    doneEntry(name) match {
+      case Some(e) if e.inputChecksum == inputChecksum => metric(name, "resumed", 1.0)
+      case _ =>
+        val rows = action
+        append(Entry(runId, name, "done", rows, inputChecksum, System.currentTimeMillis()))
+    }
+
   /** Run (or resume) a stage: skip compute when a done entry with the same
     * input checksum exists and the persisted output is readable. */
   def stage(name: String, inputChecksum: String)(compute: => DataFrame): DataFrame = {

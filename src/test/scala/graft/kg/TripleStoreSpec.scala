@@ -1,0 +1,59 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class TripleStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def mkStore(): TripleStore =
+    new TripleStore(spark, java.nio.file.Files.createTempDirectory("tstore").toString)
+
+  test("append snapshots + time-travel reads") {
+    val st = mkStore()
+    val s1 = st.append(Seq(("e:a", "http://kg#label", "A")).toDF("s", "p", "o"))
+    val s2 = st.append(Seq(("e:b", "http://kg#label", "B")).toDF("s", "p", "o"))
+    assert(st.snapshots() == Seq(s1, s2))
+    assert(st.read().count() == 2)
+    assert(st.readAt(s1).count() == 1)
+    assert(st.readAt(s1).select($"s").as[String].collect().toSeq == Seq("e:a"))
+  }
+
+  test("overwrite by predicate partition leaves others untouched") {
+    val st = mkStore()
+    st.append(Seq(
+      ("e:a", "http://kg#label", "A"),
+      ("e:a", "http://kg#type", "T")).toDF("s", "p", "o"))
+    st.overwritePartitions(Seq(("e:a", "http://kg#label", "A2")).toDF("s", "p", "o"),
+      Seq("http://kg#label"))
+    val rows = st.read().as[(String, String, String)].collect().toSet
+    assert(rows == Set(("e:a", "http://kg#label", "A2"), ("e:a", "http://kg#type", "T")))
+  }
+
+  test("predicate scan prunes to the partition") {
+    val st = mkStore()
+    st.append(Seq(
+      ("e:a", "http://kg#label", "A"),
+      ("e:b", "http://kg#mentions", "e:c")).toDF("s", "p", "o"))
+    val scan = st.scanPredicate("http://kg#label")
+    assert(scan.count() == 1)
+    // partition filter must appear in the plan (directory pruning)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("p_part"), s"no partition filter in plan:\n$plan")
+  }
+
+  test("salted join equals plain join on skewed keys") {
+    val big = spark.range(0, 10000).select(
+      when($"id" % 100 =!= 0, $"id" % 500).otherwise(lit(7L)).as("k"), $"id".as("payload"))
+    val small = spark.range(0, 500).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
+    val hot = Skew.hotKeys(big, "k", threshold = 50)
+    assert(hot.contains(7L))
+    val plain = big.join(small, "k").select($"k", $"payload", $"v")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(spark, big, small, "k", hot)
+      .select($"k", $"payload", $"v").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+}
