@@ -44,6 +44,9 @@ final class ValidationEngine(
 
   Kernels.ensure(spark)
 
+  /** Compiled sh:SPARQLFunction registry (shapes-graph scoped). */
+  lazy val functions: Map[Node, ShaclFnDef] = ShaclFunctions.gather(sg)
+
   private val T = triples
 
   /** Violation row: focus, value (nullable), result path key (nullable),
@@ -55,7 +58,8 @@ final class ValidationEngine(
     StructField("path", StringType, nullable = true),
     StructField("comp", StringType, nullable = false),
     StructField("shape", StringType, nullable = false),
-    StructField("orig", termType, nullable = false)))
+    StructField("orig", termType, nullable = false),
+    StructField("constraint", StringType, nullable = true)))
 
   private def emptyViol: DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), violSchema)
@@ -166,7 +170,9 @@ final class ValidationEngine(
         shape.pathNode.map(n => lit(n.key)).getOrElse(lit(null).cast(StringType)))
     withP.select($"f", $"v", $"path",
       lit(comp.value).as("comp"), lit(shape.id.key).as("shape"),
-      (if (withP.columns.contains("orig")) $"orig" else $"f").as("orig"))
+      (if (withP.columns.contains("orig")) $"orig" else $"f").as("orig"),
+      (if (withP.columns.contains("constraint")) $"constraint"
+       else lit(null).cast(StringType)).as("constraint"))
   }
 
   private def childShape(ref: Node, what: String): ShapeIR =
@@ -395,7 +401,8 @@ final class ValidationEngine(
           val parents = V.select($"f".as("_pf"), $"v".as("_pv"))
           childViol.join(parents, childViol("orig") === $"_pv")
             .select(childViol("f"), childViol("v"), childViol("path"),
-              childViol("comp"), childViol("shape"), $"_pf".as("orig"))
+              childViol("comp"), childViol("shape"), $"_pf".as("orig"),
+              childViol("constraint"))
         }
       }.reduce(_ unionByName _)
 
@@ -451,6 +458,25 @@ final class ValidationEngine(
     case CIn(values) =>
       val keys = values.map(_.key)
       finish(V.filter(!termKey($"v").isin(keys: _*)), SH.InConstraintComponent, shape)
+
+    case CExpression(exprs) =>
+      // sh:expression: per value v, the node expression evaluated with v as
+      // focus must return exactly {true} (constraints/advanced/__init__.py:26-94)
+      val compiler = new ShapeCompiler(sg)
+      exprs.map { en =>
+        val ir = NodeExprIR.parse(sg, compiler, en)
+        val nodes = V.select($"v".as("f")).distinct()
+        val res = RulesEngine.evalExpr(this, nodes, ir)
+        val isTrue = res("v")("k") === 2 && res("v")("v") === "true" &&
+          res("v")("dt") === XSD.boolean
+        val agg = res.groupBy(res("f").as("_ef"))
+          .agg(count(lit(1)).as("_ec"), sum(when(isTrue, 1L).otherwise(0L)).as("_et"))
+        val bad = V.join(agg, V("v") === $"_ef", "left")
+          .filter(!(coalesce($"_ec", lit(0L)) === 1L && coalesce($"_et", lit(0L)) === 1L))
+          .select($"f", $"v")
+          .withColumn("constraint", lit(en.key))
+        finish(bad, SH.ExpressionConstraintComponent, shape)
+      }.reduce(_ unionByName _)
   }
 
   /** Public conformance helper (used by the rules engine's sh:filterShape):
@@ -494,7 +520,8 @@ final class ValidationEngine(
       value = Option(r.getStruct(1)).map(TriplesDF.nodeOf),
       pathKey = Option(r.getString(2)),
       component = Iri(r.getString(3)),
-      shapeKey = r.getString(4))
+      shapeKey = r.getString(4),
+      constraintKey = Option(r.getString(6)))
 }
 
 final case class ResultRow(
@@ -502,4 +529,5 @@ final case class ResultRow(
   value: Option[Node],
   pathKey: Option[String],
   component: Iri,
-  shapeKey: String)
+  shapeKey: String,
+  constraintKey: Option[String] = None)

@@ -60,6 +60,11 @@ object ReportBuilder {
         g.add(rn, SH.resultPath, pn)
         pn match { case b: BNode => g.addAll(sg.cbd(b)); case _ => }
       }
+      r.constraintKey.foreach { ck =>
+        val cn = if (ck.startsWith("_:")) BNode(ck.drop(2)) else Iri(ck.drop(1).dropRight(1))
+        g.add(rn, SH.sourceConstraint, cn)
+        cn match { case b: BNode => g.addAll(sg.cbd(b)); case _ => }
+      }
       val msgs = shapeIr.map(_.messages).getOrElse(Nil)
       msgs.foreach(m => g.add(rn, SH.resultMessage, m))
     }

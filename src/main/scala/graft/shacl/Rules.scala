@@ -27,6 +27,7 @@ object NodeExprIR {
   final case class EIntersection(parts: List[NodeExprIR]) extends NodeExprIR
   final case class EPath(paths: List[PathIR]) extends NodeExprIR
   final case class EFilterShape(filter: Node, nodes: NodeExprIR) extends NodeExprIR
+  final case class EFunction(fn: Node, args: List[NodeExprIR]) extends NodeExprIR
 
   def parse(sg: MemGraph, compiler: ShapeCompiler, expr: Node): NodeExprIR = expr match {
     case SH.thisNode => EThis
@@ -49,9 +50,22 @@ object NodeExprIR {
           val nodes = sg.objects(b, SH.nodes).toList
           if (filters.nonEmpty && nodes.nonEmpty)
             EFilterShape(filters.head, parse(sg, compiler, nodes.head))
-          else
-            throw new ReportableError(
-              s"Unsupported node expression $b (SPARQL FunctionExpressions are not supported yet)")
+          else {
+            // FunctionExpression: a (fn, argsList) pair where the object is
+            // an rdf:list (expression_helper.py:222-283; sh:message skipped)
+            val fnPairs = sg.predicateObjects(b).filter { case (pk, pv) =>
+              pk != SH.message && (pv match {
+                case l: Lit => false
+                case other => sg.value(other, RDF.first).isDefined
+              })
+            }.toList
+            fnPairs.headOption match {
+              case Some((fnIri, argsList)) =>
+                EFunction(fnIri, sg.items(argsList).map(parse(sg, compiler, _)))
+              case None =>
+                throw new ReportableError(s"Unsupported node expression $b")
+            }
+          }
         }
       }
   }
@@ -189,5 +203,21 @@ object RulesEngine {
       val viol = engine.violatorsOf(filterRef, nodes.select(col("v").as("f")).distinct())
         .select(col("f").as("_vf"))
       nodes.join(viol, nodes("v") === col("_vf"), "left_anti")
+    case EFunction(fnRef, argExprs) =>
+      // compiled SHACLFunction: args evaluated per focus, joined on f
+      // (per-focus cartesian), the body applied as one Column projection
+      val defn = engine.functions.getOrElse(fnRef, throw new ReportableError(
+        s"The SHACLFunction $fnRef was not defined in this SHACL Shapes file."))
+      var cur = focus.select(col("f"))
+      val argCols = argExprs.zipWithIndex.map { case (a, i) =>
+        val d = evalExpr(engine, focus, a).select(col("f"), col("v").as(s"_a$i"))
+        cur = cur.join(d, "f")
+        s"_a$i"
+      }
+      val env = defn.params.zip(argCols).map { case ((local, dt, _), c) =>
+        local -> SparqlExpr.termToTyped(col(c), dt)
+      }.toMap
+      val res = SparqlExpr.compile(defn.body, env)
+      cur.select(col("f"), SparqlExpr.typedToTerm(res).as("v")).distinct()
   }
 }

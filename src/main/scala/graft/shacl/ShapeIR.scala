@@ -73,6 +73,7 @@ object ConstraintIR {
   final case class CClosed(ignored: List[Node]) extends ConstraintIR
   final case class CHasValue(values: List[Node]) extends ConstraintIR
   final case class CIn(values: List[Node]) extends ConstraintIR
+  final case class CExpression(exprs: List[Node]) extends ConstraintIR
 }
 
 final case class TargetsIR(
@@ -345,6 +346,8 @@ final class ShapeCompiler(g: MemGraph) {
       case List(lst) => out += CIn(g.items(lst))
       case _ => err("InConstraintComponent must have at most one sh:in predicate.")
     }
+    val exprs = objs(SH.expression)
+    if (exprs.nonEmpty) out += CExpression(exprs)
     out.toList
   }
 }

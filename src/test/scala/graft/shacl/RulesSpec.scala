@@ -69,8 +69,9 @@ class RulesSpec extends AnyFunSuite {
       Set(Iri("http://ex.org/b"), Iri("http://ex.org/c"), Iri("http://ex.org/d")))
   }
 
-  test("DASH InferencingTestCase: rules/triple/schema2person") {
-    val file = "/root/reference/test/resources/dash_tests/rules/triple/schema2person.test.ttl"
+  for (name <- Seq("schema2person", "rectangle", "square", "functions-permutations"))
+  test(s"DASH InferencingTestCase: rules/triple/$name") {
+    val file = s"/root/reference/test/resources/dash_tests/rules/triple/$name.test.ttl"
     val g = TurtleParser.parseFile(file)
     var df = TriplesDF.fromMemGraph(spark, g)
     df = RdfsInference.expand(spark, df)

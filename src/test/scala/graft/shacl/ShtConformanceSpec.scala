@@ -22,6 +22,13 @@ class ShtConformanceSpec extends AnyFunSuite {
 /** DASH core suite (dash:GraphValidationTestCase fixtures) — broader than
   * the reference's own CI, which enables only one of these files. */
 class DashConformanceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("DASH expression suite passes (sh:expression + compiled SHACLFunctions)") {
+    val results = ShtSuite.runAllDash(graft.TestSpark.spark,
+      "/root/reference/test/resources/dash_tests/expression")
+    assert(results.nonEmpty && results.forall(_.passed),
+      results.filterNot(_.passed).map(_.detail).mkString("\n"))
+  }
+
   test("DASH core suite passes end to end") {
     val results = ShtSuite.runAllDash(graft.TestSpark.spark,
       "/root/reference/test/resources/dash_tests/core")
