@@ -77,20 +77,27 @@ object Bench {
       val sp = session(c)
       try {
         scalePipeline(sp, 5000, 64) // JIT warmup
-        val (n1, d1) = timed(scalePipeline(sp, scaleDocs, 128))
-        val (_, d2) = timed(scalePipeline(sp, scaleDocs, 128))
-        (n1, math.min(d1, d2))
+        timed(scalePipeline(sp, scaleDocs, 128))
       } finally sp.stop()
     }
-    val (nS, t4) = scaleRun(4)
-    val (_, t16) = scaleRun(16)
-    val (_, t8) = scaleRun(8)
-    val (_, t32) = scaleRun(32)
+    // two interleaved passes, min per config: co-tenant load on this box
+    // varies on a minutes scale, so back-to-back repeats share the noise
+    // while interleaving spreads it
+    val configs = Seq(4, 16, 8, 32)
+    val pass1 = configs.map(c => c -> scaleRun(c)).toMap
+    val pass2 = configs.map(c => c -> scaleRun(c)).toMap
+    val nS = pass1(4)._1
+    def best(c: Int): Double = math.min(pass1(c)._2, pass2(c)._2)
+    val t4 = best(4); val t16 = best(16); val t8 = best(8); val t32 = best(32)
     def eff(tn: Double, t4n: Double): Double = (tn / t4n) / 4.0
+    // co-tenant load at measurement time (this box idles at load 7-11);
+    // interpret the scaling numbers against it
+    val loadavg = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ")(0)
+      catch { case _: Throwable => "-1" }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val tps = triplesN / tMain
     println(
-      f"""{"metric":"triples_per_sec","value":$tps%.0f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","pipeline":{"docs":$nDocs,"triples":$triplesN,"seconds":$tMain%.2f},"scaling":{"docs":$scaleDocs,"triples":$nS,"t4":$t4%.2f,"t16":$t16%.2f,"t8":$t8%.2f,"t32":$t32%.2f,"tps4":${nS / t4}%.0f,"tps16":${nS / t16}%.0f,"tps8":${nS / t8}%.0f,"tps32":${nS / t32}%.0f,"efficiency_4_to_8":${(t4 / t8) / 2.0}%.3f,"efficiency_4_to_16":${eff(t4, t16)}%.3f,"efficiency_8_to_32":${eff(t8, t32)}%.3f}}""")
+      f"""{"metric":"triples_per_sec","value":$tps%.0f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","pipeline":{"docs":$nDocs,"triples":$triplesN,"seconds":$tMain%.2f},"scaling":{"docs":$scaleDocs,"triples":$nS,"t4":$t4%.2f,"t16":$t16%.2f,"t8":$t8%.2f,"t32":$t32%.2f,"tps4":${nS / t4}%.0f,"tps16":${nS / t16}%.0f,"tps8":${nS / t8}%.0f,"tps32":${nS / t32}%.0f,"host_loadavg":$loadavg,"efficiency_4_to_8":${(t4 / t8) / 2.0}%.3f,"efficiency_4_to_16":${eff(t4, t16)}%.3f,"efficiency_8_to_32":${eff(t8, t32)}%.3f}}""")
   }
 
   /** Scaling workload: the full pipeline over web-document-sized (fat=20)
