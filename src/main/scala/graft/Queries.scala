@@ -316,6 +316,9 @@ object Queries {
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp, COUNT(*) AS cnt
         |FROM documents GROUP BY fp HAVING COUNT(*) > 1""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
+        |x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS nrm FROM embeddings""".stripMargin,
     "q_window_agg" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
         |MIN(event_id) AS min_id, MAX(event_id) AS max_id FROM events

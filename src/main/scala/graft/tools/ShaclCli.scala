@@ -36,7 +36,7 @@ object ShaclCli {
           allowWarnings = args.contains("--allow-warnings"),
           abortOnFirst = args.contains("--abort-first")))
       println(out.reportText)
-      if (asTtl) println(NTriplesWriter.write(out.reportGraph))
+      if (asTtl) println(TurtleWriter.write(out.reportGraph))
       spark.stop()
       sys.exit(if (out.conforms) 0 else 1)
     } catch {
