@@ -63,7 +63,21 @@ object ShtSuite {
   def runAll(spark: SparkSession, rootDir: String,
              exclude: Seq[String] = Seq("datatype-ill-formed")): Seq[CaseResult] = {
     val files = findFixtures(rootDir).filterNot(f => exclude.exists(f.contains))
-    files.flatMap(runFile(spark, _))
+    parMap(files)(runFile(spark, _))
+  }
+
+  /** Fixtures are independent; Spark schedules concurrent jobs from
+    * multiple driver threads, so a small pool cuts suite wall time ~3x. */
+  private def parMap[A](files: Seq[String])(f: String => Seq[A]): Seq[A] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = files.map(file => Future(f(file)))
+      futs.flatMap(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   // -------------------------------------------------------------------
@@ -107,6 +121,6 @@ object ShtSuite {
 
   def runAllDash(spark: SparkSession, rootDir: String,
                  exclude: Seq[String] = Nil): Seq[CaseResult] =
-    findDashFixtures(rootDir).filterNot(f => exclude.exists(f.contains))
-      .flatMap(runDashFile(spark, _))
+    parMap(findDashFixtures(rootDir).filterNot(f => exclude.exists(f.contains)))(
+      runDashFile(spark, _))
 }
