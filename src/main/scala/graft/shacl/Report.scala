@@ -66,7 +66,10 @@ object ReportBuilder {
         cn match { case b: BNode => g.addAll(sg.cbd(b)); case _ => }
       }
       val msgs = shapeIr.map(_.messages).getOrElse(Nil)
-      msgs.foreach(m => g.add(rn, SH.resultMessage, m))
+      if (msgs.nonEmpty) msgs.foreach(m => g.add(rn, SH.resultMessage, m))
+      else shapeIr.flatMap(si =>
+        GenericMessages.forResult(si, r.component, r.value, r.pathKey))
+        .foreach(m => g.add(rn, SH.resultMessage, Lit(m)))
     }
     (conforms, g, report)
   }
@@ -76,10 +79,19 @@ object ReportBuilder {
     if (conforms) "Validation Report\nConforms: True\n"
     else {
       val lines = results.map { r =>
+        val si = shapes.values.find(_.id.key == r.shapeKey)
+        val msgs =
+          si.map(_.messages).filter(_.nonEmpty).map(_.map(_.lex))
+            .orElse(si.flatMap(x =>
+              GenericMessages.forResult(x, r.component, r.value, r.pathKey)).map(List(_)))
+            .getOrElse(Nil)
         s"Constraint Violation in ${r.component.value.split('#').last} (${r.component}):\n" +
+          s"\tSeverity: ${si.map(_.severity.key).getOrElse(SH.Violation.key)}\n" +
+          s"\tSource Shape: ${r.shapeKey}\n" +
           s"\tFocus Node: ${r.focus}\n" +
           r.value.map(v => s"\tValue Node: $v\n").getOrElse("") +
-          r.pathKey.map(p => s"\tResult Path: $p\n").getOrElse("")
+          r.pathKey.map(p => s"\tResult Path: $p\n").getOrElse("") +
+          msgs.sorted.map(m => s"\tMessage: $m\n").mkString
       }.sorted
       s"Validation Report\nConforms: False\nResults (${results.size}):\n" + lines.mkString
     }
