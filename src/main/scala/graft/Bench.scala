@@ -4,12 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"triples_per_sec","value":N,"unit":"triples/sec",
-  *  "queries":{...per-query seconds...},"sf":dir,
-  *  "scaling":{"t8":s,"t32":s,"tps8":n,"tps32":n,"efficiency":e}}
+  *  "queries":{...per-query seconds...},"sf":dir,"pipeline":{...},
+  *  "scaling":{t4,t16,t8,t32,tps*,host_loadavg,efficiency_4_to_8,
+  *             efficiency_4_to_16,efficiency_8_to_32}}
   *
-  * The scaling block runs the SAME KG-construction job on the SAME input at
-  * local[8] and local[32] (the sandbox stand-in for N vs 4N executors per
-  * the driver instruction); efficiency = (tps32/tps8)/4.
+  * The scaling block runs the SAME KG-construction job on the SAME input
+  * at N and 4N cores (the sandbox stand-in for N vs 4N executors per the
+  * driver instruction), two interleaved passes, min per config;
+  * /proc/loadavg rides along because this box carries 6-11 cores of
+  * co-tenant load (see BASELINE.md round-1 notes).
   */
 object Bench {
   private def session(cpus: Int): SparkSession = {
