@@ -107,6 +107,21 @@ object KgPipeline {
     mentions.unionByName(canon).unionByName(types).unionByName(labels)
   }
 
+  /** Media stage: the interleaved media spans flow through the multimodal
+    * plumbing (batched per-partition stub decode — ops/Multimodal) and emit
+    * (doc, kg:hasMedia, ref) + (ref, kg:mediaType, type) triples. */
+  def mediaTriples(spark: SparkSession, spans: DataFrame): DataFrame = {
+    val refs = spans.filter(col("kind") === "media")
+      .select(col("doc_id"), col("media_ref"))
+    val feats = graft.ops.Multimodal.decodeFeatures(spark,
+      graft.ops.Multimodal.synthPayloads(spark,
+        refs.select(col("media_ref")).distinct(), "media_ref")).toDF()
+    val docIri = concat(lit("http://graft.dev/doc/"), regexp_replace(col("doc_id"), "^doc:", ""))
+    refs.select(docIri.as("s"), lit(KG + "hasMedia").as("p"), col("media_ref").as("o"))
+      .unionByName(feats.select(col("media_ref").as("s"),
+        lit(KG + "mediaType").as("p"), col("media_type").as("o")))
+  }
+
   /** SHACL shapes every emitted graph must satisfy (validated with the
     * engine itself — ties construction and validation together). */
   val shapesTtl: String =
@@ -120,6 +135,10 @@ object KgPipeline {
       |kg:MentionShape a sh:NodeShape ;
       |  sh:targetSubjectsOf kg:mentions ;
       |  sh:property [ sh:path kg:mentions ; sh:nodeKind sh:IRI ; sh:minCount 1 ] .
+      |kg:MediaShape a sh:NodeShape ;
+      |  sh:targetObjectsOf kg:hasMedia ;
+      |  sh:property [ sh:path kg:mediaType ; sh:minCount 1 ; sh:maxCount 1 ;
+      |                sh:in ( "image" "audio" "video" ) ] .
       |""".stripMargin
 
   final case class Counts(docs: Long, spans: Long, mentions: Long, links: Long,
@@ -141,6 +160,7 @@ object KgPipeline {
     val triples = lin.stage("triples", ck) {
       // predicate-partitioned store: filters on p prune whole directories
       materializeTriples(links, comps)
+        .unionByName(mediaTriples(spark, spans))
     }
     // Iceberg-shaped store: snapshot append, predicate partitioning;
     // lineage-gated so resumed runs do not commit duplicate snapshots

@@ -94,7 +94,20 @@ class KgSpec extends AnyFunSuite {
       val minId = m.keys.min; m.keys.map(_ -> minId)
     }
     val KG = KgPipeline.KG
-    val expected = mentions.flatMap { case (id, _, e) =>
+    // media triples: every media span emits doc->hasMedia->ref, and each
+    // distinct ref a mediaType derived from the same hash the synthesizer
+    // uses (ops/Multimodal.synthPayloads)
+    val mediaPairs = docs.flatMap { case (id, spans) =>
+      spans.collect { case sp if sp.kind == "media" => (id, sp.media_ref) }
+    }
+    def mtype(ref: String): String = math.abs(ref.hashCode) % 3 match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val mediaExpected = mediaPairs.flatMap { case (id, ref) =>
+      Seq((s"http://graft.dev/doc/$id", KG + "hasMedia", ref),
+        (ref, KG + "mediaType", mtype(ref)))
+    }.toSet
+    val expected0 = mentions.flatMap { case (id, _, e) =>
       val c = byRoot(e)
       Seq(
         (s"http://graft.dev/doc/$id", KG + "mentions", s"${KG}entity/$e"),
@@ -102,6 +115,7 @@ class KgSpec extends AnyFunSuite {
         (s"${KG}entity/$c", KG + "label", s"Entity_$c")) ++
         (if (e != c) Seq((s"${KG}entity/$e", KG + "canonical", s"${KG}entity/$c")) else Nil)
     }.toSet
+    val expected = expected0 ++ mediaExpected
     val precision = got.intersect(expected).size.toDouble / got.size
     val recall = got.intersect(expected).size.toDouble / expected.size
     assert(precision >= 0.95 && recall >= 0.95,
