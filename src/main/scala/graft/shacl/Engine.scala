@@ -10,6 +10,8 @@ final class ReportableError(msg: String) extends RuntimeException(msg)
 
 final case class ValidationOptions(
   maxDepth: Int = 15,
+  /** fixpoint cap for sh:zeroOrMorePath/oneOrMorePath closures */
+  maxPathDepth: Int = 100,
   inference: String = "none", // none | rdfs
   advanced: Boolean = false, // apply SHACL-AF rules before validating
   iterateRules: Boolean = false,
@@ -59,7 +61,15 @@ final class ValidationEngine(
     StructField("comp", StringType, nullable = false),
     StructField("shape", StringType, nullable = false),
     StructField("orig", termType, nullable = false),
-    StructField("constraint", StringType, nullable = true)))
+    StructField("constraint", StringType, nullable = true),
+    // per-result message override (SPARQL constraints / components carry
+    // their own sh:message, constraint-scoped rather than shape-scoped)
+    StructField("msgs", ArrayType(termType), nullable = true)))
+
+  private val nullMsgs: Column = lit(null).cast(ArrayType(termType))
+
+  private def msgsLit(msgs: Seq[Lit]): Column =
+    if (msgs.isEmpty) nullMsgs else array(msgs.map(termLit): _*)
 
   private def emptyViol: DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), violSchema)
@@ -114,7 +124,32 @@ final class ValidationEngine(
       parts += T.filter($"p".isin(t.subjectsOf.map(_.value): _*)).select($"s".as("f"))
     if (t.objectsOf.nonEmpty)
       parts += T.filter($"p".isin(t.objectsOf.map(_.value): _*)).select($"o".as("f"))
+    for (st <- t.sparql) parts += sparqlTargetDF(st)
     Some(parts.reduce(_ unionByName _).distinct())
+  }
+
+  /** sh:target SPARQL SELECT (target.py:136-180): the query runs once over
+    * the data graph (parameters bound as constants, *not* pre-bound focus
+    * vars) and its ?this column is the focus set. */
+  private def sparqlTargetDF(st: SparqlTargetIR): DataFrame = {
+    val frame = new SparqlFrame(spark, T, step, fnsByIri, None)
+    val q = Sparql.parseQuery(st.select, st.prefixes) match {
+      case s: Sparql.SqSelect => s
+      case _ => throw new ReportableError("SPARQLTarget sh:select must be a SELECT query")
+    }
+    val seed =
+      if (st.params.isEmpty) frame.unitSeed
+      else {
+        val df = st.params.toSeq.sortBy(_._1).foldLeft(
+          spark.range(1).select(lit(1).as("__unit"))) {
+          case (d, (name, v)) => d.withColumn(name, termLit(v))
+        }
+        frame.sol(df, st.params.keySet + "__unit")
+      }
+    val res = frame.evalSelect(q, seed)
+    if (!res.vars.contains("this"))
+      throw new ReportableError("SPARQL target query must project ?this")
+    res.df.select(col("this").as("f")).filter($"f".isNotNull).distinct()
   }
 
   // ---------------------------------------------------------------------
@@ -143,13 +178,18 @@ final class ValidationEngine(
     var frontier = all
     var n = all.count()
     var iter = 0
-    while (n > 0 && iter < 100) {
+    while (n > 0 && iter < opts.maxPathDepth) {
       val next = step(frontier, inner).distinct().except(all).localCheckpoint()
       n = next.count()
       if (n > 0) all = all.unionByName(next).localCheckpoint()
       frontier = next
       iter += 1
     }
+    // an incomplete closure must not silently pass as complete
+    if (n > 0)
+      throw new ReportableError(
+        s"SHACL path closure exceeded ${opts.maxPathDepth} iterations; " +
+          "raise ValidationOptions.maxPathDepth for deeper graphs.")
     all
   }
 
@@ -172,7 +212,8 @@ final class ValidationEngine(
       lit(comp.value).as("comp"), lit(shape.id.key).as("shape"),
       (if (withP.columns.contains("orig")) $"orig" else $"f").as("orig"),
       (if (withP.columns.contains("constraint")) $"constraint"
-       else lit(null).cast(StringType)).as("constraint"))
+       else lit(null).cast(StringType)).as("constraint"),
+      (if (withP.columns.contains("msgs")) $"msgs" else nullMsgs).as("msgs"))
   }
 
   private def childShape(ref: Node, what: String): ShapeIR =
@@ -274,7 +315,9 @@ final class ValidationEngine(
         SH.MaxLengthConstraintComponent, shape)
 
     case CPattern(pattern, flags) =>
-      val jflags = flags.map(_.filter("imsxq".contains(_))).filter(_.nonEmpty)
+      // only flags Java's inline group supports survive; the reference
+      // honors just i/m and ignores the rest (string_based_constraints.py)
+      val jflags = flags.map(_.filter("imsx".contains(_))).filter(_.nonEmpty)
         .map(f => s"(?$f)").getOrElse("")
       val bad = V.filter($"v"("k") === 1 ||
         !strCoerce($"v").rlike(jflags + pattern))
@@ -402,7 +445,7 @@ final class ValidationEngine(
           childViol.join(parents, childViol("orig") === $"_pv")
             .select(childViol("f"), childViol("v"), childViol("path"),
               childViol("comp"), childViol("shape"), $"_pf".as("orig"),
-              childViol("constraint"))
+              childViol("constraint"), childViol("msgs"))
         }
       }.reduce(_ unionByName _)
 
@@ -459,6 +502,12 @@ final class ValidationEngine(
       val keys = values.map(_.key)
       finish(V.filter(!termKey($"v").isin(keys: _*)), SH.InConstraintComponent, shape)
 
+    case CSparql(cs) =>
+      cs.filterNot(_.deactivated).map(evalSparqlConstraint(shape, T0, _))
+        .reduceOption(_ unionByName _).getOrElse(emptyViol)
+
+    case CCustom(b) => evalCustomComponent(shape, V, b)
+
     case CExpression(exprs) =>
       // sh:expression: per value v, the node expression evaluated with v as
       // focus must return exactly {true} (constraints/advanced/__init__.py:26-94)
@@ -477,6 +526,134 @@ final class ValidationEngine(
           .withColumn("constraint", lit(en.key))
         finish(bad, SH.ExpressionConstraintComponent, shape)
       }.reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------------------------------------
+  // SHACL-SPARQL (sh:sparql + custom constraint components)
+  // ---------------------------------------------------------------------
+  lazy val fnsByIri: Map[String, ShaclFnDef] =
+    functions.map { case (k, v) => (k match { case Iri(x) => x; case o => o.key }, v) }
+
+  private def sparqlFrame(shape: ShapeIR): SparqlFrame =
+    new SparqlFrame(spark, T, step, fnsByIri, shape.path)
+
+  private def guardShapesGraphVar(text: String): Unit =
+    if (Sparql.mentionsVar(text, "shapesGraph"))
+      throw new ReportableError(
+        "SPARQL Constraint text has $shapesGraph in it, but Shapes Graph is not currently supported.")
+
+  /** One sh:sparql SELECT constraint over the focus set
+    * (sparql_based_constraints.py:96-193): violations are the query's
+    * result rows; projected ?this/?path/?value refine focus / result path /
+    * value, with the reference's defaulting rules. */
+  private def evalSparqlConstraint(shape: ShapeIR, T0: DataFrame,
+                                   c: SparqlConstraintIR): DataFrame = {
+    guardShapesGraphVar(c.select)
+    Sparql.checkPreBinding(c.select, valueBound = false, Set.empty)
+    val q = Sparql.parseQuery(c.select, c.prefixes) match {
+      case s: Sparql.SqSelect => s
+      case _ => throw new ReportableError("sh:select must contain a SELECT query")
+    }
+    val frame = sparqlFrame(shape)
+    val mentionsCS = Sparql.mentionsVar(c.select, "currentShape")
+    var seedDf = T0.select($"f".as("this"))
+    var seedVars = Set("this")
+    if (mentionsCS) {
+      seedDf = seedDf.withColumn("currentShape", termLit(shape.id))
+      seedVars += "currentShape"
+    }
+    val res = frame.evalSelect(q, frame.sol(seedDf, seedVars), keep = Set("this"))
+    val df = res.df.distinct()
+    val hasPath = res.vars.contains("path")
+    val hasValue = res.vars.contains("value")
+    val hasFailure = res.vars.contains("failure")
+    val pathDefault = shape.pathNode.map(n => lit(n.key)).getOrElse(lit(null).cast(StringType))
+    val valueDefault = if (shape.isPropertyShape) nullTerm else col("this")
+    def emit(rows: DataFrame, useVars: Boolean): DataFrame = {
+      val vCol =
+        if (useVars && hasValue) coalesce(col("value"), valueDefault) else valueDefault
+      val pCol =
+        if (useVars && hasPath)
+          coalesce(when(col("path").isNotNull, termKey(col("path"))), pathDefault)
+        else pathDefault
+      rows.select(col("this").as("f"), vCol.as("v"), pCol.as("path"),
+        lit(SH.SPARQLConstraintComponent.value).as("comp"),
+        lit(shape.id.key).as("shape"), col("this").as("orig"),
+        lit(c.node.key).as("constraint"), msgsLit(c.messages).as("msgs"))
+    }
+    if (!hasFailure) emit(df, useVars = true)
+    else {
+      // ?failure bound → one generic failure result per focus
+      val fails = df.filter(col("failure").isNotNull)
+        .select(col("this")).distinct().select(col("this"))
+      emit(fails, useVars = false)
+        .unionByName(emit(df.filter(col("failure").isNull), useVars = true))
+    }
+  }
+
+  /** A custom constraint component's validator applied to the (focus,
+    * value) pairs (sparql_based_constraint_components.py:128-250): ASK
+    * validators pass iff the query answers true per pair; SELECT validators
+    * report each result row. */
+  private def evalCustomComponent(shape: ShapeIR, V: DataFrame,
+                                  b: BoundValidatorIR): DataFrame = {
+    guardShapesGraphVar(b.query)
+    Sparql.checkPreBinding(b.query, valueBound = true, b.paramBinds.keySet)
+    val frame = sparqlFrame(shape)
+    val mentionsCS = Sparql.mentionsVar(b.query, "currentShape")
+    var seedDf = V.select($"f".as("this"), $"v".as("value"))
+    var seedVars = Set("this", "value")
+    for ((name, value) <- b.paramBinds.toSeq.sortBy(_._1)) {
+      seedDf = seedDf.withColumn(name, termLit(value))
+      seedVars += name
+    }
+    if (mentionsCS) {
+      seedDf = seedDf.withColumn("currentShape", termLit(shape.id))
+      seedVars += "currentShape"
+    }
+    val seed = frame.sol(seedDf, seedVars)
+    val compIri = b.componentNode match { case Iri(x) => x; case o => o.key }
+    val pathDefault = shape.pathNode.map(n => lit(n.key)).getOrElse(lit(null).cast(StringType))
+    val reportVal = if (shape.isPropertyShape) nullTerm else col("value")
+    val msgs = msgsLit(
+      if (b.messages.nonEmpty) b.messages
+      else List(Lit("Parameterised SHACL Query generated constraint validation reports.")))
+    if (b.isAsk) {
+      val q = Sparql.parseQuery(b.query, b.prefixes) match {
+        case a: Sparql.SqAsk => a
+        case _ => throw new ReportableError("sh:ask must contain an ASK query")
+      }
+      val ok = frame.evalAsk(q, seed).df
+        .select(col("this").as("_ot"), col("value").as("_ov"))
+      val bad = seedDf.join(ok, seedDf("this") === col("_ot") && seedDf("value") === col("_ov"),
+        "left_anti")
+      bad.select(col("this").as("f"), reportVal.as("v"), pathDefault.as("path"),
+        lit(compIri).as("comp"), lit(shape.id.key).as("shape"), col("this").as("orig"),
+        lit(null).cast(StringType).as("constraint"), msgs.as("msgs"))
+    } else {
+      val q = Sparql.parseQuery(b.query, b.prefixes) match {
+        case s: Sparql.SqSelect => s
+        case _ => throw new ReportableError("sh:select must contain a SELECT query")
+      }
+      val res = frame.evalSelect(q, seed, keep = Set("this", "value"))
+      val df = res.df.distinct()
+      // `this`/`value` double as attribution keys (keep) — consult the
+      // declared projection to apply the reference's defaulting rules
+      val projected: Set[String] = q.proj.flatMap {
+        case Sparql.PVar(x) => Seq(x)
+        case Sparql.PExpr(_, as) => Seq(as)
+        case Sparql.PStar => res.vars.toSeq
+      }.toSet
+      val hasPath = projected.contains("path")
+      val vCol =
+        if (projected.contains("value")) coalesce(col("value"), reportVal) else reportVal
+      val pCol =
+        if (hasPath) coalesce(when(col("path").isNotNull, termKey(col("path"))), pathDefault)
+        else pathDefault
+      df.select(col("this").as("f"), vCol.as("v"), pCol.as("path"),
+        lit(compIri).as("comp"), lit(shape.id.key).as("shape"), col("this").as("orig"),
+        lit(null).cast(StringType).as("constraint"), msgs.as("msgs"))
+    }
   }
 
   /** Public conformance helper (used by the rules engine's sh:filterShape):
@@ -521,7 +698,10 @@ final class ValidationEngine(
       pathKey = Option(r.getString(2)),
       component = Iri(r.getString(3)),
       shapeKey = r.getString(4),
-      constraintKey = Option(r.getString(6)))
+      constraintKey = Option(r.getString(6)),
+      messages = Option(r.getSeq[Row](7)).map(_.toList.map(m =>
+        TriplesDF.nodeOf(m) match { case l: Lit => l; case o => Lit(o.key) }))
+        .getOrElse(Nil))
 }
 
 final case class ResultRow(
@@ -530,4 +710,6 @@ final case class ResultRow(
   pathKey: Option[String],
   component: Iri,
   shapeKey: String,
-  constraintKey: Option[String] = None)
+  constraintKey: Option[String] = None,
+  /** constraint-scoped message override (SPARQL constraints/components) */
+  messages: List[Lit] = Nil)

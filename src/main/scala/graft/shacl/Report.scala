@@ -65,7 +65,11 @@ object ReportBuilder {
         g.add(rn, SH.sourceConstraint, cn)
         cn match { case b: BNode => g.addAll(sg.cbd(b)); case _ => }
       }
-      val msgs = shapeIr.map(_.messages).getOrElse(Nil)
+      // constraint-scoped messages (SPARQL constraints/components) override
+      // shape messages (make_v_result extra_messages handling)
+      val msgs =
+        if (r.messages.nonEmpty) r.messages
+        else shapeIr.map(_.messages).getOrElse(Nil)
       if (msgs.nonEmpty) msgs.foreach(m => g.add(rn, SH.resultMessage, m))
       else shapeIr.flatMap(si =>
         GenericMessages.forResult(si, r.component, r.value, r.pathKey))
@@ -81,7 +85,8 @@ object ReportBuilder {
       val lines = results.map { r =>
         val si = shapes.values.find(_.id.key == r.shapeKey)
         val msgs =
-          si.map(_.messages).filter(_.nonEmpty).map(_.map(_.lex))
+          (if (r.messages.nonEmpty) Some(r.messages.map(_.lex)) else None)
+            .orElse(si.map(_.messages).filter(_.nonEmpty).map(_.map(_.lex)))
             .orElse(si.flatMap(x =>
               GenericMessages.forResult(x, r.component, r.value, r.pathKey)).map(List(_)))
             .getOrElse(Nil)

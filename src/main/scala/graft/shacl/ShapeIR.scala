@@ -74,18 +74,61 @@ object ConstraintIR {
   final case class CHasValue(values: List[Node]) extends ConstraintIR
   final case class CIn(values: List[Node]) extends ConstraintIR
   final case class CExpression(exprs: List[Node]) extends ConstraintIR
+  /** sh:sparql SELECT constraints (sparql_based_constraints.py:22-110). */
+  final case class CSparql(cs: List[SparqlConstraintIR]) extends ConstraintIR
+  /** A custom SPARQL constraint component bound to this shape
+    * (sparql_based_constraint_components.py:26-424). */
+  final case class CCustom(b: BoundValidatorIR) extends ConstraintIR
 }
+
+final case class SparqlConstraintIR(
+  node: Node,                    // sh:sparql object → sh:sourceConstraint
+  select: String,
+  messages: List[Lit],
+  deactivated: Boolean,
+  prefixes: Map[String, String])
+
+final case class ComponentParamIR(name: String, path: Iri, optional: Boolean)
+
+final case class CustomComponentIR(
+  node: Node,
+  params: List[ComponentParamIR],
+  validators: List[Node],
+  nodeValidators: List[Node],
+  propertyValidators: List[Node])
+
+/** A component validator selected for one shape, with parameter values
+  * bound (make_validator_for_shape,
+  * sparql_based_constraint_components.py:390-424). */
+final case class BoundValidatorIR(
+  componentNode: Node,
+  validatorNode: Node,
+  isAsk: Boolean,
+  query: String,
+  messages: List[Lit],           // validator sh:message, params substituted
+  prefixes: Map[String, String],
+  paramBinds: Map[String, Node])
+
+/** sh:target with a SPARQL SELECT body: either a direct sh:SPARQLTarget or
+  * an instance of a sh:SPARQLTargetType with bound parameters
+  * (shape.py:267-319 advanced_target + target.py:136-180). */
+final case class SparqlTargetIR(
+  node: Node,
+  select: String,
+  prefixes: Map[String, String],
+  params: Map[String, Node])
 
 final case class TargetsIR(
   nodes: List[Node],
   classes: List[Node],
   implicitClass: List[Node],
   subjectsOf: List[Iri],
-  objectsOf: List[Iri]
+  objectsOf: List[Iri],
+  sparql: List[SparqlTargetIR] = Nil
 ) {
   def isEmpty: Boolean =
     nodes.isEmpty && classes.isEmpty && implicitClass.isEmpty &&
-      subjectsOf.isEmpty && objectsOf.isEmpty
+      subjectsOf.isEmpty && objectsOf.isEmpty && sparql.isEmpty
 }
 
 final case class ShapeIR(
@@ -126,6 +169,7 @@ final class ShapeCompiler(g: MemGraph) {
     val subjectShapes =
       (g.subjects(SH.targetClass).toSet ++ g.subjects(SH.targetNode) ++
         g.subjects(SH.targetObjectsOf) ++ g.subjects(SH.targetSubjectsOf) ++
+        g.subjects(SH.target) ++
         g.subjects(SH.property) ++ g.subjects(SH.node))
     val valueShapes =
       (g.subjectObjects(SH.property).map(_._2).toSet ++
@@ -178,10 +222,131 @@ final class ShapeCompiler(g: MemGraph) {
       classes = g.objects(id, SH.targetClass).toList,
       implicitClass = implicitClassTargets(id),
       subjectsOf = g.objects(id, SH.targetSubjectsOf).collect { case i: Iri => i }.toList,
-      objectsOf = g.objects(id, SH.targetObjectsOf).collect { case i: Iri => i }.toList
+      objectsOf = g.objects(id, SH.targetObjectsOf).collect { case i: Iri => i }.toList,
+      sparql = g.objects(id, SH.target).toList.map(parseAdvancedTarget)
     )
     ShapeIR(id, isProp, pathNode.map(parsePath(_)), pathNode, targets,
-      compileConstraints(id), severity, messages, deactivated, order)
+      compileConstraints(id, isProp), severity, messages, deactivated, order)
+  }
+
+  /** sh:target object → SPARQL target IR (shape.py:267-319): a node with
+    * sh:select (or typed sh:SPARQLTarget) is a direct target; otherwise one
+    * of its rdf:types must be a sh:SPARQLTargetType whose parameters bind
+    * from the declaration node (target.py:136-180). */
+  private def parseAdvancedTarget(c: Node): SparqlTargetIR = {
+    val types = g.objects(c, RDF.ty).toSet
+    val direct = g.value(c, SH.select)
+    if (direct.isDefined || types.contains(SH.SPARQLTarget)) {
+      val sel = direct match {
+        case Some(Lit(lex, _, _)) => lex
+        case _ => err("SPARQLTarget must have exactly one sh:select.")
+      }
+      SparqlTargetIR(c, sel, Sparql.collectPrefixes(g, c), Map.empty)
+    } else {
+      val tt = types.find(t => g.objects(t, RDF.ty).contains(SH.SPARQLTargetType))
+        .getOrElse(err(s"None of these types match a TargetType: ${types.mkString(" ")}"))
+      val sel = g.value(tt, SH.select) match {
+        case Some(Lit(lex, _, _)) => lex
+        case _ => err("SPARQLTargetType must have a value for sh:select.")
+      }
+      val params = g.objects(tt, SH.parameter).toList.flatMap { p =>
+        val path = g.value(p, SH.path) match {
+          case Some(i: Iri) => i
+          case _ => err("TargetType parameter must have an IRI sh:path.")
+        }
+        val name = path.value.split("[#/]").last
+        val optional = g.value(p, SH.optionalP).exists {
+          case Lit("true", _, _) => true; case _ => false
+        }
+        g.value(c, path) match {
+          case Some(v) => Some(name -> v)
+          case None if optional => None
+          case None => err(s"sh:target does not have a value for $path")
+        }
+      }.toMap
+      SparqlTargetIR(c, sel, Sparql.collectPrefixes(g, tt), params)
+    }
+  }
+
+  /** Custom SPARQL constraint components declared in this shapes graph
+    * (shapes_graph.py:106-119: instances of sh:ConstraintComponent or of
+    * its declared subclasses, minus the built-in sh: namespace). */
+  lazy val customComponents: List[CustomComponentIR] = {
+    val direct = g.subjects(RDF.ty, SH.ConstraintComponent).toSet
+    val subclasses = g.subjects(RDFS.subClassOf, SH.ConstraintComponent).toSet
+    val viaSub = subclasses.flatMap(sc => g.subjects(RDF.ty, sc))
+    (direct ++ viaSub).toList
+      .filterNot { case Iri(v) => v.startsWith(SH.ns); case _ => false }
+      .sortBy(_.key)
+      .map { cnode =>
+        val params = g.objects(cnode, SH.parameter).toList.map { p =>
+          val path = g.value(p, SH.path) match {
+            case Some(i: Iri) => i
+            case _ => err(s"Constraint component parameter on $cnode must have an IRI sh:path.")
+          }
+          val name = path.value.split("[#/]").last
+          if (Set("this", "shapesGraph", "currentShape", "path", "PATH", "value").contains(name))
+            err(s"Parameter name $name cannot be used.")
+          val optional = g.value(p, SH.optionalP).exists {
+            case Lit("true", _, _) => true; case _ => false
+          }
+          ComponentParamIR(name, path, optional)
+        }.sortBy(_.name)
+        CustomComponentIR(cnode, params,
+          g.objects(cnode, SH.validator).toList,
+          g.objects(cnode, SH.nodeValidator).toList,
+          g.objects(cnode, SH.propertyValidator).toList)
+      }
+      .filter(c => c.params.nonEmpty &&
+        (c.validators.nonEmpty || c.nodeValidators.nonEmpty || c.propertyValidators.nonEmpty))
+  }
+
+  /** Bind a component's validator to one shape
+    * (make_validator_for_shape, sparql_based_constraint_components.py:390-424):
+    * property shapes prefer sh:propertyValidator (SELECT), node shapes
+    * sh:nodeValidator (SELECT), both fall back to sh:validator (ASK). */
+  private def bindComponent(comp: CustomComponentIR, shapeId: Node,
+                            isProp: Boolean): Option[BoundValidatorIR] = {
+    // the component applies iff every mandatory parameter has a value
+    val binds = comp.params.flatMap(p => g.value(shapeId, p.path).map(v => p.name -> v)).toMap
+    val mandatory = comp.params.filterNot(_.optional).map(_.name)
+    if (binds.isEmpty || !mandatory.forall(binds.contains)) return None
+    val (vnode, mustBeAsk) =
+      if (isProp && comp.propertyValidators.nonEmpty) (comp.propertyValidators.head, false)
+      else if (!isProp && comp.nodeValidators.nonEmpty) (comp.nodeValidators.head, false)
+      else if (comp.validators.nonEmpty) (comp.validators.head, true)
+      else err("Cannot select a validator to use, according to the rules.")
+    val askText = g.value(vnode, SH.ask).collect { case Lit(lex, _, _) => lex }
+    val selText = g.value(vnode, SH.select).collect { case Lit(lex, _, _) => lex }
+    val (isAsk, query) =
+      if (mustBeAsk)
+        (true, askText.getOrElse(err("AskValidator must have exactly one value for sh:ask.")))
+      else
+        (false, selText.getOrElse(err("SelectValidator must have exactly one value for sh:select.")))
+    val rawMsgs = g.objects(vnode, SH.message).collect { case l: Lit => l }.toList
+    val msgs = rawMsgs.map(m => substituteParams(m, binds))
+    Some(BoundValidatorIR(comp.node, vnode, isAsk, query, msgs,
+      Sparql.collectPrefixes(g, vnode), binds))
+  }
+
+  /** {$param} / {?param} message substitution (bind_messages,
+    * sparql_query_helper.py:104-129); first occurrence per variable, like
+    * the reference. Dynamic this/value/path substitution is not performed
+    * (the conformance comparator never inspects those messages). */
+  private def substituteParams(m: Lit, binds: Map[String, Node]): Lit = {
+    var lex = m.lex
+    for ((name, v) <- binds) {
+      val repl = v match {
+        case Lit(l, _, _) => l
+        case Iri(i) => i
+        case b: BNode => b.id
+      }
+      lex = lex.replaceFirst(
+        java.util.regex.Pattern.quote(s"{$$$name}"), java.util.regex.Matcher.quoteReplacement(repl))
+      lex = lex.replaceFirst(
+        java.util.regex.Pattern.quote(s"{?$name}"), java.util.regex.Matcher.quoteReplacement(repl))
+    }
+    Lit(lex, m.dt, m.lang)
   }
 
   /** Implicit class target: shape typed as rdfs:Class (or a shapes-graph
@@ -223,7 +388,7 @@ final class ShapeCompiler(g: MemGraph) {
     case _ => err(s"$what must be an integer literal")
   }
 
-  private def compileConstraints(id: Node): List[ConstraintIR] = {
+  private def compileConstraints(id: Node, isProp: Boolean): List[ConstraintIR] = {
     val out = scala.collection.mutable.ListBuffer.empty[ConstraintIR]
     def objs(p: Iri): List[Node] = g.objects(id, p).toList
 
@@ -348,6 +513,29 @@ final class ShapeCompiler(g: MemGraph) {
     }
     val exprs = objs(SH.expression)
     if (exprs.nonEmpty) out += CExpression(exprs)
+
+    // sh:sparql constraints (sparql_based_constraints.py:33-88)
+    val sparqls = objs(SH.sparql)
+    if (sparqls.nonEmpty) {
+      val irs = sparqls.map { sn =>
+        val sel = g.objects(sn, SH.select).toList match {
+          case List(Lit(lex, _, _)) => lex
+          case Nil => err("SPARQLConstraintComponent value for sh:select must have at least one sh:select predicate.")
+          case List(_) => err("SPARQLConstraintComponent value for sh:select must be a Literal with type xsd:string.")
+          case _ => err("SPARQLConstraintComponent value for sh:select must have at most one sh:select predicate.")
+        }
+        val msgs = g.objects(sn, SH.message).collect { case l: Lit => l }.toList
+        val deact = g.value(sn, SH.deactivated).exists {
+          case Lit("true", _, _) => true; case _ => false
+        }
+        SparqlConstraintIR(sn, sel, msgs, deact, Sparql.collectPrefixes(g, sn))
+      }
+      out += CSparql(irs)
+    }
+
+    // custom SPARQL constraint components bound to this shape
+    for (comp <- customComponents; bound <- bindComponent(comp, id, isProp))
+      out += CCustom(bound)
     out.toList
   }
 }

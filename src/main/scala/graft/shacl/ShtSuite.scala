@@ -47,11 +47,28 @@ object ShtSuite {
         val shapesG = resolveGraph(shapesRef, "s")
         val expectedReport = g.value(entry, Iri(MF + "result"))
           .getOrElse(throw new ReportableError("no mf:result"))
-        val outcome = Validator.validateGraph(spark, dataG, Some(shapesG),
-          ValidationOptions(inference = "rdfs"))
-        val log = new StringBuilder
-        val ok = ReportCompare.compare(outcome.reportGraph.copyGraph(), g.copyGraph(), expectedReport, log)
-        Some(CaseResult(file, entryName, ok, log.toString))
+        if (expectedReport == Iri(SHT + "Failure")) {
+          // sht:Failure: the run must abort with a ValidationFailure
+          // (check_sht_result, validator_conformance.py:551-576)
+          val res =
+            try {
+              Validator.validateGraph(spark, dataG, Some(shapesG),
+                ValidationOptions(inference = "rdfs"))
+              CaseResult(file, entryName, passed = false,
+                "expected a ValidationFailure but validation completed")
+            } catch {
+              case _: Sparql.ValidationFailure => CaseResult(file, entryName, passed = true, "")
+              case e: Throwable => CaseResult(file, entryName, passed = false,
+                s"expected ValidationFailure, got ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          Some(res)
+        } else {
+          val outcome = Validator.validateGraph(spark, dataG, Some(shapesG),
+            ValidationOptions(inference = "rdfs"))
+          val log = new StringBuilder
+          val ok = ReportCompare.compare(outcome.reportGraph.copyGraph(), g.copyGraph(), expectedReport, log)
+          Some(CaseResult(file, entryName, ok, log.toString))
+        }
       } catch {
         case e: Throwable =>
           Some(CaseResult(file, entryName, passed = false,

@@ -1,0 +1,453 @@
+package graft.shacl
+
+import graft.rdf._
+import graft.rdf.TriplesDF.{termLit, termKey, termType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Set-oriented SPARQL evaluation over a triples DataFrame.
+  *
+  * The reference evaluates each SHACL-SPARQL query once *per focus node*
+  * with rdflib initBindings
+  * (/root/reference/pyshacl/constraints/sparql/sparql_based_constraints.py:118-133).
+  * Here pre-bound variables arrive as a *bindings DataFrame* (one row per
+  * focus / per (focus, value) pair) and the whole query compiles into one
+  * DataFrame plan: BGPs become joins against the triples frame, FILTER
+  * becomes a codegen'd predicate, OPTIONAL a left join, EXISTS a semi-join —
+  * so a million focus nodes cost one distributed pass, not a million query
+  * evaluations.
+  *
+  * Solution mappings: one column per SPARQL variable, each a term struct
+  * (v,k,dt,lang); NULL = unbound. Variables introduced under OPTIONAL /
+  * UNION are tracked in `maybeNull` and joined with SPARQL-compatible
+  * (null-tolerant) semantics.
+  */
+final class SparqlFrame(
+    spark: SparkSession,
+    T: DataFrame,
+    pathStep: (DataFrame, PathIR) => DataFrame,
+    fns: Map[String, ShaclFnDef],
+    shapePath: Option[PathIR]) {
+  import Sparql._
+
+  Kernels.ensure(spark)
+
+  final case class Sol(df: DataFrame, vars: Set[String], maybeNull: Set[String])
+
+  /** A 1-row, no-binding seed (targets, query test cases). */
+  def unitSeed: Sol =
+    Sol(spark.range(1).select(lit(1).as("__unit")), Set("__unit"), Set.empty)
+
+  def sol(df: DataFrame, vars: Set[String]): Sol = Sol(df, vars, Set.empty)
+
+  private def nullT: Column = lit(null).cast(termType)
+  private def nullB: Column = lit(null).cast(BooleanType)
+
+  // ------------------------------------------------------------- entries
+  /** Evaluate a SELECT: returns solutions projected to the query's
+    * projection ∪ `keep` (attribution columns like the pre-bound `this`,
+    * which the reference keeps implicitly because it loops per focus). */
+  def evalSelect(q: SqSelect, seed: Sol, keep: Set[String] = Set.empty): Sol = {
+    rootSeed = seed
+    val g = evalGroup(q.where, seed)
+    project(q, g, keep)
+  }
+
+  /** ASK per seed row: returns the distinct seed rows for which the pattern
+    * has at least one solution. */
+  def evalAsk(q: SqAsk, seed: Sol): Sol = {
+    rootSeed = seed
+    val g = evalGroup(q.where, seed)
+    val cols = seed.vars.toSeq.sorted.map(col)
+    Sol(g.df.select(cols: _*).distinct(), seed.vars, g.maybeNull.intersect(seed.vars))
+  }
+
+  /** CONSTRUCT: returns the WHERE solutions (template instantiation is the
+    * caller's job — it owns triple-store semantics). */
+  def evalWhere(where: SqGroup, seed: Sol): Sol = {
+    rootSeed = seed
+    evalGroup(where, seed)
+  }
+
+  private var rootSeed: Sol = _
+
+  private def project(q: SqSelect, g: Sol, keep: Set[String]): Sol = {
+    val projVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    var df = g.df
+    q.proj.foreach {
+      case PStar => projVars ++= g.vars.filterNot(_.startsWith("__"))
+      case PVar(x) =>
+        if (!g.vars.contains(x)) df = df.withColumn(x, nullT)
+        projVars += x
+      case PExpr(e, as) =>
+        df = df.withColumn(as, compileT(e, Sol(df, g.vars, g.maybeNull)))
+        projVars += as
+    }
+    val all = (projVars.toSeq ++ keep.filter(g.vars.contains).filterNot(projVars.contains)).distinct
+    df = df.select(all.map(col): _*)
+    if (q.distinct) df = df.distinct()
+    if (q.orderBy.nonEmpty) {
+      val keys = q.orderBy.flatMap { case (v, asc) =>
+        if (!all.contains(v)) Nil
+        // order by kind then lexical form; numeric order inside one family
+        // is approximated lexically (sufficient for the corpus, documented)
+        else {
+          val c = col(v)
+          val ks = Seq(c("k"), c("v"))
+          if (asc) ks.map(_.asc) else ks.map(_.desc)
+        }
+      }
+      if (keys.nonEmpty) df = df.orderBy(keys: _*)
+    }
+    q.limit.foreach(n => df = df.limit(n))
+    Sol(df, all.toSet, g.maybeNull.intersect(all.toSet))
+  }
+
+  /** Collect a solution frame driver-side: one Map per row. */
+  def collect(s: Sol, vars: Seq[String]): Seq[Map[String, Node]] =
+    s.df.select(vars.map(v => (if (s.vars.contains(v)) col(v) else nullT).as(v)): _*)
+      .collect().toSeq.map { r =>
+        vars.zipWithIndex.flatMap { case (v, i) =>
+          Option(r.getStruct(i)).map(st => v -> TriplesDF.nodeOf(st))
+        }.toMap
+      }
+
+  // -------------------------------------------------------------- groups
+  private def evalGroup(g: SqGroup, seed: Sol): Sol =
+    g.elems.foldLeft(seed)((cur, e) => evalElem(e, cur))
+
+  private def evalElem(e: SqElem, cur: Sol): Sol = e match {
+    case t: SqTriple => joinSols(cur, triplePattern(t, cur))
+    case SqFilter(EExists(g, neg)) => existsFilter(cur, g, neg)
+    case SqFilter(ENot(EExists(g, neg))) => existsFilter(cur, g, !neg)
+    case SqFilter(e) =>
+      cur.copy(df = cur.df.filter(compileB(e, cur) === true))
+    case SqBind(e, v) =>
+      if (cur.vars.contains(v))
+        throw new ReportableError(s"BIND would re-bind already-bound variable ?$v")
+      Sol(cur.df.withColumn(v, compileT(e, cur)), cur.vars + v, cur.maybeNull)
+    case SqUnion(branches) =>
+      val sols = branches.map(b => evalGroup(b, cur))
+      if (sols.size == 1) sols.head
+      else {
+        val allVars = sols.flatMap(_.vars).toSet
+        val aligned = sols.map { s0 =>
+          val df = allVars.diff(s0.vars).foldLeft(s0.df)((d, v) => d.withColumn(v, nullT))
+          df.select(allVars.toSeq.sorted.map(col): _*)
+        }
+        val mn = sols.flatMap(_.maybeNull).toSet ++
+          allVars.filter(v => sols.exists(s0 => !s0.vars.contains(v)))
+        Sol(aligned.reduce(_ unionByName _), allVars, mn)
+      }
+    case SqOptional(g) => optionalJoin(cur, g)
+    case SqSubSelect(sel) =>
+      // sub-selects evaluate against the pre-bound seed (SHACL pre-binding
+      // flows into subqueries) and join back on shared variables
+      val sub = evalSelect2(sel, rootSeed)
+      joinSols(cur, sub)
+    case SqGraphPat(TVar("shapesGraph"), _) =>
+      throw new ReportableError(
+        "SPARQL Constraint text has $shapesGraph in it, but Shapes Graph is not currently supported.")
+    case SqGraphPat(other, _) =>
+      throw new ReportableError(s"GRAPH patterns are not supported (got $other)")
+  }
+
+  /** evalSelect without clobbering rootSeed (nested use). */
+  private def evalSelect2(q: SqSelect, seed: Sol): Sol = {
+    val g = evalGroup(q.where, seed)
+    project(q, g, Set.empty)
+  }
+
+  // ---------------------------------------------------------- BGP joins
+  private def triplePattern(t: SqTriple, cur: Sol): Sol = {
+    t.p match {
+      case PredShapePath => return pathPattern(t, cur)
+      case _ =>
+    }
+    var base = T
+    // constant positions filter; variable positions project
+    val sources = scala.collection.mutable.ListBuffer.empty[(String, Column)]
+    t.s match {
+      case TVar(x) => sources += x -> col("s")
+      case TConst(n) => base = base.filter(col("s") === termLit(n))
+    }
+    t.p match {
+      case PredIri(i) => base = base.filter(col("p") === i)
+      case PredVar(x) =>
+        sources += x -> struct(col("p").as("v"), lit(0.toByte).as("k"),
+          lit("").as("dt"), lit("").as("lang"))
+      case PredShapePath => // handled above
+    }
+    t.o match {
+      case TVar(x) => sources += x -> col("o")
+      case TConst(n) => base = base.filter(col("o") === termLit(n))
+    }
+    // repeated variables inside one pattern: equality filter, keep first
+    val grouped = sources.toList.groupBy(_._1)
+    for ((_, cols) <- grouped if cols.size > 1)
+      base = base.filter(
+        cols.map(_._2).sliding(2).map(p => p.head === p(1)).reduce(_ && _))
+    val out = grouped.map { case (x, cols) => cols.head._2.as(x) }.toSeq
+    val vars = grouped.keySet
+    if (out.isEmpty) {
+      // fully-ground pattern: acts as an existence filter on the whole group
+      val any = base.limit(1).count() > 0
+      Sol(if (any) spark.range(1).select(lit(1).as("__unit"))
+          else spark.range(0).select(lit(1).as("__unit")), Set("__unit"), Set.empty)
+    } else Sol(base.select(out: _*), vars, Set.empty)
+  }
+
+  /** `?s $PATH ?o` — the shape's sh:path evaluated from whichever side is
+    * already bound (pySHACL substitutes a SPARQL path string and lets
+    * rdflib walk it; here the engine's own path stepper runs from the
+    * bound anchor, which keeps closure paths seeded and scale-safe). */
+  private def pathPattern(t: SqTriple, cur: Sol): Sol = {
+    val path = shapePath.getOrElse(throw new ReportableError(
+      "SPARQL Constraint text has $PATH in it, but no path is known on this Shape."))
+    def boundSide(term: SqTerm): Boolean = term match {
+      case TVar(x) => cur.vars.contains(x)
+      case TConst(_) => true
+    }
+    val forward = boundSide(t.s)
+    if (!forward && !boundSide(t.o))
+      throw new ReportableError("$PATH with neither side bound is not supported")
+    val (anchor, other, p) =
+      if (forward) (t.s, t.o, path) else (t.o, t.s, PathIR.invert(path))
+    val anchorDf = anchor match {
+      case TVar(x) => cur.df.select(col(x).as("f")).filter(col("f").isNotNull).distinct()
+      case TConst(n) => spark.range(1).select(termLit(n).as("f"))
+    }
+    val res = pathStep(anchorDf.select(col("f"), col("f").as("v")), p).distinct()
+    val (df, vars) = (anchor, other) match {
+      case (TVar(a), TVar(o)) => (res.select(col("f").as(a), col("v").as(o)), Set(a, o))
+      case (TVar(a), TConst(n)) =>
+        (res.filter(col("v") === termLit(n)).select(col("f").as(a)), Set(a))
+      case (TConst(_), TVar(o)) => (res.select(col("v").as(o)), Set(o))
+      case (TConst(_), TConst(n)) =>
+        val any = res.filter(col("v") === termLit(n)).limit(1).count() > 0
+        (if (any) spark.range(1).select(lit(1).as("__unit"))
+         else spark.range(0).select(lit(1).as("__unit")), Set("__unit"))
+    }
+    joinSols(cur, Sol(df, vars, Set.empty))
+  }
+
+  private def joinSols(a: Sol, b: Sol): Sol = {
+    val shared = a.vars.intersect(b.vars)
+    val bdf = b.vars.foldLeft(b.df)((d, c) => d.withColumnRenamed(c, "__b_" + c))
+    val joined =
+      if (shared.isEmpty) a.df.crossJoin(bdf)
+      else {
+        val cond = shared.toSeq.sorted.map { x =>
+          val l = a.df(x); val r = bdf("__b_" + x)
+          if (a.maybeNull.contains(x) || b.maybeNull.contains(x))
+            l.isNull || r.isNull || l === r
+          else l === r
+        }.reduce(_ && _)
+        a.df.join(bdf, cond)
+      }
+    val outCols =
+      a.vars.toSeq.sorted.map { x =>
+        if (shared.contains(x) && (a.maybeNull.contains(x) || b.maybeNull.contains(x)))
+          coalesce(col(x), col("__b_" + x)).as(x)
+        else col(x)
+      } ++ b.vars.diff(a.vars).toSeq.sorted.map(x => col("__b_" + x).as(x))
+    Sol(joined.select(outCols: _*), a.vars ++ b.vars,
+      (a.maybeNull ++ b.maybeNull).diff(shared.filterNot(x =>
+        a.maybeNull.contains(x) && b.maybeNull.contains(x))))
+  }
+
+  private def withRid(cur: Sol): Sol = {
+    val df = cur.df.withColumn("__rid", monotonically_increasing_id().cast(StringType))
+      .localCheckpoint()
+    Sol(df, cur.vars + "__rid", cur.maybeNull)
+  }
+
+  private def existsFilter(cur: Sol, g: SqGroup, negated: Boolean): Sol = {
+    val curR = withRid(cur)
+    val sub = evalGroup(g, curR)
+    val hits = sub.df.select(col("__rid").as("__hit")).distinct()
+    val joined = curR.df.join(hits, col("__rid") === col("__hit"),
+      if (negated) "left_anti" else "left_semi")
+    Sol(joined.drop("__rid"), cur.vars, cur.maybeNull)
+  }
+
+  private def optionalJoin(cur: Sol, g: SqGroup): Sol = {
+    val curR = withRid(cur)
+    val sub = evalGroup(g, curR)
+    val newVars = sub.vars.diff(curR.vars)
+    val hits = sub.df.select(col("__rid").as("__hit")).distinct()
+    val unmatched0 = curR.df.join(hits, col("__rid") === col("__hit"), "left_anti")
+    val unmatched = newVars.foldLeft(unmatched0)((d, v) => d.withColumn(v, nullT))
+      .select((curR.vars ++ newVars).toSeq.sorted.map(col): _*)
+    val matched = sub.df.select((curR.vars ++ newVars).toSeq.sorted.map(col): _*)
+    Sol(matched.unionByName(unmatched).drop("__rid"),
+      cur.vars ++ newVars, cur.maybeNull ++ newVars)
+  }
+
+  // ------------------------------------------------------- expressions
+  /** Boolean-valued compilation: the &&/||/!/comparison skeleton stays in
+    * native Boolean columns. Round-tripping every sub-expression through a
+    * term struct (boolT∘ebv) re-expands the child ~10× per nesting level —
+    * enough to blow whole-stage codegen past Janino's 64KB method limit on
+    * 3-level filters — so the skeleton never materializes structs. */
+  def compileB(e: SqExpr, cur: Sol): Column = e match {
+    case ENot(inner) =>
+      val b = compileB(inner, cur)
+      when(b.isNull, nullB).otherwise(!b)
+    case EBin("&&", l, r) => compileB(l, cur) && compileB(r, cur)
+    case EBin("||", l, r) => compileB(l, cur) || compileB(r, cur)
+    case EBin("=", l, r) => eqC(compileT(l, cur), compileT(r, cur))
+    case EBin("!=", l, r) =>
+      val q = eqC(compileT(l, cur), compileT(r, cur))
+      when(q.isNull, nullB).otherwise(!q)
+    case EBin(op @ ("<" | "<=" | ">" | ">="), l, r) =>
+      val c = cmpC(compileT(l, cur), compileT(r, cur))
+      op match { case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0; case ">=" => c >= 0 }
+    case ECall("BOUND", List(EVar(x))) =>
+      if (cur.vars.contains(x)) col(x).isNotNull else lit(false)
+    case ECall("ISLITERAL", List(a)) => kindIsB(compileT(a, cur), 2)
+    case ECall("ISIRI", List(a)) => kindIsB(compileT(a, cur), 0)
+    case ECall("ISURI", List(a)) => kindIsB(compileT(a, cur), 0)
+    case ECall("ISBLANK", List(a)) => kindIsB(compileT(a, cur), 1)
+    case ECall("SAMETERM", List(a, b)) =>
+      termKey(compileT(a, cur)) === termKey(compileT(b, cur))
+    case ECall("LANGMATCHES", args) => langMatchesB(args, cur)
+    case ECall("REGEX", args) => regexB(args, cur)
+    case other => ebv(compileT(other, cur))
+  }
+
+  /** Compile an expression to a term-struct Column (NULL = SPARQL error /
+    * unbound). */
+  def compileT(e: SqExpr, cur: Sol): Column = e match {
+    case EVar(x) => if (cur.vars.contains(x)) col(x) else nullT
+    case EConst(n) => termLit(n)
+    case ENot(_) | EBin("&&" | "||" | "=" | "!=" | "<" | "<=" | ">" | ">=", _, _) =>
+      boolT(compileB(e, cur))
+    case ENeg(inner) => numToTerm(-num(compileT(inner, cur)))
+    case EBin(op, l, r) =>
+      val x = num(compileT(l, cur)); val y = num(compileT(r, cur))
+      numToTerm(op match {
+        case "+" => x + y; case "-" => x - y; case "*" => x * y; case "/" => x / y
+      })
+    case ECall(fn, args) => builtin(fn, args, cur)
+    case EFnIri(iri, args) =>
+      val defn = fns.getOrElse(iri, throw new ReportableError(
+        s"The SHACLFunction <$iri> was not defined in this SHACL Shapes file."))
+      val argCols = args.map(compileT(_, cur))
+      val env = defn.params.zip(argCols).map { case ((local, dt, _), c) =>
+        local -> SparqlExpr.termToTyped(c, dt)
+      }.toMap
+      SparqlExpr.typedToTerm(SparqlExpr.compile(defn.body, env))
+    case EExists(_, _) =>
+      throw new ReportableError("EXISTS is only supported as a top-level FILTER")
+  }
+
+  private def langMatchesB(args: List[SqExpr], cur: Sol): Column = {
+    val tg = compileT(args(0), cur); val rg = compileT(args(1), cur)
+    val tag = lower(tg("v")); val rng = lower(rg("v"))
+    when(tg.isNull || rg.isNull || tg("k") =!= 2 || rg("k") =!= 2, nullB)
+      .otherwise(when(rng === "*", tag =!= "")
+        .otherwise(tag === rng || tag.startsWith(concat(rng, lit("-")))))
+  }
+
+  private def regexB(args: List[SqExpr], cur: Sol): Column = {
+    val t = compileT(args(0), cur)
+    val pat = args(1) match {
+      case EConst(Lit(p, _, _)) => p
+      case _ => throw new ReportableError("regex() pattern must be a constant")
+    }
+    val flags = args.drop(2).headOption.collect { case EConst(Lit(f, _, _)) => f }
+      .map(_.filter("ims".contains(_))).filter(_.nonEmpty).map(f => s"(?$f)").getOrElse("")
+    when(t.isNull || t("k") =!= 2, nullB).otherwise(t("v").rlike(flags + pat))
+  }
+
+  private def kindIsB(t: Column, k: Int): Column =
+    when(t.isNull, nullB).otherwise(t("k") === k)
+
+  private def builtin(fn: String, args: List[SqExpr], cur: Sol): Column = {
+    def a(i: Int): Column = compileT(args(i), cur)
+    fn match {
+      case "BOUND" | "LANGMATCHES" | "REGEX" | "SAMETERM" |
+           "ISLITERAL" | "ISIRI" | "ISURI" | "ISBLANK" =>
+        boolT(compileB(ECall(fn, args), cur))
+      case "LANG" =>
+        val t = a(0)
+        when(t.isNull || t("k") =!= 2, nullT).otherwise(strT(t("lang")))
+      case "DATATYPE" =>
+        val t = a(0)
+        when(t.isNull || t("k") =!= 2, nullT).otherwise(struct(
+          when(t("lang") =!= "", RDF.langString)
+            .when(t("dt") === "", XSD.string).otherwise(t("dt")).as("v"),
+          lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang")))
+      case "STR" =>
+        val t = a(0)
+        when(t.isNull || t("k") === 1, nullT).otherwise(strT(t("v")))
+      case "STRLEN" =>
+        val t = a(0)
+        numToTerm(when(t.isNull || t("k") =!= 2, lit(null).cast("decimal(38,10)"))
+          .otherwise(length(t("v")).cast("decimal(38,10)")))
+      case "UCASE" | "LCASE" =>
+        val t = a(0)
+        val v = if (fn == "UCASE") upper(t("v")) else lower(t("v"))
+        when(t.isNull || t("k") =!= 2, nullT)
+          .otherwise(struct(v.as("v"), lit(2.toByte).as("k"), t("dt").as("dt"), t("lang").as("lang")))
+      case "CONCAT" =>
+        val ts = args.map(compileT(_, cur))
+        val bad = ts.map(t => t.isNull || t("k") =!= 2).reduce(_ || _)
+        when(bad, nullT).otherwise(strT(concat(ts.map(_("v")): _*)))
+      case "COALESCE" => coalesce(args.map(compileT(_, cur)): _*)
+      case "IF" =>
+        val c = compileB(args(0), cur)
+        when(c.isNull, nullT).when(c, a(1)).otherwise(a(2))
+      case "ABS" => numToTerm(abs(num(a(0))))
+      case other => throw new ReportableError(s"unsupported SPARQL function $other()")
+    }
+  }
+
+  private def strT(c: Column): Column =
+    struct(c.as("v"), lit(2.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+
+  private def boolT(b: Column): Column =
+    when(b.isNull, nullT).otherwise(struct(
+      when(b, "true").otherwise("false").as("v"), lit(2.toByte).as("k"),
+      lit(XSD.boolean).as("dt"), lit("").as("lang")))
+
+  private def num(t: Column): Column =
+    when(t.isNull || t("k") =!= 2 ||
+      !t("dt").isin(XSD.numericTypes.toSeq: _*), lit(null).cast("decimal(38,10)"))
+      .otherwise(t("v").cast("decimal(38,10)"))
+
+  private def numToTerm(d: Column): Column =
+    when(d.isNull, nullT).otherwise {
+      val isWhole = d === d.cast("decimal(38,0)").cast("decimal(38,10)")
+      struct(
+        when(isWhole, d.cast("decimal(38,0)").cast("string"))
+          .otherwise(d.cast("double").cast("string")).as("v"),
+        lit(2.toByte).as("k"),
+        when(isWhole, XSD.integer).otherwise(XSD.decimal).as("dt"),
+        lit("").as("lang"))
+    }
+
+  /** SPARQL effective boolean value; NULL on error (rdflib EBV). */
+  def ebv(t: Column): Column =
+    when(t.isNull || t("k") =!= 2, nullB)
+      .when(t("dt") === XSD.boolean,
+        when(t("v").isin("true", "1"), lit(true))
+          .when(t("v").isin("false", "0"), lit(false)).otherwise(nullB))
+      .when(t("dt").isin(XSD.numericTypes.toSeq: _*), t("v").cast("double") =!= 0.0)
+      .when(t("dt") === "" || t("dt") === XSD.string || t("lang") =!= "",
+        length(t("v")) > 0)
+      .otherwise(nullB)
+
+  /** SPARQL `=`: term equality, with value equality within comparable
+    * literal families (rdfutil/compare.py:179-203); NULL on incomparable. */
+  private def eqC(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, nullB)
+      .when(termKey(a) === termKey(b), lit(true))
+      .when(a("k") === 2 && b("k") === 2, cmpC(a, b) === 0)
+      .otherwise(lit(false))
+
+  private def cmpC(a: Column, b: Column): Column =
+    callUDF("rdf_cmp", a("v"), a("k"), a("dt"), a("lang"), b("v"), b("dt"), b("lang"))
+}

@@ -17,6 +17,20 @@ class ShtConformanceSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.map(f =>
       s"${f.file} [${f.entry}]: ${f.detail.linesIterator.take(2).mkString(" | ")}").mkString("\n"))
   }
+
+  /** SHACL-SPARQL suite (sh:sparql, components, pre-binding legality).
+    * shapesGraph-001 is excluded exactly like the reference's own CI
+    * (test_sht_validate.py ALLOWABLE_FAILURES: $shapesGraph binding is
+    * unsupported there too). */
+  test("W3C SHACL sparql suite passes end to end") {
+    val results = ShtSuite.runAll(TestSpark.spark,
+      "/root/reference/test/resources/sht_tests/sparql",
+      exclude = Seq("shapesGraph-001"))
+    val failures = results.filterNot(_.passed)
+    assert(results.size >= 22, s"expected >=22 cases, found ${results.size}")
+    assert(failures.isEmpty, failures.map(f =>
+      s"${f.file} [${f.entry}]: ${f.detail.linesIterator.take(3).mkString(" | ")}").mkString("\n"))
+  }
 }
 
 /** DASH core suite (dash:GraphValidationTestCase fixtures) — broader than
