@@ -13,6 +13,11 @@ import scala.collection.mutable
   * triples/subjects/objects/predicates/items (RDF lists) / cbd.
   */
 final class MemGraph extends Serializable {
+  /** Namespace bindings of the source document (rdflib keeps the parsed
+    * graph's prefix map and injects it into queries over the graph as
+    * initNs; SHACL-SPARQL prefix collection mirrors that). */
+  var nsPrefixes: Map[String, String] = Map.empty
+
   private val bySubj = mutable.LinkedHashMap.empty[Node, mutable.LinkedHashMap[Iri, mutable.LinkedHashSet[Node]]]
   private val byPred = mutable.LinkedHashMap.empty[Iri, mutable.LinkedHashSet[(Node, Node)]]
   private val byObj = mutable.LinkedHashMap.empty[Node, mutable.LinkedHashSet[(Node, Iri)]]
@@ -120,12 +125,18 @@ final class MemGraph extends Serializable {
 
   def ++(other: MemGraph): MemGraph = {
     val g = new MemGraph
+    g.nsPrefixes = nsPrefixes ++ other.nsPrefixes
     g.addAll(triples())
     g.addAll(other.triples())
     g
   }
 
-  def copyGraph(): MemGraph = { val g = new MemGraph; g.addAll(triples()); g }
+  def copyGraph(): MemGraph = {
+    val g = new MemGraph
+    g.nsPrefixes = nsPrefixes
+    g.addAll(triples())
+    g
+  }
 
   def toSeq: Seq[Triple] = triples().toSeq
 }

@@ -51,6 +51,9 @@ final class ValidationEngine(
 
   private val T = triples
 
+  /** The triples frame this engine validates (rules engine reuse). */
+  def triplesDF: DataFrame = T
+
   /** Violation row: focus, value (nullable), result path key (nullable),
     * component IRI, source shape key. Severity/messages resolved from the
     * shape IR at report-build time. */

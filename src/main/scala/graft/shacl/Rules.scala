@@ -2,7 +2,7 @@ package graft.shacl
 
 import graft.rdf._
 import graft.rdf.TriplesDF.{termLit, termKey}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SHACL-AF rules engine — the reference's KG-construction heart
@@ -71,27 +71,44 @@ object NodeExprIR {
   }
 }
 
+sealed trait RuleIR {
+  def shape: Node
+  def ruleNode: Node
+  def conditions: List[Node]
+  def order: BigDecimal
+  def deactivated: Boolean
+}
+
 final case class TripleRuleIR(
   shape: Node,
   ruleNode: Node,
   s: NodeExprIR, p: NodeExprIR, o: NodeExprIR,
   conditions: List[Node],
   order: BigDecimal,
-  deactivated: Boolean)
+  deactivated: Boolean) extends RuleIR
+
+/** sh:SPARQLRule: CONSTRUCT queries run with $this pre-bound per focus
+  * (/root/reference/pyshacl/rules/sparql/__init__.py:28-127). */
+final case class SparqlRuleIR(
+  shape: Node,
+  ruleNode: Node,
+  constructs: List[String],
+  prefixes: Map[String, String],
+  conditions: List[Node],
+  order: BigDecimal,
+  deactivated: Boolean) extends RuleIR
 
 object RulesEngine {
   import NodeExprIR._
 
-  /** Gather TripleRules (rules/__init__.py:20-86). SPARQLRules raise. */
-  def gatherRules(sg: MemGraph, compiler: ShapeCompiler): List[TripleRuleIR] = {
+  /** Gather TripleRules + SPARQLRules (rules/__init__.py:20-86). */
+  def gatherRules(sg: MemGraph, compiler: ShapeCompiler): List[RuleIR] = {
     val tripleRuleNodes = sg.subjects(RDF.ty, SH.TripleRule).toSet
     val sparqlRuleNodes = sg.subjects(RDF.ty, SH.SPARQLRule).toSet
     if (tripleRuleNodes.intersect(sparqlRuleNodes).nonEmpty)
       throw new ReportableError("A SHACL Rule cannot be both a TripleRule and a SPARQLRule.")
     sg.subjectObjects(SH.rule).toList.map { case (shapeNode, ruleNode) =>
-      if (sparqlRuleNodes.contains(ruleNode))
-        throw new ReportableError("SPARQLRule is not supported yet (needs the SPARQL frontend).")
-      if (!tripleRuleNodes.contains(ruleNode))
+      if (!tripleRuleNodes.contains(ruleNode) && !sparqlRuleNodes.contains(ruleNode))
         throw new ReportableError(
           "when using sh:rule, the Rule must be defined as either a TripleRule or SPARQLRule.")
       def one(p: Iri, what: String): Node = sg.objects(ruleNode, p).toList match {
@@ -110,11 +127,22 @@ object RulesEngine {
         case Lit("true", _, _) => true
         case _ => false
       }
-      TripleRuleIR(shapeNode, ruleNode,
-        parse(sg, compiler, one(SH.subject, "sh:subject")),
-        parse(sg, compiler, one(SH.predicate, "sh:predicate")),
-        parse(sg, compiler, one(SH.objectP, "sh:object")),
-        conditions, order, deact)
+      if (sparqlRuleNodes.contains(ruleNode)) {
+        val constructs = sg.objects(ruleNode, SH.construct).toList.map {
+          case Lit(lex, _, _) => lex
+          case _ => throw new ReportableError(
+            "SPARQLRule sh:construct must be an xsd:string")
+        }
+        if (constructs.isEmpty)
+          throw new ReportableError("No sh:construct on SPARQLRule")
+        SparqlRuleIR(shapeNode, ruleNode, constructs,
+          Sparql.collectPrefixes(sg, ruleNode), conditions, order, deact)
+      } else
+        TripleRuleIR(shapeNode, ruleNode,
+          parse(sg, compiler, one(SH.subject, "sh:subject")),
+          parse(sg, compiler, one(SH.predicate, "sh:predicate")),
+          parse(sg, compiler, one(SH.objectP, "sh:object")),
+          conditions, order, deact)
     }
   }
 
@@ -160,13 +188,18 @@ object RulesEngine {
                 val viol = engine.violations(condShape, focus).select(col("f").as("_vf")).distinct()
                 focus = focus.join(viol, focus("f") === col("_vf"), "left_anti")
               }
-              val S = evalExpr(engine, focus, r.s).select(col("f"), col("v").as("_s"))
-              val P = evalExpr(engine, focus, r.p).select(col("f"), col("v").as("_p"))
-                .filter(col("_p")("k") === 0) // predicates must be IRIs
-              val O = evalExpr(engine, focus, r.o).select(col("f"), col("v").as("_o"))
-              val product = S.join(P, "f").join(O, "f")
-                .select(col("_s").as("s"), col("_p")("v").as("p"), col("_o").as("o"))
-                .distinct()
+              val product = r match {
+                case tr: TripleRuleIR =>
+                  val S = evalExpr(engine, focus, tr.s).select(col("f"), col("v").as("_s"))
+                  val P = evalExpr(engine, focus, tr.p).select(col("f"), col("v").as("_p"))
+                    .filter(col("_p")("k") === 0) // predicates must be IRIs
+                  val O = evalExpr(engine, focus, tr.o).select(col("f"), col("v").as("_o"))
+                  S.join(P, "f").join(O, "f")
+                    .select(col("_s").as("s"), col("_p")("v").as("p"), col("_o").as("o"))
+                    .distinct()
+                case sr: SparqlRuleIR =>
+                  sparqlRuleTriples(spark, engine, focus, sr)
+              }
               val fresh = product.join(triples,
                 product("s") === triples("s") && product("p") === triples("p") &&
                   product("o") === triples("o"), "left_anti")
@@ -182,6 +215,55 @@ object RulesEngine {
       }
     }
     triples
+  }
+
+  /** SPARQLRule CONSTRUCT evaluation: the WHERE clause runs once for all
+    * focus nodes ($this pre-bound as a bindings column), then each template
+    * triple instantiates per solution row. Template blank nodes mint fresh
+    * ids per solution (rdflib creates one bnode per CONSTRUCT result row). */
+  private def sparqlRuleTriples(
+      spark: SparkSession,
+      engine: ValidationEngine,
+      focus: DataFrame,
+      sr: SparqlRuleIR): DataFrame = {
+    import graft.rdf.TriplesDF.termType
+    val frame = new SparqlFrame(spark, engine.triplesDF, engine.step, engine.fnsByIri, None)
+    val parts = sr.constructs.flatMap { text =>
+      val q = Sparql.parseQuery(text, sr.prefixes) match {
+        case c: Sparql.SqConstruct => c
+        case _ => throw new ReportableError(
+          "Query executed by a SHACL SPARQLRule must be CONSTRUCT query.")
+      }
+      val seed = frame.sol(focus.select(col("f").as("this")), Set("this"))
+      val res = frame.evalWhere(q.where, seed)
+      val rowHash = xxhash64(to_json(struct(res.vars.toSeq.sorted.map(col): _*)),
+        lit(sr.ruleNode.key))
+      q.template.map { t =>
+        def termCol(x: Sparql.SqTerm, bnodeTag: String): Column = x match {
+          case Sparql.TVar(v) =>
+            if (res.vars.contains(v)) col(v) else lit(null).cast(termType)
+          case Sparql.TConst(b: BNode) =>
+            struct(concat(lit(s"genid-sr-${b.id}-$bnodeTag-"), rowHash.cast("string")).as("v"),
+              lit(1.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+          case Sparql.TConst(n) => graft.rdf.TriplesDF.termLit(n)
+        }
+        val cs = termCol(t.s, "s")
+        val cp = t.p match {
+          case Sparql.PredIri(i) => lit(i)
+          case Sparql.PredVar(v) if res.vars.contains(v) =>
+            when(col(v)("k") === 0, col(v)("v"))
+          case _ => lit(null).cast("string")
+        }
+        val co = termCol(t.o, "o")
+        res.df.select(cs.as("s"), cp.as("p"), co.as("o"))
+          .filter(col("s").isNotNull && col("s")("k") =!= 2 &&
+            col("p").isNotNull && col("o").isNotNull)
+      }
+    }
+    parts.reduceOption(_ unionByName _)
+      .map(_.distinct())
+      .getOrElse(spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        graft.rdf.TriplesDF.schema))
   }
 
   /** Node-expression evaluation: focus frame (col f) -> (f, v) pairs. */

@@ -626,6 +626,8 @@ object Sparql {
   def collectPrefixes(sg: MemGraph, queryNode: Node): Map[String, String] = {
     val out = scala.collection.mutable.Map[String, String](
       "rdf" -> RDF.ns, "rdfs" -> RDFS.ns, "owl" -> "http://www.w3.org/2002/07/owl#")
+    // the document's own namespace bindings (rdflib initNs injection)
+    out ++= sg.nsPrefixes
     val declare = SH("declare")
     val declNodes =
       sg.objects(queryNode, SH("prefixes")).flatMap(pv => sg.objects(pv, declare)).toList ++

@@ -69,9 +69,12 @@ class RulesSpec extends AnyFunSuite {
       Set(Iri("http://ex.org/b"), Iri("http://ex.org/c"), Iri("http://ex.org/d")))
   }
 
-  for (name <- Seq("schema2person", "rectangle", "square", "functions-permutations"))
-  test(s"DASH InferencingTestCase: rules/triple/$name") {
-    val file = s"/root/reference/test/resources/dash_tests/rules/triple/$name.test.ttl"
+  for ((sub, name) <- Seq(
+    ("triple", "schema2person"), ("triple", "rectangle"), ("triple", "square"),
+    ("triple", "functions-permutations"),
+    ("sparql", "rectangle"), ("sparql", "classify-square")))
+  test(s"DASH InferencingTestCase: rules/$sub/$name") {
+    val file = s"/root/reference/test/resources/dash_tests/rules/$sub/$name.test.ttl"
     val g = TurtleParser.parseFile(file)
     var df = TriplesDF.fromMemGraph(spark, g)
     df = RdfsInference.expand(spark, df)

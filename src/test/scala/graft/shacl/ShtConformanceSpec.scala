@@ -51,4 +51,50 @@ class DashConformanceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(failures.isEmpty, failures.map(f =>
       s"${f.file}: ${f.detail.linesIterator.take(1).mkString}").mkString("\n"))
   }
+
+  for (dir <- Seq("sparql", "target", "function"))
+  test(s"DASH $dir suite passes (SHACL-SPARQL)") {
+    val results = ShtSuite.runAllDash(graft.TestSpark.spark,
+      s"/root/reference/test/resources/dash_tests/$dir")
+    assert(results.nonEmpty && results.forall(_.passed),
+      results.filterNot(_.passed).map(f =>
+        s"${f.file}: ${f.detail.linesIterator.take(3).mkString(" | ")}").mkString("\n"))
+  }
+
+  test("DASH query test cases (dash:QueryTestCase, SPARQL Results JSON)") {
+    import graft.rdf._
+    val spark = graft.TestSpark.spark
+    val dir = "/root/reference/test/resources/dash_tests/query"
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".test.ttl")).toList.sorted
+    assert(files.size >= 8)
+    val failures = files.flatMap { f =>
+      val (g, pfx) = TurtleParser.parseFileWithPrefixes(f)
+      val tc = g.subjects(RDF.ty, Iri(ShtSuite.DASHNS + "QueryTestCase")).toList match {
+        case List(x) => x
+        case other => fail(s"$f: expected one QueryTestCase, got $other")
+      }
+      val conforms = g.value(tc, SH.conforms).collect { case Lit(lex, _, _) => lex == "true" }
+      val severity = g.value(tc, SH.severity)
+      // test_dash_validate.py:419-443: sh:conforms flags the expected
+      // outcome; sh:severity sh:Violation means evaluation must raise
+      (conforms, severity) match {
+        case (Some(expectPass), _) =>
+          try {
+            val (ok, detail) = QueryTestCases.evaluate(spark, g, pfx, tc)
+            if (ok == expectPass) None else Some(s"$f: matched=$ok expected=$expectPass $detail")
+          } catch {
+            case e: Throwable => Some(s"$f: unexpected ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        case (None, Some(SH.Violation)) =>
+          try {
+            QueryTestCases.evaluate(spark, g, pfx, tc)
+            Some(s"$f: expected an evaluation error but it completed")
+          } catch { case _: Throwable => None }
+        case _ => Some(s"$f: fixture has neither sh:conforms nor sh:severity")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
