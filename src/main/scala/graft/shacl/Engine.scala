@@ -235,10 +235,94 @@ final class ValidationEngine(
     violations(cs, nodes, edge :: stack).select($"f").distinct()
   }
 
+  // ---------------------------------------------------------------------
+  // Sub-shape memoization (SURVEY §4.3): a shape referenced by N parents
+  // with the same focus set evaluates once. Only shapes off every
+  // reference cycle are cacheable — their violations are independent of
+  // the recursion stack (an edge can repeat on the stack only on a cycle).
+  // ---------------------------------------------------------------------
+  private lazy val cyclicShapeKeys: Set[String] = {
+    import ConstraintIR._
+    def refs(s: ShapeIR): List[Node] = s.constraints.flatMap {
+      case CNot(l) => l
+      case CAnd(ls) => ls.flatten
+      case COr(ls) => ls.flatten
+      case CXone(ls) => ls.flatten
+      case CNode(l) => l
+      case CProperty(l) => l
+      case CQualified(r, _, _, _) =>
+        // disjoint sibling shapes are also evaluated (see CQualified)
+        r :: sg.subjects(SH.property, s.id).flatMap(p =>
+          sg.objects(p, SH.property)).flatMap(ps =>
+          sg.objects(ps, SH.qualifiedValueShape)).toList
+      case _ => Nil
+    }
+    val adj: Map[String, List[String]] =
+      shapes.values.map(s => s.id.key -> refs(s).map(_.key)).toMap
+    // iterative 3-color DFS; grey-hit => every node on the current stack
+    // segment from that hit is on a cycle
+    val color = scala.collection.mutable.Map.empty[String, Int] // 0 white 1 grey 2 black
+    val onCycle = scala.collection.mutable.Set.empty[String]
+    def dfs(start: String): Unit = {
+      val stack = scala.collection.mutable.Stack[(String, List[String])]()
+      val path = scala.collection.mutable.ArrayBuffer.empty[String]
+      stack.push((start, adj.getOrElse(start, Nil)))
+      color(start) = 1; path += start
+      while (stack.nonEmpty) {
+        val (node, rest) = stack.pop()
+        rest match {
+          case Nil =>
+            color(node) = 2
+            if (path.nonEmpty && path.last == node) path.remove(path.size - 1)
+          case next :: tail =>
+            stack.push((node, tail))
+            color.getOrElse(next, 0) match {
+              case 0 =>
+                color(next) = 1; path += next
+                stack.push((next, adj.getOrElse(next, Nil)))
+              case 1 =>
+                val i = path.indexOf(next)
+                if (i >= 0) onCycle ++= path.drop(i)
+              case _ =>
+            }
+        }
+      }
+    }
+    for (k <- adj.keys if color.getOrElse(k, 0) == 0) dfs(k)
+    onCycle.toSet
+  }
+
+  private val vioCache =
+    scala.collection.mutable.Map.empty[String,
+      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
+
   /** Full violations DF for one shape against a focus DF (col f). */
   def violations(shape: ShapeIR, focus: DataFrame,
                  stack: List[(String, String)] = Nil): DataFrame = {
     if (shape.deactivated) return emptyViol
+    val key = shape.id.key
+    // memoize sub-shape evaluations only: top-level (stack-empty) plans
+    // stay lazy so run() still collects everything in one job
+    val cacheable = stack.nonEmpty && !cyclicShapeKeys.contains(key)
+    if (cacheable) {
+      val plan = focus.queryExecution.analyzed
+      vioCache.synchronized {
+        vioCache.getOrElse(key, Nil).find(_._1.sameResult(plan))
+      } match {
+        case Some((_, cached)) => return cached
+        case None =>
+          val computed = computeViolations(shape, focus, stack).localCheckpoint()
+          vioCache.synchronized {
+            vioCache(key) = (plan, computed) :: vioCache.getOrElse(key, Nil)
+          }
+          return computed
+      }
+    }
+    computeViolations(shape, focus, stack)
+  }
+
+  private def computeViolations(shape: ShapeIR, focus: DataFrame,
+                                stack: List[(String, String)]): DataFrame = {
     val V = valueNodes(shape, focus).localCheckpoint() // reused by most constraints
     val parts = shape.constraints.map(evalConstraint(shape, focus, V, _, stack))
     if (parts.isEmpty) emptyViol else parts.reduce(_ unionByName _)
@@ -673,14 +757,15 @@ final class ValidationEngine(
     }
     if (opts.abortOnFirst) {
       // short-circuit: evaluate shape by shape, stop at the first
-      // non-conforming one (LIMIT-1 existence semantics per shape)
+      // violation — a LIMIT-1 existence probe, not a full evaluation
+      // (validator.py:336-337 abort_on_first)
       val buf = scala.collection.mutable.ListBuffer.empty[Row]
       val it = shapes.values.toSeq.sortBy(_.id.key).iterator
       while (it.hasNext && buf.isEmpty) {
         val shape = it.next()
         if (!shape.deactivated)
           targetsDF(shape).map(focusFilter).foreach { t =>
-            buf ++= violations(shape, t.localCheckpoint()).collect()
+            buf ++= violations(shape, t.localCheckpoint()).limit(1).collect()
           }
       }
       return buf.toSeq.map(rowToResult)
@@ -693,6 +778,27 @@ final class ValidationEngine(
     val all = parts.reduce(_ unionByName _)
     all.collect().toSeq.map(rowToResult)
   }
+
+  /** At-scale entry point: the union of every shape's violations as a
+    * DataFrame — nothing is collected to the driver. Columns: f, v, path,
+    * comp, shape, orig, constraint, msgs (term structs / keys). Callers
+    * aggregate counts, take bounded samples, or write report triples
+    * distributed; see Validator.validateFrameAtScale. */
+  def violationsFrame(): DataFrame = {
+    def focusFilter(t: DataFrame): DataFrame = opts.focusNodes match {
+      case Some(irises) => t.filter($"f"("k") === 0 && $"f"("v").isin(irises.toSeq: _*))
+      case None => t
+    }
+    val parts = shapes.values.toSeq.sortBy(_.id.key).flatMap { shape =>
+      if (shape.deactivated) None
+      else targetsDF(shape).map(t => violations(shape, focusFilter(t)))
+    }
+    if (parts.isEmpty) emptyViol else parts.reduce(_ unionByName _)
+  }
+
+  /** Severity of a shape key (driver-side metadata for at-scale counts). */
+  def severityOf(shapeKey: String): Iri =
+    shapes.values.find(_.id.key == shapeKey).map(_.severity).getOrElse(SH.Violation)
 
   private def rowToResult(r: Row): ResultRow =
     ResultRow(

@@ -65,6 +65,63 @@ object Validator {
     Outcome(conforms, g, rep, ReportBuilder.text(conforms, rows, shapes), rows)
   }
 
+  /** At-scale validation outcome: nothing driver-bound except bounded
+    * aggregates. `violations` is the full distributed frame — write it to
+    * parquet / a TripleStore, or derive report triples from it. */
+  final case class ScaleOutcome(
+    conforms: Boolean,
+    totalViolations: Long,
+    countsByComponent: Map[String, Long],
+    countsBySeverity: Map[String, Long],
+    sample: Seq[ResultRow],
+    sampleText: String,
+    violations: DataFrame)
+
+  /** Validate an arbitrarily large triples DataFrame without collecting
+    * the violations to the driver (the reference materializes every result
+    * into an in-memory report graph — a scale-killer for nonconforming
+    * data at 100 TB; here the driver sees only counts and a bounded
+    * sample). */
+  def validateFrameAtScale(
+      spark: SparkSession,
+      triples: DataFrame,
+      shapesGraph: MemGraph,
+      opts: ValidationOptions = ValidationOptions(),
+      sampleSize: Int = 100): ScaleOutcome = {
+    val expanded =
+      if (opts.advanced) RulesEngine.expand(spark, triples, shapesGraph, opts.iterateRules)
+      else if (opts.inference == "rdfs") RdfsInference.expand(spark, triples)
+      else triples
+    val shapes = new ShapeCompiler(shapesGraph).compile()
+    val engine = new ValidationEngine(spark, expanded, shapes, shapesGraph, opts)
+    val viol = engine.violationsFrame()
+    // one distributed aggregation: (component, shape) cardinality is tiny
+    import org.apache.spark.sql.functions._
+    val counts = viol.groupBy(col("comp"), col("shape")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = counts.map(_._3).sum
+    val bySev = counts.groupBy { case (_, sk, _) => engine.severityOf(sk).value }
+      .map { case (sev, rows) => sev -> rows.map(_._3).sum }
+    val byComp = counts.groupBy(_._1).map { case (c, rows) => c -> rows.map(_._3).sum }
+    val allowed: Set[String] =
+      (if (opts.allowWarnings) Set(SH.Info.value, SH.Warning.value)
+       else if (opts.allowInfos) Set(SH.Info.value)
+       else Set.empty[String])
+    val blocking = bySev.filterNot { case (sev, _) => allowed.contains(sev) }.values.sum
+    val sampleRows = viol.limit(sampleSize).collect().toSeq
+      .map(r => ResultRow(
+        focus = TriplesDF.nodeOf(r.getStruct(0)),
+        value = Option(r.getStruct(1)).map(TriplesDF.nodeOf),
+        pathKey = Option(r.getString(2)),
+        component = Iri(r.getString(3)),
+        shapeKey = r.getString(4)))
+    val text = ReportBuilder.text(blocking == 0, sampleRows, shapes) +
+      (if (total > sampleRows.size)
+         s"... (${total - sampleRows.size} more results not shown; see the violations frame)\n"
+       else "")
+    ScaleOutcome(blocking == 0, total, byComp, bySev, sampleRows, text, viol)
+  }
+
   /** CBD provider over a DataFrame for the at-scale path: one targeted
     * filter per requested bnode subtree (reports are small). */
   def frameCbd(spark: SparkSession, triples: DataFrame)(root: Node): Seq[Triple] = {
