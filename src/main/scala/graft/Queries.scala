@@ -208,6 +208,36 @@ object Queries {
       .select(col("q_id"), col("rank"), col("item_id"))
   }
 
+  /** SPARQL frontend end-to-end: the nation/region tables lift into a
+    * triples frame, a 3-pattern BGP + FILTER compiles through the SHACL
+    * SPARQL engine, and the result must equal the relational join it
+    * encodes (DuckDB oracle). */
+  val qSparqlJoin: Q = (s, d) => {
+    import graft.shacl.{Sparql, SparqlFrame, PathEval}
+    val ex = "http://graft.dev/rel/"
+    def iriT(c: Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    def litT(c: Column) =
+      struct(c.as("v"), lit(2.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    val n = t(s, d, "nation"); val r = t(s, d, "region")
+    val nIri = concat(lit(ex + "nation/"), col("n_nationkey"))
+    val nRegIri = concat(lit(ex + "region/"), col("n_regionkey"))
+    val rIri = concat(lit(ex + "region/"), col("r_regionkey"))
+    val triples = n.select(iriT(nIri).as("s"), lit(ex + "name").as("p"), litT(col("n_name")).as("o"))
+      .unionByName(n.select(iriT(nIri).as("s"), lit(ex + "inRegion").as("p"), iriT(nRegIri).as("o")))
+      .unionByName(r.select(iriT(rIri).as("s"), lit(ex + "name").as("p"), litT(col("r_name")).as("o")))
+    val q = Sparql.parseQuery(
+      """SELECT ?nname ?rname WHERE {
+        |  ?n ex:inRegion ?reg .
+        |  ?n ex:name ?nname .
+        |  ?reg ex:name ?rname .
+        |  FILTER (STRLEN(?nname) >= 6)
+        |}""".stripMargin, Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
+    val frame = new SparqlFrame(s, triples, PathEval.step(triples, _, _), Map.empty, None)
+    val res = frame.evalSelect(q, frame.unitSeed)
+    res.df.select(col("nname")("v").as("nname"), col("rname")("v").as("rname"))
+  }
+
   /** Embedding norms (aggregate/zip_with kernels). */
   val qEmbedNorm: Q = (s, d) =>
     t(s, d, "embeddings").select(col("vec_id"),
@@ -322,7 +352,10 @@ object Queries {
     "q_window_agg" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
         |MIN(event_id) AS min_id, MAX(event_id) AS max_id FROM events
-        |GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+        |GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    "q_sparql_join" ->
+      """SELECT n_name AS nname, r_name AS rname FROM nation
+        |JOIN region ON n_regionkey = r_regionkey WHERE length(n_name) >= 6""".stripMargin
     // q_minhash_lsh / q_simhash / q_ngram_jaccard / q_ann_* are hash-kernel
     // based (xxhash64) — not DuckDB-expressible; driver rows-only check.
   )
@@ -355,6 +388,7 @@ object Queries {
     "q_ann_bruteforce" -> qAnnBruteForce,
     "q_ann_lsh" -> qAnnLsh,
     "q_embed_norm" -> qEmbedNorm,
-    "q_window_agg" -> qWindowAgg
+    "q_window_agg" -> qWindowAgg,
+    "q_sparql_join" -> qSparqlJoin
   )
 }

@@ -80,11 +80,13 @@ object KgPipeline {
     ConnectedComponents.withSingletons(cc, vertices)
   }
 
-  /** Stage 5: triple materialization (TripleRule-style S×P×O per focus,
-    * new-only via left_anti against the existing store). The links ⋈
-    * components join salts Zipf-head entity ids explicitly (Skew.saltedJoin)
-    * — the join AQE cannot pre-split because it sits inside the
-    * driver-orchestrated stage sequence. */
+  /** Stage 5: triple materialization (TripleRule-style S×P×O per focus).
+    * Emitted triple sets are distinct; re-running the stage cannot append
+    * duplicates because the store commit is lineage-gated (the "store"
+    * marker below), not anti-joined per row. The links ⋈ components join
+    * salts Zipf-head entity ids explicitly (Skew.saltedJoin) — the join AQE
+    * cannot pre-split because it sits inside the driver-orchestrated stage
+    * sequence. */
   def materializeTriples(links: DataFrame, components: DataFrame): DataFrame = {
     val spark = links.sparkSession
     val linksSel = links.select(col("doc_id"), col("span_idx"), col("entity_id"), col("score"))
@@ -96,6 +98,7 @@ object KgPipeline {
     val entIri = concat(lit(KG), lit("entity/"), col("entity_id"))
     val canonIri = concat(lit(KG), lit("entity/"), col("component"))
     val mentions = ent.select(docIri.as("s"), lit(KG + "mentions").as("p"), entIri.as("o"))
+      .distinct()
     // no self-loops: canonical roots carry no kg:canonical edge (and the
     // shapes graph asserts canonical entities have none)
     val canon = ent.filter(col("entity_id") =!= col("component"))
@@ -118,8 +121,9 @@ object KgPipeline {
         refs.select(col("media_ref")).distinct(), "media_ref")).toDF()
     val docIri = concat(lit("http://graft.dev/doc/"), regexp_replace(col("doc_id"), "^doc:", ""))
     refs.select(docIri.as("s"), lit(KG + "hasMedia").as("p"), col("media_ref").as("o"))
+      .distinct()
       .unionByName(feats.select(col("media_ref").as("s"),
-        lit(KG + "mediaType").as("p"), col("media_type").as("o")))
+        lit(KG + "mediaType").as("p"), col("media_type").as("o")).distinct())
   }
 
   /** SHACL shapes every emitted graph must satisfy (validated with the
@@ -179,8 +183,9 @@ object KgPipeline {
         struct(col("s").as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang")).as("s"),
         col("p"), iriOrLit(col("o")).as("o"))
       val shapes = TurtleParser.parseGraph(shapesTtl, "http://graft.dev/shapes")
-      Validator.validateFrame(spark, tdf, shapes,
-        dataCbd = Validator.frameCbd(spark, tdf), ValidationOptions()).conforms
+      // at-scale path: conformance from a distributed count aggregation,
+      // no driver collect of violations
+      Validator.validateFrameAtScale(spark, tdf, shapes, ValidationOptions()).conforms
     }
 
     Counts(

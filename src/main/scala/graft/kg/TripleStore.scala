@@ -48,39 +48,78 @@ final class TripleStore(spark: SparkSession, root: String) {
   }
 
   /** Overwrite the given predicate partitions with `df` (other partitions
-    * untouched) — Iceberg's overwrite-by-partition-expression. */
+    * untouched) — Iceberg's overwrite-by-partition-expression. The new
+    * snapshot's files are written FIRST; superseded files stay on disk and
+    * are masked out at read time by the snapshot log (so a df derived from
+    * reading this same store — the normal read-transform-overwrite loop —
+    * still scans intact inputs, and readAt time travel keeps working).
+    * Physical deletion is a separate, explicit vacuum(). */
   def overwritePartitions(df: DataFrame, preds: Seq[String]): Long = {
     val id = currentSnapshot().getOrElse(0L) + 1L
     val parts = preds.map(p => p.split("[#/]").last)
-    // drop old files for those partitions by rewriting their live rows to
-    // the new snapshot as tombstone-free replacement
     val out = withPart(df).filter(col("p_part").isin(parts: _*)).withColumn("snap", lit(id))
-    parts.foreach { pp =>
-      val dir = java.nio.file.Paths.get(s"$dataPath/p_part=$pp")
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
-    }
     out.write.mode(SaveMode.Append).partitionBy("p_part", "snap").parquet(dataPath)
     appendLog(id, s"overwrite:${parts.mkString(",")}", out.count())
     id
   }
 
-  /** Read the current table (all snapshots still on disk). */
-  def read(): DataFrame = spark.read.parquet(dataPath).drop("snap", "p_part")
+  /** Latest overwrite snapshot per partition at or before `atId`:
+    * rows of that partition from earlier snapshots are dead. */
+  private def overwrittenAt(atId: Long): Map[String, Long] =
+    log().filter(_._1 <= atId).flatMap { case (id, op, _, _) =>
+      if (op.startsWith("overwrite:"))
+        op.stripPrefix("overwrite:").split(",").filter(_.nonEmpty).map(_ -> id)
+      else Nil
+    }.groupBy(_._1).map { case (pp, xs) => pp -> xs.map(_._2).max }
 
-  /** Snapshot read: rows committed at or before snapshot `id`. */
-  def readAt(id: Long): DataFrame =
-    spark.read.parquet(dataPath).filter(col("snap") <= id).drop("snap", "p_part")
+  private def liveAt(atId: Long): DataFrame = {
+    val base = spark.read.parquet(dataPath).filter(col("snap") <= atId)
+    overwrittenAt(atId).map { case (pp, oid) =>
+      col("p_part") === pp && col("snap") < oid
+    }.reduceOption(_ || _) match {
+      case Some(dead) => base.filter(!dead)
+      case None => base
+    }
+  }
+
+  /** Read the current table (only live rows: superseded partition
+    * snapshots are masked by the log, not physically deleted). */
+  def read(): DataFrame =
+    liveAt(currentSnapshot().getOrElse(0L)).drop("snap", "p_part")
+
+  /** Snapshot read (time travel): the table exactly as of snapshot `id`. */
+  def readAt(id: Long): DataFrame = liveAt(id).drop("snap", "p_part")
 
   /** Predicate-pruned scan — the hot path for SHACL targets/paths: the
     * filter lands on the partition column, so only matching directories
     * are listed/read. */
   def scanPredicate(pred: String): DataFrame = {
     val pp = pred.split("[#/]").last
-    spark.read.parquet(dataPath).filter(col("p_part") === pp && col("p") === pred)
+    liveAt(currentSnapshot().getOrElse(0L))
+      .filter(col("p_part") === pp && col("p") === pred)
       .drop("snap", "p_part")
+  }
+
+  /** Physically delete files superseded by partition overwrites. Goes
+    * through Hadoop FileSystem, so it works on HDFS/S3A as well as file://
+    * (java.nio would be local-only). Time travel before the earliest
+    * surviving snapshot of an overwritten partition stops working — that is
+    * the usual Iceberg expire-snapshots trade-off. */
+  def vacuum(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    for ((pp, oid) <- overwrittenAt(currentSnapshot().getOrElse(0L))) {
+      val partDir = new org.apache.hadoop.fs.Path(root, s"p_part=$pp")
+      if (fs.exists(partDir)) {
+        for (st <- fs.listStatus(partDir) if st.isDirectory) {
+          val name = st.getPath.getName // snap=<id>
+          if (name.startsWith("snap=") &&
+              name.stripPrefix("snap=").toLongOption.exists(_ < oid))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
   }
 }

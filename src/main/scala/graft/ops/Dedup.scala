@@ -68,8 +68,8 @@ object Dedup {
   }
 
   /** SimHash: sign-aggregated 64-bit token hashes -> one BIGINT per doc.
-    * Near-dups = small Hamming distance; join candidates by 16-bit chunks
-    * (any equal chunk => candidate), again avoiding all-pairs. */
+    * Column form kept for ad-hoc use; the table form below is the fast
+    * path (one expression here scans the token array 64 times). */
   def simhash(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val hashes = transform(toks, t => xxhash64(t))
@@ -81,16 +81,44 @@ object Dedup {
     }.reduce[Column](_ bitwiseOR _)
   }
 
+  /** SimHash table via explode + groupBy bit votes (same trick as
+    * minhashSig): tokens stream once through 64 partial-aggregating sums
+    * instead of 64 re-scans of the token array per row — this was the
+    * slowest query in BENCH_r01 (10.2 s / 500 docs) before the rewrite. */
+  def simhashSig(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(bit =>
+      sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1L).otherwise(-1L))
+        .as(s"v$bit"))
+    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(bit =>
+          when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+          .reduce[Column](_ bitwiseOR _).as("sh"))
+  }
+
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates within Hamming distance <= maxDist,
-    * bucketed by 16-bit chunks (pigeonhole: dist<=3 => some chunk equal). */
+  /** SimHash near-dup candidates within Hamming distance <= maxDist.
+    * Banding is derived from maxDist (pigeonhole: maxDist+1 bands over 64
+    * bits guarantee two signatures within maxDist share at least one whole
+    * band) — the fixed 4-chunk layout silently lost recall for dist > 3.
+    * Bands are capped at 16 (4-bit bands): beyond that the buckets stop
+    * pruning and the verify join pays instead. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val nBands = math.min(maxDist + 1, 16)
+    val bounds = (0 to nBands).map(b => 64 * b / nBands)
+    val sh = simhashSig(docs, idCol, textCol)
+    val bandCols = (0 until nBands).map { b =>
+      val lo = bounds(b); val width = bounds(b + 1) - lo
+      val shifted = shiftrightunsigned(col("sh"), lo)
+      if (width >= 64) shifted else shifted.bitwiseAND(lit((1L << width) - 1L))
+    }
     val chunked = sh.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(c =>
-        col("sh").bitwiseAND(lit(0xffffL << (c * 16)))): _*)))
+      posexplode(array(bandCols: _*)))
       .select(col("id"), col("sh"), col("pos").as("chunk"), col("col").as("ck"))
     val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))

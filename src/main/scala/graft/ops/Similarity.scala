@@ -37,31 +37,53 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits from deterministic
-    * pseudo-random hyperplanes (hash-derived, no external randomness). */
-  def rhpSignature(vec: Column, bits: Int = 8): Column =
+    * pseudo-random hyperplanes (hash-derived, no external randomness).
+    * `table` salts the hyperplane family so multiple independent tables
+    * can be derived from the same vector. */
+  def rhpSignature(vec: Column, bits: Int = 8, table: Int = 0): Column =
     (0 until bits).map { b =>
       val proj = aggregate(
         transform(vec, (x, i) =>
           x.cast("double") *
-            // deterministic pseudo-gaussian weight from (bit, dim) hash
-            ((pmod(xxhash64(concat(lit(b.toString), lit(":"), i.cast("string"))), lit(1000L))
+            // deterministic pseudo-gaussian weight from (table, bit, dim) hash
+            ((pmod(xxhash64(concat(lit(s"$table:$b:"), i.cast("string"))), lit(1000L))
               .cast("double") / 500.0d) - 1.0d)),
         lit(0.0d), (acc, v) => acc + v)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce[Column](_ bitwiseOR _)
 
-  /** LSH-bucketed ANN: join items and queries on the signature bucket, rank
-    * within buckets. Recall < 1 by construction; measure vs brute force. */
+  /** Banded multi-table LSH ANN: `tables` independent `bits`-bit signature
+    * tables; a (query, item) pair is a candidate when ANY table collides
+    * (recall ≈ 1-(1-p^bits)^tables, tunable to data scale: more bits →
+    * smaller buckets, more tables → recovered recall). The single-table
+    * exact-equality variant had a fixed 2^bits bucket space — at 10^9 items
+    * every bucket blows up and recall is frozen (VERDICT r1). Candidates
+    * dedupe on (query, item) before the cosine verify. */
   def lshTopK(items: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
     val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
-      rhpSignature(col(vecCol), bits).as("sig"))
+      posexplode(array((0 until tables).map(t =>
+        rhpSignature(col(vecCol), bits, t)): _*)))
+      .select(col("item_id"), col("item_vec"), col("pos").as("tbl"), col("col").as("sig"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      rhpSignature(col(vecCol), bits).as("sig"))
-    val scored = it.join(broadcast(q), Seq("sig"))
+      posexplode(array((0 until tables).map(t =>
+        rhpSignature(col(vecCol), bits, t)): _*)))
+      .select(col("q_id"), col("q_vec"), col("pos").as("tbl"), col("col").as("sig"))
+    val scored = it.join(broadcast(q), Seq("tbl", "sig"))
       .filter(col("q_id") =!= col("item_id"))
       .select(col("q_id"), col("item_id"), cosine(col("q_vec"), col("item_vec")).as("cos"))
+      .distinct() // a pair may collide in several tables
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Bucket-occupancy diagnostics for an items frame under the banded
+    * signature scheme: (tbl, sig, n) — assert max(n) stays bounded. */
+  def lshBucketSizes(items: DataFrame, idCol: String, vecCol: String,
+                     bits: Int = 12, tables: Int = 4): DataFrame =
+    items.select(col(idCol),
+      posexplode(array((0 until tables).map(t =>
+        rhpSignature(col(vecCol), bits, t)): _*)))
+      .groupBy(col("pos").as("tbl"), col("col").as("sig"))
+      .agg(count(lit(1)).as("n"))
 }

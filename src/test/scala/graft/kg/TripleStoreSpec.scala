@@ -32,6 +32,30 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(rows == Set(("e:a", "http://kg#label", "A2"), ("e:a", "http://kg#type", "T")))
   }
 
+  test("read-transform-overwrite loop: df derived from the store survives the overwrite") {
+    val st = mkStore()
+    st.append(Seq(
+      ("e:a", "http://kg#label", "a"),
+      ("e:b", "http://kg#label", "b"),
+      ("e:a", "http://kg#type", "T")).toDF("s", "p", "o"))
+    // the classic pattern ADVICE flagged: transform a LAZY read of the same
+    // store, then overwrite the partition it reads from
+    val uppered = st.read().filter($"p" === "http://kg#label")
+      .select($"s", $"p", upper($"o").as("o"))
+    val sid = st.overwritePartitions(uppered, Seq("http://kg#label"))
+    val rows = st.read().as[(String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("e:a", "http://kg#label", "A"),
+      ("e:b", "http://kg#label", "B"),
+      ("e:a", "http://kg#type", "T")))
+    // time travel to before the overwrite still sees the old values
+    assert(st.readAt(sid - 1).filter($"p" === "http://kg#label")
+      .select($"o").as[String].collect().toSet == Set("a", "b"))
+    // vacuum physically drops superseded files; current read unchanged
+    st.vacuum()
+    assert(st.read().as[(String, String, String)].collect().toSet == rows)
+  }
+
   test("predicate scan prunes to the partition") {
     val st = mkStore()
     st.append(Seq(

@@ -41,6 +41,39 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
   }
 
+  test("simhashSig equals the column-expression simhash") {
+    val docs = Seq(
+      ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("b", "alpha beta gamma delta epsilon zeta eta iota"),
+      ("c", "one two three four five six seven eight")).toDF("id", "text")
+    val viaSig = Dedup.simhashSig(docs, "id", "text")
+      .as[(String, Long)].collect().toMap
+    val viaCol = docs.select($"id", Dedup.simhash($"text").as("sh"))
+      .as[(String, Long)].collect().toMap
+    assert(viaSig == viaCol)
+  }
+
+  test("simhash near-dup recalls planted pairs at Hamming distance 4-10") {
+    // pairs of documents differing in d tokens (=> simhash distance grows
+    // with d); the banded join must surface every pair with dist <= maxDist
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    def mutate(d: Int) = ((0 until d).map(i => s"chg${d}_$i") ++
+      (d until 40).map(i => s"tok$i")).mkString(" ")
+    val docs = (Seq(0L -> base) ++ (1 to 8).map(d => d.toLong -> mutate(d)))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhashSig(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val withinTen = (1 to 8).map(_.toLong).filter(d => ham(sig(0L), sig(d)) <= 10)
+    val interesting = withinTen.filter(d => ham(sig(0L), sig(d)) >= 4)
+    assert(interesting.nonEmpty, "fixture produced no pairs at dist 4-10; adjust tokens")
+    val found = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val missing = withinTen.filterNot(d =>
+      found.contains((0L, d)) || found.contains((d, 0L)))
+    assert(missing.isEmpty,
+      s"pairs within dist 10 missed by banding: ${missing.map(d => (d, ham(sig(0L), sig(d))))}")
+  }
+
   test("ngram jaccard: identical docs = 1.0") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
@@ -53,14 +86,27 @@ class OpsSpec extends AnyFunSuite {
     val queries = items.filter($"vec_id" < 4)
     val bf = Similarity.bruteForceTopK(items, queries, "vec_id", "embedding", 5)
     assert(bf.groupBy($"q_id").count().collect().forall(_.getLong(1) == 5))
-    val lsh = Similarity.lshTopK(items, queries, "vec_id", "embedding", 5, bits = 4)
-    // recall of LSH vs brute force (buckets shrink candidates; recall < 1 ok,
-    // but it must return something for at least one query at this tiny size)
-    val bfSet = bf.select($"q_id", $"item_id").as[(Long, Long)].collect().toSet
-    val lshSet = lsh.select($"q_id", $"item_id").as[(Long, Long)].collect().toSet
-    assert(lshSet.nonEmpty)
-    val recall = lshSet.intersect(bfSet).size.toDouble / math.max(bfSet.size, 1)
-    assert(recall > 0.0, s"LSH found ${lshSet.size} pairs but none in brute-force top-k")
+    // banded multi-table LSH: measure recall on PLANTED near neighbors
+    // (a perturbed copy of each item is its true nearest neighbor — random
+    // vectors' brute-force "top-5" are near-orthogonal, which an ANN index
+    // is allowed to miss; real corpora query for genuinely close vectors)
+    val planted = items.limit(20).select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        x + (pmod(xxhash64(i.cast("string")), lit(100L)).cast("float") / 5000.0f))
+        .as("embedding"))
+    val lsh = Similarity.lshTopK(items, planted, "vec_id", "embedding", 5,
+      bits = 12, tables = 4)
+    val hits = lsh.filter($"item_id" === $"q_id" - 100000L)
+      .select($"q_id").distinct().count()
+    val recall = hits.toDouble / 20.0
+    assert(recall >= 0.9, s"banded LSH recall of planted neighbors $recall < 0.9")
+    // bucket sizes must stay bounded: 2^bits buckets per table spread load
+    val sizes = Similarity.lshBucketSizes(items, "vec_id", "embedding",
+      bits = 12, tables = 4)
+    val total = items.count()
+    val maxBucket = sizes.agg(max($"n")).as[Long].collect()(0)
+    assert(maxBucket < total / 4,
+      s"largest bucket $maxBucket of $total items — signatures are not spreading")
   }
 
   test("text ops: token count / quality / langid deterministic") {
