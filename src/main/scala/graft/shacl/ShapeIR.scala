@@ -351,9 +351,13 @@ final class ShapeCompiler(g: MemGraph) {
 
   /** Implicit class target: shape typed as rdfs:Class (or a shapes-graph
     * subclass of it) targets its own instances —
-    * /root/reference/pyshacl/shape.py:237-244. */
+    * /root/reference/pyshacl/shape.py:237-244. The reference injects
+    * system triples into every shapes graph (shapes_graph.py:38), notably
+    * owl:Class ⊑ rdfs:Class — so `a owl:Class` shapes are implicit class
+    * targets too (issue test_199 depends on this). */
   private def implicitClassTargets(id: Node): List[Node] = {
-    val classLike = g.subjects(RDFS.subClassOf, RDFS.Class).toSet + RDFS.Class
+    val classLike = g.subjects(RDFS.subClassOf, RDFS.Class).toSet +
+      RDFS.Class + Iri("http://www.w3.org/2002/07/owl#Class")
     if (g.objects(id, RDF.ty).exists(classLike.contains)) List(id) else Nil
   }
 
@@ -498,6 +502,9 @@ final class ShapeCompiler(g: MemGraph) {
 
     objs(SH.closed) match {
       case Nil =>
+        // other_constraints.py:117-121: ignoredProperties without closed
+        if (objs(SH.ignoredProperties).nonEmpty)
+          err("ClosedConstraintComponent: You can only use sh:ignoredProperties on a Closed Shape (sh:closed).")
       case List(Lit("true", dt, _)) if dt.isEmpty || dt == XSD.boolean =>
         val ignored = objs(SH.ignoredProperties).flatMap(g.items)
         out += CClosed(ignored)

@@ -34,6 +34,9 @@ object Sparql {
   /** `$PATH` placeholder: bound to the enclosing shape's sh:path at compile
     * time (sparql_query_helper.py:300-309 substitutes the rendered path). */
   case object PredShapePath extends SqPred
+  /** SPARQL property path in predicate position (seq / alt / inverse /
+    * closure), e.g. `rdf:rest/rdf:first`. */
+  final case class PredPath(path: PathIR) extends SqPred
 
   sealed trait SqExpr
   final case class EVar(name: String) extends SqExpr
@@ -364,10 +367,47 @@ object Sparql {
         val v = varName()
         if (v == "PATH") PredShapePath
         else { pos = save; PredVar(varName()) }
-      } else if (peek == 'a' && pos + 1 <= s.length &&
-                 (pos + 1 == s.length || !isPnChar(s.charAt(pos + 1)))) {
-        pos += 1; PredIri(RDF.ty.value)
-      } else PredIri(iriOrPname())
+      } else pathAlt() match {
+        case PathIR.PPred(i) => PredIri(i)
+        case other => PredPath(other)
+      }
+    }
+
+    // SPARQL property-path grammar (predicate position)
+    private def pathAlt(): PathIR = {
+      val parts = scala.collection.mutable.ListBuffer(pathSeq())
+      ws()
+      while (peek == '|') { pos += 1; parts += pathSeq(); ws() }
+      if (parts.size == 1) parts.head else PathIR.PAlt(parts.toList)
+    }
+    private def pathSeq(): PathIR = {
+      val parts = scala.collection.mutable.ListBuffer(pathElt())
+      ws()
+      while (peek == '/') { pos += 1; parts += pathElt(); ws() }
+      if (parts.size == 1) parts.head else PathIR.PSeq(parts.toList)
+    }
+    private def pathElt(): PathIR = {
+      ws()
+      val inverted = peek == '^'
+      if (inverted) pos += 1
+      val prim: PathIR =
+        if (peek == '(') { pos += 1; val p = pathAlt(); ws(); expect(')'); p }
+        else if (peek == 'a' && (pos + 1 >= s.length ||
+                 (!isPnChar(s.charAt(pos + 1)) && s.charAt(pos + 1) != ':'))) {
+          pos += 1; PathIR.PPred(RDF.ty.value)
+        }
+        else PathIR.PPred(iriOrPname())
+      val p = if (inverted) PathIR.invert(prim) else prim
+      ws()
+      peek match {
+        case '*' => pos += 1; PathIR.PZeroOrMore(p)
+        case '+' => pos += 1; PathIR.POneOrMore(p)
+        // '?' is a modifier only when not immediately followed by a var name
+        case '?' if pos + 1 >= s.length ||
+            !(s.charAt(pos + 1).isLetterOrDigit || s.charAt(pos + 1) == '_') =>
+          pos += 1; PathIR.PZeroOrOne(p)
+        case _ => p
+      }
     }
 
     private def termOrVar(what: String): SqTerm = {

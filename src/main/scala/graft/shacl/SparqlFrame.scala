@@ -162,7 +162,10 @@ final class SparqlFrame(
   // ---------------------------------------------------------- BGP joins
   private def triplePattern(t: SqTriple, cur: Sol): Sol = {
     t.p match {
-      case PredShapePath => return pathPattern(t, cur)
+      case PredShapePath =>
+        return pathPattern(t, cur, shapePath.getOrElse(throw new ReportableError(
+          "SPARQL Constraint text has $PATH in it, but no path is known on this Shape.")))
+      case PredPath(p) => return pathPattern(t, cur, p)
       case _ =>
     }
     var base = T
@@ -198,20 +201,48 @@ final class SparqlFrame(
     } else Sol(base.select(out: _*), vars, Set.empty)
   }
 
-  /** `?s $PATH ?o` — the shape's sh:path evaluated from whichever side is
-    * already bound (pySHACL substitutes a SPARQL path string and lets
-    * rdflib walk it; here the engine's own path stepper runs from the
-    * bound anchor, which keeps closure paths seeded and scale-safe). */
-  private def pathPattern(t: SqTriple, cur: Sol): Sol = {
-    val path = shapePath.getOrElse(throw new ReportableError(
-      "SPARQL Constraint text has $PATH in it, but no path is known on this Shape."))
+  /** Closure-free path → full (f, v) pairs frame straight off the triples
+    * scan (no anchor needed). */
+  private def pathPairs(p: PathIR): Option[DataFrame] = p match {
+    case PathIR.PPred(pred) =>
+      Some(T.filter(col("p") === pred).select(col("s").as("f"), col("o").as("v")))
+    case PathIR.PInv(inner) =>
+      pathPairs(inner).map(_.select(col("v").as("f"), col("f").as("v")))
+    case PathIR.PSeq(parts) =>
+      parts.map(pathPairs).reduce { (ao, bo) =>
+        for (a <- ao; b <- bo) yield {
+          val bb = b.select(col("f").as("_bf"), col("v").as("_bv"))
+          a.join(bb, a("v") === bb("_bf")).select(a("f"), col("_bv").as("v"))
+        }
+      }
+    case PathIR.PAlt(alts) =>
+      val ps = alts.map(pathPairs)
+      if (ps.forall(_.isDefined)) Some(ps.flatten.reduce(_ unionByName _).distinct())
+      else None
+    case _ => None // closure operators need an anchor
+  }
+
+  /** `?s <path> ?o` — a property path evaluated from whichever side is
+    * already bound (pySHACL lets rdflib walk it per focus; here the
+    * engine's own path stepper runs from the bound anchor, which keeps
+    * closure paths seeded and scale-safe). Unanchored closure-free paths
+    * fall back to a full pairs scan. */
+  private def pathPattern(t: SqTriple, cur: Sol, path: PathIR): Sol = {
     def boundSide(term: SqTerm): Boolean = term match {
       case TVar(x) => cur.vars.contains(x)
       case TConst(_) => true
     }
     val forward = boundSide(t.s)
-    if (!forward && !boundSide(t.o))
-      throw new ReportableError("$PATH with neither side bound is not supported")
+    if (!forward && !boundSide(t.o)) {
+      val pairs = pathPairs(path).getOrElse(throw new ReportableError(
+        "a closure property path with neither side bound is not supported"))
+      val sol = (t.s, t.o) match {
+        case (TVar(a), TVar(b)) =>
+          Sol(pairs.select(col("f").as(a), col("v").as(b)), Set(a, b), Set.empty)
+        case _ => throw new ReportableError("unreachable: unanchored ground path")
+      }
+      return joinSols(cur, sol)
+    }
     val (anchor, other, p) =
       if (forward) (t.s, t.o, path) else (t.o, t.s, PathIR.invert(path))
     val anchorDf = anchor match {

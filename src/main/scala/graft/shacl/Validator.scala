@@ -27,11 +27,15 @@ object Validator {
       spark: SparkSession,
       dataGraph: MemGraph,
       shapesGraph: Option[MemGraph],
-      opts: ValidationOptions = ValidationOptions()): Outcome = {
+      opts: ValidationOptions = ValidationOptions(),
+      ontGraph: Option[MemGraph] = None): Outcome = {
     val sg = shapesGraph.getOrElse(dataGraph)
-    val df0 = TriplesDF.fromMemGraph(spark, dataGraph)
+    // ont_graph mixin = axiom inoculation, not a plain union (validator.py
+    // mix_in_ontology -> rdfutil/inoculate.py)
+    val data = ontGraph.map(o => Inoculate.mix(dataGraph, o)).getOrElse(dataGraph)
+    val df0 = TriplesDF.fromMemGraph(spark, data)
     val df = if (opts.inference == "rdfs") RdfsInference.expand(spark, df0) else df0
-    validateFrame(spark, df, sg, dataCbd = n => dataGraph.cbd(n), opts)
+    validateFrame(spark, df, sg, dataCbd = n => data.cbd(n), opts)
   }
 
   /** Validate an arbitrary triples DataFrame (the at-scale path). CBDs for
