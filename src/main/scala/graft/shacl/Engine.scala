@@ -67,7 +67,12 @@ final class ValidationEngine(
     StructField("constraint", StringType, nullable = true),
     // per-result message override (SPARQL constraints / components carry
     // their own sh:message, constraint-scoped rather than shape-scoped)
-    StructField("msgs", ArrayType(termType), nullable = true)))
+    StructField("msgs", ArrayType(termType), nullable = true),
+    // sh:detail nesting (shape_based_constraints.py:230-244): rid names a
+    // result, prid links a nested child result to its parent; prid != null
+    // rows are report details, not top-level results
+    StructField("rid", StringType, nullable = true),
+    StructField("prid", StringType, nullable = true)))
 
   private val nullMsgs: Column = lit(null).cast(ArrayType(termType))
 
@@ -216,7 +221,11 @@ final class ValidationEngine(
       (if (withP.columns.contains("orig")) $"orig" else $"f").as("orig"),
       (if (withP.columns.contains("constraint")) $"constraint"
        else lit(null).cast(StringType)).as("constraint"),
-      (if (withP.columns.contains("msgs")) $"msgs" else nullMsgs).as("msgs"))
+      (if (withP.columns.contains("msgs")) $"msgs" else nullMsgs).as("msgs"),
+      (if (withP.columns.contains("rid")) $"rid"
+       else lit(null).cast(StringType)).as("rid"),
+      (if (withP.columns.contains("prid")) $"prid"
+       else lit(null).cast(StringType)).as("prid"))
   }
 
   private def childShape(ref: Node, what: String): ShapeIR =
@@ -506,11 +515,35 @@ final class ValidationEngine(
         val cs = childShape(ref, "sh:node")
         if (cs.isPropertyShape)
           throw new ReportableError("Shape pointed to by sh:node is not a well-formed SHACL NodeShape.")
-        val nodes = V.select($"v".as("f")).distinct()
-        val viol = violatorFoci(ref, "sh:node", nodes, stack, shape.id.key + "|node")
-          .select($"f".as("_vf"))
-        val bad = V.join(viol, V("v") === $"_vf", "left_semi").select($"f", $"v")
-        finish(bad, SH.NodeConstraintComponent, shape)
+        val edge = (shape.id.key + "|node", cs.id.key)
+        if (stack.contains(edge)) emptyViol
+        else if (stack.length >= opts.maxDepth)
+          throw new ReportableError("Validation path too deep!")
+        else {
+          val nodes = V.select($"v".as("f")).distinct()
+          // full child results: foci decide the parent violations, the rows
+          // themselves nest under the parent via sh:detail
+          // (shape_based_constraints.py:230-244)
+          val childViol = violations(cs, nodes, edge :: stack)
+          val violFoci = childViol.select($"f").distinct().select($"f".as("_vf"))
+          val badPairs = V.join(violFoci, V("v") === $"_vf", "left_semi").select($"f", $"v")
+          val ridExpr = concat_ws("|", lit(shape.id.key + "|node|" + cs.id.key),
+            termKey($"f"), termKey($"v"))
+          val parents = finish(badPairs.withColumn("rid", ridExpr),
+            SH.NodeConstraintComponent, shape)
+          val links = badPairs
+            .select(termKey($"v").as("_lv"), ridExpr.as("_prid")).distinct()
+          // child top-level rows attach to each matching parent; already-
+          // nested child rows (their own sh:node details) pass through once
+          val childTop = childViol.filter($"prid".isNull)
+            .join(links, termKey(childViol("orig")) === $"_lv")
+            .select(childViol("f"), childViol("v"), childViol("path"),
+              childViol("comp"), childViol("shape"), childViol("orig"),
+              childViol("constraint"), childViol("msgs"), childViol("rid"),
+              $"_prid".as("prid"))
+          val childNested = childViol.filter($"prid".isNotNull)
+          parents.unionByName(childTop).unionByName(childNested)
+        }
       }.reduce(_ unionByName _)
 
     case CProperty(refs) =>
@@ -532,7 +565,8 @@ final class ValidationEngine(
           childViol.join(parents, childViol("orig") === $"_pv")
             .select(childViol("f"), childViol("v"), childViol("path"),
               childViol("comp"), childViol("shape"), $"_pf".as("orig"),
-              childViol("constraint"), childViol("msgs"))
+              childViol("constraint"), childViol("msgs"),
+              childViol("rid"), childViol("prid"))
         }
       }.reduce(_ unionByName _)
 
@@ -666,7 +700,8 @@ final class ValidationEngine(
       rows.select(col("this").as("f"), vCol.as("v"), pCol.as("path"),
         lit(SH.SPARQLConstraintComponent.value).as("comp"),
         lit(shape.id.key).as("shape"), col("this").as("orig"),
-        lit(c.node.key).as("constraint"), msgsLit(c.messages).as("msgs"))
+        lit(c.node.key).as("constraint"), msgsLit(c.messages).as("msgs"),
+        lit(null).cast(StringType).as("rid"), lit(null).cast(StringType).as("prid"))
     }
     if (!hasFailure) emit(df, useVars = true)
     else {
@@ -716,7 +751,8 @@ final class ValidationEngine(
         "left_anti")
       bad.select(col("this").as("f"), reportVal.as("v"), pathDefault.as("path"),
         lit(compIri).as("comp"), lit(shape.id.key).as("shape"), col("this").as("orig"),
-        lit(null).cast(StringType).as("constraint"), msgs.as("msgs"))
+        lit(null).cast(StringType).as("constraint"), msgs.as("msgs"),
+        lit(null).cast(StringType).as("rid"), lit(null).cast(StringType).as("prid"))
     } else {
       val q = Sparql.parseQuery(b.query, b.prefixes) match {
         case s: Sparql.SqSelect => s
@@ -739,7 +775,8 @@ final class ValidationEngine(
         else pathDefault
       df.select(col("this").as("f"), vCol.as("v"), pCol.as("path"),
         lit(compIri).as("comp"), lit(shape.id.key).as("shape"), col("this").as("orig"),
-        lit(null).cast(StringType).as("constraint"), msgs.as("msgs"))
+        lit(null).cast(StringType).as("constraint"), msgs.as("msgs"),
+        lit(null).cast(StringType).as("rid"), lit(null).cast(StringType).as("prid"))
     }
   }
 
@@ -810,7 +847,9 @@ final class ValidationEngine(
       constraintKey = Option(r.getString(6)),
       messages = Option(r.getSeq[Row](7)).map(_.toList.map(m =>
         TriplesDF.nodeOf(m) match { case l: Lit => l; case o => Lit(o.key) }))
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      rid = Option(r.getString(8)),
+      parentRid = Option(r.getString(9)))
 }
 
 final case class ResultRow(
@@ -821,4 +860,9 @@ final case class ResultRow(
   shapeKey: String,
   constraintKey: Option[String] = None,
   /** constraint-scoped message override (SPARQL constraints/components) */
-  messages: List[Lit] = Nil)
+  messages: List[Lit] = Nil,
+  /** sh:detail nesting: id of this result / of the parent it nests under */
+  rid: Option[String] = None,
+  parentRid: Option[String] = None) {
+  def isDetail: Boolean = parentRid.isDefined
+}

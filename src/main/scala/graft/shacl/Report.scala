@@ -36,9 +36,18 @@ object ReportBuilder {
     g.add(report, SH.conforms, Lit(conforms.toString, XSD.boolean))
     val shapesByKey: Map[String, ShapeIR] = shapes.values.map(s => s.id.key -> s).toMap
 
+    // sh:detail nesting: rid names a result node; detail rows hang off
+    // their parent instead of the report (shape_based_constraints.py:230-244)
+    val ridToBnode: Map[String, BNode] = results.zipWithIndex.collect {
+      case (r, i) if r.rid.isDefined => r.rid.get -> BNode(s"vr$i")
+    }.toMap
+
     results.zipWithIndex.foreach { case (r, i) =>
       val rn = BNode(s"vr$i")
-      g.add(report, SH.result, rn)
+      r.parentRid.flatMap(ridToBnode.get) match {
+        case Some(parent) => g.add(parent, SH.detail, rn)
+        case None => g.add(report, SH.result, rn)
+      }
       g.add(rn, RDF.ty, SH.ValidationResult)
       g.add(rn, SH.sourceConstraintComponent, r.component)
       val shapeIr = shapesByKey.get(r.shapeKey)

@@ -34,7 +34,7 @@ object Validator {
     // mix_in_ontology -> rdfutil/inoculate.py)
     val data = ontGraph.map(o => Inoculate.mix(dataGraph, o)).getOrElse(dataGraph)
     val df0 = TriplesDF.fromMemGraph(spark, data)
-    val df = if (opts.inference == "rdfs") RdfsInference.expand(spark, df0) else df0
+    val df = inferenceStep(spark, df0, opts.inference)
     validateFrame(spark, df, sg, dataCbd = n => data.cbd(n), opts)
   }
 
@@ -61,12 +61,14 @@ object Validator {
        else if (opts.allowInfos) Set(SH.Info)
        else Set.empty[Iri])
     val shapesByKey = shapes.values.map(sh => sh.id.key -> sh).toMap
-    val blocking = rows.filterNot(r =>
+    // detail rows (sh:detail children) never flip conformance on their own
+    val blocking = rows.filterNot(_.isDetail).filterNot(r =>
       allowed.contains(shapesByKey.get(r.shapeKey).map(_.severity).getOrElse(SH.Violation)))
     val conformsV = blocking.isEmpty
     val (conforms, g, rep) = ReportBuilder.build(rows, shapes, shapesGraph, dataCbd,
       conformsOverride = Some(conformsV))
-    Outcome(conforms, g, rep, ReportBuilder.text(conforms, rows, shapes), rows)
+    Outcome(conforms, g, rep,
+      ReportBuilder.text(conforms, rows.filterNot(_.isDetail), shapes), rows)
   }
 
   /** At-scale validation outcome: nothing driver-bound except bounded
@@ -92,15 +94,16 @@ object Validator {
       shapesGraph: MemGraph,
       opts: ValidationOptions = ValidationOptions(),
       sampleSize: Int = 100): ScaleOutcome = {
+    val inferred = inferenceStep(spark, triples, opts.inference)
     val expanded =
-      if (opts.advanced) RulesEngine.expand(spark, triples, shapesGraph, opts.iterateRules)
-      else if (opts.inference == "rdfs") RdfsInference.expand(spark, triples)
-      else triples
+      if (opts.advanced) RulesEngine.expand(spark, inferred, shapesGraph, opts.iterateRules)
+      else inferred
     val shapes = new ShapeCompiler(shapesGraph).compile()
     val engine = new ValidationEngine(spark, expanded, shapes, shapesGraph, opts)
-    val viol = engine.violationsFrame()
-    // one distributed aggregation: (component, shape) cardinality is tiny
     import org.apache.spark.sql.functions._
+    // detail rows are report decoration, not top-level results
+    val viol = engine.violationsFrame().filter(col("prid").isNull)
+    // one distributed aggregation: (component, shape) cardinality is tiny
     val counts = viol.groupBy(col("comp"), col("shape")).count().collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val total = counts.map(_._3).sum
@@ -125,6 +128,15 @@ object Validator {
        else "")
     ScaleOutcome(blocking == 0, total, byComp, bySev, sampleRows, text, viol)
   }
+
+  /** Pre-validation inference (run_type.py:21-85): 'rdfs', 'owlrl', or
+    * 'both' (owlrl here subsumes the rdfs closure). */
+  private def inferenceStep(spark: SparkSession, df: DataFrame, mode: String): DataFrame =
+    mode match {
+      case "rdfs" => RdfsInference.expand(spark, df)
+      case "owlrl" | "both" => OwlRlInference.expand(spark, df)
+      case _ => df
+    }
 
   /** CBD provider over a DataFrame for the at-scale path: one targeted
     * filter per requested bnode subtree (reports are small). */
