@@ -83,14 +83,17 @@ object Bench {
         timed(scalePipeline(sp, scaleDocs, 128))
       } finally sp.stop()
     }
-    // two interleaved passes, min per config: co-tenant load on this box
-    // varies on a minutes scale, so back-to-back repeats share the noise
-    // while interleaving spreads it
+    // three interleaved passes, min per config (VERDICT r1 #10: min-of-2
+    // left a super-linear 4->8 artifact from co-tenant load; interleaving
+    // spreads the noise across configs and the per-pass spread is reported
+    // so an unquiet host is visible in the output rather than silently
+    // corrupting the efficiency figures)
     val configs = Seq(4, 16, 8, 32)
-    val pass1 = configs.map(c => c -> scaleRun(c)).toMap
-    val pass2 = configs.map(c => c -> scaleRun(c)).toMap
-    val nS = pass1(4)._1
-    def best(c: Int): Double = math.min(pass1(c)._2, pass2(c)._2)
+    val passes = (1 to 3).map(_ => configs.map(c => c -> scaleRun(c)).toMap)
+    val nS = passes.head(4)._1
+    def runs(c: Int): Seq[Double] = passes.map(_(c)._2)
+    def best(c: Int): Double = runs(c).min
+    def spread(c: Int): Double = (runs(c).max - runs(c).min) / runs(c).min
     val t4 = best(4); val t16 = best(16); val t8 = best(8); val t32 = best(32)
     def eff(tn: Double, t4n: Double): Double = (tn / t4n) / 4.0
     // co-tenant load at measurement time (this box idles at load 7-11);
@@ -98,9 +101,10 @@ object Bench {
     val loadavg = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ")(0)
       catch { case _: Throwable => "-1" }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def runsJson(c: Int): String = runs(c).map(t => f"$t%.2f").mkString("[", ",", "]")
     val tps = triplesN / tMain
     println(
-      f"""{"metric":"triples_per_sec","value":$tps%.0f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","pipeline":{"docs":$nDocs,"triples":$triplesN,"seconds":$tMain%.2f},"scaling":{"docs":$scaleDocs,"triples":$nS,"t4":$t4%.2f,"t16":$t16%.2f,"t8":$t8%.2f,"t32":$t32%.2f,"tps4":${nS / t4}%.0f,"tps16":${nS / t16}%.0f,"tps8":${nS / t8}%.0f,"tps32":${nS / t32}%.0f,"host_loadavg":$loadavg,"efficiency_4_to_8":${(t4 / t8) / 2.0}%.3f,"efficiency_4_to_16":${eff(t4, t16)}%.3f,"efficiency_8_to_32":${eff(t8, t32)}%.3f}}""")
+      f"""{"metric":"triples_per_sec","value":$tps%.0f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","pipeline":{"docs":$nDocs,"triples":$triplesN,"seconds":$tMain%.2f},"scaling":{"docs":$scaleDocs,"triples":$nS,"t4":$t4%.2f,"t16":$t16%.2f,"t8":$t8%.2f,"t32":$t32%.2f,"runs4":${runsJson(4)},"runs8":${runsJson(8)},"runs16":${runsJson(16)},"runs32":${runsJson(32)},"spread4":${spread(4)}%.3f,"spread8":${spread(8)}%.3f,"spread16":${spread(16)}%.3f,"spread32":${spread(32)}%.3f,"tps4":${nS / t4}%.0f,"tps16":${nS / t16}%.0f,"tps8":${nS / t8}%.0f,"tps32":${nS / t32}%.0f,"host_loadavg":$loadavg,"efficiency_4_to_8":${(t4 / t8) / 2.0}%.3f,"efficiency_4_to_16":${eff(t4, t16)}%.3f,"efficiency_8_to_32":${eff(t8, t32)}%.3f}}""")
   }
 
   /** Scaling workload: the full pipeline over web-document-sized (fat=20)
