@@ -1,0 +1,59 @@
+package graft.rdf
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class QuadsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val trig =
+    """@prefix ex: <http://ex.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:meta ex:generatedAt "2012-04-09T00:00:00"^^xsd:dateTime .
+      |ex:g1 {
+      |  ex:a a ex:Person ; ex:name "Alice" ; ex:score 1.5 .
+      |}
+      |GRAPH <http://ex.org/g2> {
+      |  ex:b a ex:Person ; ex:name "" .
+      |}
+      |""".stripMargin
+
+  test("TriG parses named graphs + default graph; default union feeds validation") {
+    val quads = TrigParser.parseGraphQuads(trig, "http://test/")
+    def I(l: String) = Iri("http://ex.org/" + l)
+    assert(quads.exists(q => q.s == I("meta") && q.g.isEmpty))
+    assert(quads.exists(q => q.s == I("a") && q.g.contains(I("g1"))))
+    assert(quads.exists(q => q.s == I("b") && q.g.contains(I("g2"))))
+    assert(quads.exists(q => q.o == Lit("1.5", XSD.ns + "decimal"))) // dot-in-decimal survives
+    val df = QuadsDF.fromQuads(spark, quads)
+    assert(QuadsDF.graphNames(df) == Seq("http://ex.org/g1", "http://ex.org/g2"))
+    assert(QuadsDF.graph(df, Some("http://ex.org/g1")).count() == 3)
+    assert(QuadsDF.defaultUnion(df).count() == quads.size)
+
+    // validate the dataset as a union (issue test_026's shape of check)
+    val shapes = TurtleParser.parseGraph(
+      """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        |@prefix ex: <http://ex.org/> .
+        |ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+        |  sh:property [ sh:path ex:name ; sh:minLength 1 ] .
+        |""".stripMargin, "http://test/s")
+    val out = graft.shacl.Validator.validateFrame(spark, QuadsDF.defaultUnion(df),
+      shapes, dataCbd = _ => Nil)
+    assert(!out.conforms) // ex:b has the empty name, found across graphs
+    assert(out.results.map(_.focus) == Seq(Iri("http://ex.org/b")))
+  }
+
+  test("locked write context: inference lands in its own named graph") {
+    val quads = QuadsDF.fromQuads(spark, Seq(
+      Quad(Iri("e:a"), Iri("p:type"), Iri("e:T"), Some(Iri("g:data")))))
+    val derived = TriplesDF.fromTriples(spark, Seq(
+      Triple(Iri("e:a"), Iri("p:type"), Iri("e:Super")),
+      Triple(Iri("e:a"), Iri("p:type"), Iri("e:T")))) // already known: stays out
+    val out = QuadsDF.expandInto(quads, derived, "urn:pyshacl:inference")
+    val inf = QuadsDF.graph(out, Some("urn:pyshacl:inference"))
+    assert(inf.count() == 1)
+    assert(QuadsDF.defaultUnion(out).count() == 2)
+    assert(QuadsDF.graph(out, Some("g:data")).count() == 1)
+  }
+}

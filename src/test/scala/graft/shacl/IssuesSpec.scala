@@ -129,37 +129,44 @@ object IssueCorpus {
     if (f.blocks.contains(v)) List(f.blocks(v))
     else f.aliases.getOrElse(v, Nil).flatMap(b => f.blocks.get(b))
 
-  /** None = supported; Some(reason) = skip. */
+  /** None = supported; Some(reason) = skip (per case). */
+  def caseReason(f: PyFile, c: PyCase): Option[String] = {
+    val supportedFormats = Set("turtle", "ttl", "trig")
+    if (c.expect.isEmpty && !c.expectLoadError)
+      Some("no conforms assertion after validate() (asserts report internals)")
+    else if (resolveBlocks(f, c.dataVar).isEmpty)
+      Some(s"data fixture ${c.dataVar} not inline")
+    else if (c.shaclVar.exists(v => resolveBlocks(f, v).isEmpty))
+      Some("shapes fixture not inline")
+    else if (c.opts.get("data_graph_format").exists(fm => !supportedFormats(fm)) ||
+             c.opts.get("shacl_graph_format").exists(fm => !supportedFormats(fm)) ||
+             c.opts.get("ont_graph_format").exists(fm => !supportedFormats(fm)))
+      Some(s"non-turtle serialization ${c.opts.getOrElse("data_graph_format",
+        c.opts.getOrElse("shacl_graph_format", ""))}")
+    else if (c.opts.get("js").contains("True")) Some("js mode")
+    else if (c.opts.get("do_owl_imports").contains("True")) Some("do_owl_imports (web fetch)")
+    else if ((resolveBlocks(f, c.dataVar) ++
+              c.shaclVar.toList.flatMap(resolveBlocks(f, _)))
+             .exists(_.trim.startsWith("{")))
+      Some("json-ld fixture (sniffed)")
+    else None
+  }
+
   def unsupportedReason(f: PyFile): Option[String] = {
     if (f.cases.isEmpty) return Some("no validate() call found")
-    val supportedFormats = Set("turtle", "ttl")
-    f.cases.flatMap { c =>
-      if (c.expect.isEmpty && !c.expectLoadError)
-        Some("no conforms assertion after validate() (asserts report internals)")
-      else if (resolveBlocks(f, c.dataVar).isEmpty)
-        Some(s"data fixture ${c.dataVar} not inline")
-      else if (c.shaclVar.exists(v => resolveBlocks(f, v).isEmpty))
-        Some("shapes fixture not inline")
-      else if (c.opts.get("data_graph_format").exists(fm => !supportedFormats(fm)) ||
-               c.opts.get("shacl_graph_format").exists(fm => !supportedFormats(fm)) ||
-               c.opts.get("ont_graph_format").exists(fm => !supportedFormats(fm)))
-        Some(s"non-turtle serialization ${c.opts.getOrElse("data_graph_format",
-          c.opts.getOrElse("shacl_graph_format", ""))}")
-      else if (c.opts.get("js").contains("True")) Some("js mode")
-      else if (c.opts.get("do_owl_imports").contains("True")) Some("do_owl_imports (web fetch)")
-      else if ((resolveBlocks(f, c.dataVar) ++
-                c.shaclVar.toList.flatMap(resolveBlocks(f, _)))
-               .exists(_.trim.startsWith("{")))
-        Some("json-ld fixture (sniffed)")
-      else None
-    }.headOption
+    val reasons = f.cases.map(caseReason(f, _))
+    if (reasons.forall(_.isDefined)) reasons.flatten.headOption else None
   }
 
   def run(spark: org.apache.spark.sql.SparkSession, f: PyFile): List[(Boolean, String)] =
-    f.cases.map { c =>
-      def parseAll(blocks: List[String], base: String, pfx: String): MemGraph =
+    f.cases.filter(c => caseReason(f, c).isEmpty).map { c =>
+      def parseOne(b: String, base: String, pfx: String, fmt: Option[String]): MemGraph =
+        if (fmt.contains("trig")) TrigParser.parseGraph(b, base, bnodePrefix = pfx)
+        else TurtleParser.parseGraph(b, base, bnodePrefix = pfx)
+      def parseAll(blocks: List[String], base: String, pfx: String,
+                   fmt: Option[String] = None): MemGraph =
         blocks.zipWithIndex.map { case (b, i) =>
-          TurtleParser.parseGraph(b, base, bnodePrefix = s"$pfx$i")
+          parseOne(b, base, s"$pfx$i", fmt)
         }.reduce(_ ++ _)
       if (c.expectLoadError) {
         val ok =
@@ -174,7 +181,8 @@ object IssueCorpus {
           }
         (ok, "expected a shape-load error")
       } else {
-      val dataG = parseAll(resolveBlocks(f, c.dataVar), "file:///issue.ttl", "d")
+      val dataG = parseAll(resolveBlocks(f, c.dataVar), "file:///issue.ttl", "d",
+        c.opts.get("data_graph_format"))
       val ontG = c.ontVar.map(v => resolveBlocks(f, v)).filter(_.nonEmpty)
         .map(ov => parseAll(ov, "file:///ont.ttl", "o"))
       val shapesG = c.shaclVar.map(v =>
