@@ -14,9 +14,12 @@ import graft.rdf._
 object IssueCorpus {
   final case class PyCase(
     dataVar: String, shaclVar: Option[String], ontVar: Option[String],
-    opts: Map[String, String], expect: Option[Boolean], expectLoadError: Boolean)
+    opts: Map[String, String], expect: Option[Boolean], expectLoadError: Boolean,
+    offset: Int)
+  /** aliases are positional: (text offset, graph var, parsed blocks) — the
+    * same variable name is reassigned per test function in many files. */
   final case class PyFile(name: String, blocks: Map[String, String],
-                          aliases: Map[String, List[String]], cases: List[PyCase])
+                          aliases: List[(Int, String, List[String])], cases: List[PyCase])
 
   private val blockRe =
     """(?s)(\w+)\s*=\s*(?:'''(.*?)'''|\"\"\"(.*?)\"\"\")""".r
@@ -36,10 +39,10 @@ object IssueCorpus {
           case '\\' => sb.append('\\'); i += 2
           case '\'' => sb.append('\''); i += 2
           case '"' => sb.append('"'); i += 2
-          case 'a' => sb.append(''); i += 2
+          case 'a' => sb.append('\u0007'); i += 2
           case 'b' => sb.append('\b'); i += 2
           case 'f' => sb.append('\f'); i += 2
-          case 'v' => sb.append(''); i += 2
+          case 'v' => sb.append('\u000b'); i += 2
           case 'u' if i + 5 < s.length =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
           case 'x' if i + 3 < s.length =>
@@ -60,14 +63,13 @@ object IssueCorpus {
     }.toMap
     // rdflib indirection: `g = rdflib.Graph(); g.parse(data=block)` (possibly
     // chained `.parse(data=b1).parse(data=b2)`) — map graph var -> blocks
-    val aliases = scala.collection.mutable.Map.empty[String, List[String]]
+    val aliases = scala.collection.mutable.ListBuffer.empty[(Int, String, List[String])]
     for (m <- """(\w+)(?:\s*=\s*rdflib\.\w*Graph\(\))?((?:\s*\.parse\(\s*data=\w+[^)]*\))+)""".r
            .findAllMatchIn(text)) {
       val v = m.group(1)
       val parsed = """\.parse\(\s*data=(\w+)""".r.findAllMatchIn(m.group(2))
         .map(_.group(1)).toList
-      if (parsed.nonEmpty)
-        aliases(v) = aliases.getOrElse(v, Nil) ++ parsed
+      if (parsed.nonEmpty) aliases += ((m.start, v, parsed))
     }
     // anonymous inline fixture: g = rdflib.Graph().parse(data=\"\"\"...\"\"\")
     val inline = scala.collection.mutable.Map.empty[String, String]
@@ -80,7 +82,7 @@ object IssueCorpus {
     val segments = callIdx.zipAll(callIdx.drop(1), -1, text.length).map {
       case (s, e) => text.substring(s, e)
     }
-    val cases = segments.flatMap { seg =>
+    val cases = segments.zip(callIdx).flatMap { case (seg, segStart) =>
       val open = seg.indexOf('(')
       var depth = 0; var i = open; var close = -1
       while (i < seg.length && close < 0) {
@@ -117,26 +119,29 @@ object IssueCorpus {
         Some(PyCase(dataVar,
           kwargs.get("shacl_graph").filter(_.matches("\\w+")),
           kwargs.get("ont_graph").filter(_.matches("\\w+")),
-          kwargs, expect, expectErr))
+          kwargs, expect, expectErr, segStart))
       }
     }
-    PyFile(path, blocks ++ inline, aliases.toMap, cases)
+    PyFile(path, blocks ++ inline, aliases.toList, cases)
   }
 
-  /** Resolve a variable to the Turtle blocks it denotes (direct block or
-    * rdflib-graph alias). */
-  def resolveBlocks(f: PyFile, v: String): List[String] =
+  /** Resolve a variable to the fixture blocks it denotes at the call site:
+    * a direct block, or the LAST rdflib-graph alias assigned before the
+    * call (the same var name is reassigned per test function). */
+  def resolveBlocks(f: PyFile, v: String, at: Int = Int.MaxValue): List[String] =
     if (f.blocks.contains(v)) List(f.blocks(v))
-    else f.aliases.getOrElse(v, Nil).flatMap(b => f.blocks.get(b))
+    else f.aliases.filter(a => a._2 == v && a._1 < at)
+      .sortBy(_._1).lastOption.toList
+      .flatMap(_._3).flatMap(b => f.blocks.get(b))
 
   /** None = supported; Some(reason) = skip (per case). */
   def caseReason(f: PyFile, c: PyCase): Option[String] = {
-    val supportedFormats = Set("turtle", "ttl", "trig")
+    val supportedFormats = Set("turtle", "ttl", "trig", "json-ld")
     if (c.expect.isEmpty && !c.expectLoadError)
       Some("no conforms assertion after validate() (asserts report internals)")
-    else if (resolveBlocks(f, c.dataVar).isEmpty)
+    else if (resolveBlocks(f, c.dataVar, c.offset).isEmpty)
       Some(s"data fixture ${c.dataVar} not inline")
-    else if (c.shaclVar.exists(v => resolveBlocks(f, v).isEmpty))
+    else if (c.shaclVar.exists(v => resolveBlocks(f, v, c.offset).isEmpty))
       Some("shapes fixture not inline")
     else if (c.opts.get("data_graph_format").exists(fm => !supportedFormats(fm)) ||
              c.opts.get("shacl_graph_format").exists(fm => !supportedFormats(fm)) ||
@@ -145,10 +150,10 @@ object IssueCorpus {
         c.opts.getOrElse("shacl_graph_format", ""))}")
     else if (c.opts.get("js").contains("True")) Some("js mode")
     else if (c.opts.get("do_owl_imports").contains("True")) Some("do_owl_imports (web fetch)")
-    else if ((resolveBlocks(f, c.dataVar) ++
-              c.shaclVar.toList.flatMap(resolveBlocks(f, _)))
-             .exists(_.trim.startsWith("{")))
-      Some("json-ld fixture (sniffed)")
+    else if ((resolveBlocks(f, c.dataVar, c.offset) ++
+              c.shaclVar.toList.flatMap(resolveBlocks(f, _, c.offset)))
+             .exists(b => b.trim.startsWith("{") && b.contains("\"@context\": \"")))
+      Some("json-ld with a remote @context (web fetch)")
     else None
   }
 
@@ -161,7 +166,10 @@ object IssueCorpus {
   def run(spark: org.apache.spark.sql.SparkSession, f: PyFile): List[(Boolean, String)] =
     f.cases.filter(c => caseReason(f, c).isEmpty).map { c =>
       def parseOne(b: String, base: String, pfx: String, fmt: Option[String]): MemGraph =
-        if (fmt.contains("trig")) TrigParser.parseGraph(b, base, bnodePrefix = pfx)
+        // content sniffing like the reference's loader (load.py:370-386):
+        // a declared format can be wrong (test_036 marks Turtle as json-ld)
+        if (b.trim.startsWith("{")) JsonLd.parseGraph(b, bnodePrefix = pfx)
+        else if (fmt.contains("trig")) TrigParser.parseGraph(b, base, bnodePrefix = pfx)
         else TurtleParser.parseGraph(b, base, bnodePrefix = pfx)
       def parseAll(blocks: List[String], base: String, pfx: String,
                    fmt: Option[String] = None): MemGraph =
@@ -171,9 +179,9 @@ object IssueCorpus {
       if (c.expectLoadError) {
         val ok =
           try {
-            val dataG = parseAll(resolveBlocks(f, c.dataVar), "file:///issue.ttl", "d")
+            val dataG = parseAll(resolveBlocks(f, c.dataVar, c.offset), "file:///issue.ttl", "d")
             val shapesG = c.shaclVar.map(v =>
-              parseAll(resolveBlocks(f, v), "file:///shapes.ttl", "s"))
+              parseAll(resolveBlocks(f, v, c.offset), "file:///shapes.ttl", "s"))
             Validator.validateGraph(spark, dataG, shapesG, ValidationOptions())
             false
           } catch {
@@ -181,12 +189,12 @@ object IssueCorpus {
           }
         (ok, "expected a shape-load error")
       } else {
-      val dataG = parseAll(resolveBlocks(f, c.dataVar), "file:///issue.ttl", "d",
+      val dataG = parseAll(resolveBlocks(f, c.dataVar, c.offset), "file:///issue.ttl", "d",
         c.opts.get("data_graph_format"))
-      val ontG = c.ontVar.map(v => resolveBlocks(f, v)).filter(_.nonEmpty)
+      val ontG = c.ontVar.map(v => resolveBlocks(f, v, c.offset)).filter(_.nonEmpty)
         .map(ov => parseAll(ov, "file:///ont.ttl", "o"))
       val shapesG = c.shaclVar.map(v =>
-        parseAll(resolveBlocks(f, v), "file:///shapes.ttl", "s"))
+        parseAll(resolveBlocks(f, v, c.offset), "file:///shapes.ttl", "s"))
       val opts = ValidationOptions(
         inference = c.opts.getOrElse("inference", "none") match {
           case "rdfs" => "rdfs"
