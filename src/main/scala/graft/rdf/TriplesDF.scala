@@ -98,6 +98,50 @@ object TriplesDF {
     }
     parsed.toDF("s", "p", "o")
   }
+
+  final case class QuadRow(s: TermRow, p: String, o: TermRow, g: String)
+
+  /** Distributed N-Quads scan: like readNTriples with an optional 4th
+    * graph term per line ("" = default graph). Each line parses
+    * independently, so ingest parallelizes over file splits. */
+  def readNQuads(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+    val parsed = lines.flatMap { line =>
+      val t = line.trim
+      if (t.isEmpty || t.startsWith("#")) Iterator.empty
+      else {
+        // split the optional graph label off the right: the line is
+        // `<s> <p> o (g)? .`; the graph term is IRI or bnode, so scanning
+        // back from the final '.' cannot land inside a literal
+        val dot = t.lastIndexOf('.')
+        val body = if (dot >= 0) t.substring(0, dot).trim else t
+        val (triplePart, g) =
+          if (body.endsWith(">") || body.matches(".*_:[A-Za-z0-9._-]+$")) {
+            // candidate 4th term; only a graph if 3 terms precede it
+            val cut =
+              if (body.endsWith(">")) body.lastIndexOf('<')
+              else body.lastIndexOf("_:")
+            val head = body.substring(0, cut).trim
+            // a head ending in a complete object (>, ", or bnode/word) with
+            // 3 terms means the tail is the graph label
+            val (ts0, _) = try new TurtleParser(head + " .", "file:///", "nt").parse()
+              catch { case _: Throwable => (Nil, Map.empty[String, String]) }
+            if (ts0.size == 1) {
+              val gterm = body.substring(cut).trim
+              val gname =
+                if (gterm.startsWith("<")) gterm.drop(1).dropRight(1)
+                else gterm // _:bnode graph label keeps its key form
+              (head + " .", gname)
+            } else (body + " .", "")
+          } else (body + " .", "")
+        val (triples, _) = new TurtleParser(triplePart, "file:///", "nt").parse()
+        triples.iterator.map(tr =>
+          QuadRow(TermRow.of(tr.s), tr.p.value, TermRow.of(tr.o), g))
+      }
+    }
+    parsed.toDF("s", "p", "o", "g")
+  }
 }
 
 /** Scalar kernels used inside DataFrame plans. Registered once per session.

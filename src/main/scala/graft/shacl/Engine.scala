@@ -412,11 +412,12 @@ final class ValidationEngine(
 
     case CPattern(pattern, flags) =>
       // only flags Java's inline group supports survive; the reference
-      // honors just i/m and ignores the rest (string_based_constraints.py)
+      // honors just i/m and ignores the rest (string_based_constraints.py).
+      // The pattern itself goes through the Python→Java dialect translator.
       val jflags = flags.map(_.filter("imsx".contains(_))).filter(_.nonEmpty)
         .map(f => s"(?$f)").getOrElse("")
       val bad = V.filter($"v"("k") === 1 ||
-        !strCoerce($"v").rlike(jflags + pattern))
+        !strCoerce($"v").rlike(jflags + RegexDialect.pythonToJava(pattern)))
       finish(bad, SH.PatternConstraintComponent, shape)
 
     case CLanguageIn(langs) =>

@@ -390,7 +390,8 @@ final class SparqlFrame(
     }
     val flags = args.drop(2).headOption.collect { case EConst(Lit(f, _, _)) => f }
       .map(_.filter("ims".contains(_))).filter(_.nonEmpty).map(f => s"(?$f)").getOrElse("")
-    when(t.isNull || t("k") =!= 2, nullB).otherwise(t("v").rlike(flags + pat))
+    when(t.isNull || t("k") =!= 2, nullB)
+      .otherwise(t("v").rlike(flags + RegexDialect.pythonToJava(pat)))
   }
 
   private def kindIsB(t: Column, k: Int): Column =
@@ -479,6 +480,13 @@ final class SparqlFrame(
       .when(a("k") === 2 && b("k") === 2, cmpC(a, b) === 0)
       .otherwise(lit(false))
 
-  private def cmpC(a: Column, b: Column): Column =
-    callUDF("rdf_cmp", a("v"), a("k"), a("dt"), a("lang"), b("v"), b("dt"), b("lang"))
+  /** SPARQL-order comparison. Numeric-vs-numeric takes a pure-Catalyst
+    * fast path (stays inside whole-stage codegen; the scalar UDF only
+    * handles the mixed/temporal/string tail). */
+  private def cmpC(a: Column, b: Column): Column = {
+    val an = num(a); val bn = num(b)
+    when(an.isNotNull && bn.isNotNull,
+      when(an < bn, -1).when(an === bn, 0).otherwise(1))
+      .otherwise(callUDF("rdf_cmp", a("v"), a("k"), a("dt"), a("lang"), b("v"), b("dt"), b("lang")))
+  }
 }

@@ -9,7 +9,8 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q_path_seq_agg", "q_class_anti", "q_range", "q_mincount", "q_minhash_lsh")
+      else Seq("q_path_seq_agg", "q_class_anti", "q_range", "q_mincount",
+        "q_minhash_lsh", "q_sparql_join")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

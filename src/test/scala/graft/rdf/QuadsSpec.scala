@@ -44,6 +44,32 @@ class QuadsSpec extends AnyFunSuite {
     assert(out.results.map(_.focus) == Seq(Iri("http://ex.org/b")))
   }
 
+  test("regex dialect translation: named groups, backrefs, \\Z") {
+    assert(RegexDialect.pythonToJava("(?P<y>\\d{4})-(?P=y)\\Z") ==
+      "(?<y>\\d{4})-\\k<y>\\z")
+    // escapes and char classes are untouched
+    assert(RegexDialect.pythonToJava("^\\d{3}-[\\]Z(?P]\\\\Z$") == "^\\d{3}-[\\]Z(?P]\\\\Z$")
+    assert("2024-2024".matches(RegexDialect.pythonToJava("(?P<y>\\d{4})-(?P=y)")))
+  }
+
+  test("distributed N-Quads scan: 3- and 4-term lines, default + named graphs") {
+    val nq =
+      """<http://ex/s1> <http://ex/p> "plain lit with <angle> and . dot" .
+        |<http://ex/s2> <http://ex/p> <http://ex/o> <http://ex/g1> .
+        |# comment
+        |<http://ex/s3> <http://ex/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> <http://ex/g1> .
+        |_:b1 <http://ex/p> _:b2 _:g2 .
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("quads", ".nq")
+    java.nio.file.Files.writeString(f, nq)
+    val df = TriplesDF.readNQuads(spark, f.toString)
+    assert(df.count() == 4)
+    val byG = df.groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(byG("") == 1 && byG("http://ex/g1") == 2 && byG("_:g2") == 1)
+    assert(df.filter($"g" === "").select($"o"("v")).as[String].collect()(0)
+      .contains("<angle> and . dot"))
+  }
+
   test("locked write context: inference lands in its own named graph") {
     val quads = QuadsDF.fromQuads(spark, Seq(
       Quad(Iri("e:a"), Iri("p:type"), Iri("e:T"), Some(Iri("g:data")))))
