@@ -79,6 +79,31 @@ final class ValidationEngine(
   private def msgsLit(msgs: Seq[Lit]): Column =
     if (msgs.isEmpty) nullMsgs else array(msgs.map(termLit): _*)
 
+  /** SPARQL-constraint message with {$var}/{?var} substituted per result
+    * row from the solution columns (constraint_component.py:300-323,
+    * _format_sparql_based_result_message); unknown variables keep their
+    * token text, like the reference. */
+  private def msgsSubst(msgs: Seq[Lit], available: Set[String]): Column = {
+    if (msgs.isEmpty) return nullMsgs
+    val token = "\\{[\\$\\?](\\w+)\\}".r
+    def one(m: Lit): Column = {
+      val parts = scala.collection.mutable.ListBuffer.empty[Column]
+      var last = 0
+      for (t <- token.findAllMatchIn(m.lex)) {
+        if (t.start > last) parts += lit(m.lex.substring(last, t.start))
+        val v = t.group(1)
+        if (available.contains(v)) parts += coalesce(col(v)("v"), lit(t.matched))
+        else parts += lit(t.matched)
+        last = t.end
+      }
+      if (last < m.lex.length) parts += lit(m.lex.substring(last))
+      if (parts.isEmpty) parts += lit("")
+      struct(concat(parts.toSeq: _*).as("v"), lit(2.toByte).as("k"),
+        lit("").as("dt"), lit("").as("lang"))
+    }
+    array(msgs.map(one): _*)
+  }
+
   private def emptyViol: DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), violSchema)
 
@@ -701,7 +726,8 @@ final class ValidationEngine(
       rows.select(col("this").as("f"), vCol.as("v"), pCol.as("path"),
         lit(SH.SPARQLConstraintComponent.value).as("comp"),
         lit(shape.id.key).as("shape"), col("this").as("orig"),
-        lit(c.node.key).as("constraint"), msgsLit(c.messages).as("msgs"),
+        lit(c.node.key).as("constraint"),
+        msgsSubst(c.messages, rows.columns.toSet).as("msgs"),
         lit(null).cast(StringType).as("rid"), lit(null).cast(StringType).as("prid"))
     }
     if (!hasFailure) emit(df, useVars = true)
@@ -776,7 +802,11 @@ final class ValidationEngine(
         else pathDefault
       df.select(col("this").as("f"), vCol.as("v"), pCol.as("path"),
         lit(compIri).as("comp"), lit(shape.id.key).as("shape"), col("this").as("orig"),
-        lit(null).cast(StringType).as("constraint"), msgs.as("msgs"),
+        lit(null).cast(StringType).as("constraint"),
+        msgsSubst(
+          if (b.messages.nonEmpty) b.messages
+          else List(Lit("Parameterised SHACL Query generated constraint validation reports.")),
+          df.columns.toSet).as("msgs"),
         lit(null).cast(StringType).as("rid"), lit(null).cast(StringType).as("prid"))
     }
   }

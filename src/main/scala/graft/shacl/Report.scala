@@ -87,6 +87,16 @@ object ReportBuilder {
     (conforms, g, report)
   }
 
+  /** The reference's text report names the constraint CLASS, which differs
+    * from the component IRI for qualified counts and custom components
+    * (constraint_name(); shape_based_constraints.py:260-262). */
+  private def textName(comp: Iri): String = comp match {
+    case SH.QualifiedMinCountConstraintComponent |
+         SH.QualifiedMaxCountConstraintComponent => "QualifiedValueShapeConstraintComponent"
+    case Iri(v) if !v.startsWith(SH.ns) => "ConstraintComponent"
+    case Iri(v) => v.split('#').last
+  }
+
   /** Deterministic plain-text report (validator.py:114-152, sorted). */
   def text(conforms: Boolean, results: Seq[ResultRow], shapes: Map[Node, ShapeIR]): String = {
     if (conforms) "Validation Report\nConforms: True\n"
@@ -99,7 +109,7 @@ object ReportBuilder {
             .orElse(si.flatMap(x =>
               GenericMessages.forResult(x, r.component, r.value, r.pathKey)).map(List(_)))
             .getOrElse(Nil)
-        s"Constraint Violation in ${r.component.value.split('#').last} (${r.component}):\n" +
+        s"Constraint Violation in ${textName(r.component)} (${r.component}):\n" +
           s"\tSeverity: ${si.map(_.severity.key).getOrElse(SH.Violation.key)}\n" +
           s"\tSource Shape: ${r.shapeKey}\n" +
           s"\tFocus Node: ${r.focus}\n" +

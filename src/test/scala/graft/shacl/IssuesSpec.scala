@@ -15,14 +15,18 @@ object IssueCorpus {
   final case class PyCase(
     dataVar: String, shaclVar: Option[String], ontVar: Option[String],
     opts: Map[String, String], expect: Option[Boolean], expectLoadError: Boolean,
-    offset: Int)
+    offset: Int,
+    /** `assert "X" (not) in results_text` checks; CURIE tokens are matched
+      * by local name (this engine prints full IRIs, pyshacl prints CURIEs) */
+    textContains: List[String] = Nil, textNotContains: List[String] = Nil)
   /** aliases are positional: (text offset, graph var, parsed blocks) — the
     * same variable name is reassigned per test function in many files. */
   final case class PyFile(name: String, blocks: Map[String, String],
                           aliases: List[(Int, String, List[String])], cases: List[PyCase])
 
+  // string prefix (r = raw: no escape processing), then triple quotes
   private val blockRe =
-    """(?s)(\w+)\s*=\s*(?:'''(.*?)'''|\"\"\"(.*?)\"\"\")""".r
+    """(?s)(\w+)\s*=\s*([rbuRBU]{0,2})(?:'''(.*?)'''|\"\"\"(.*?)\"\"\")""".r
 
   /** Python (non-raw) string escape semantics: recognized escapes are
     * translated, unknown ones (\\d in regex patterns etc.) are preserved. */
@@ -59,7 +63,9 @@ object IssueCorpus {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")
     val blocks = blockRe.findAllMatchIn(text).map { m =>
-      m.group(1) -> pyUnescape(Option(m.group(2)).getOrElse(m.group(3)))
+      val raw = m.group(2).toLowerCase.contains("r")
+      val body = Option(m.group(3)).getOrElse(m.group(4))
+      m.group(1) -> (if (raw) body else pyUnescape(body))
     }.toMap
     // rdflib indirection: `g = rdflib.Graph(); g.parse(data=block)` (possibly
     // chained `.parse(data=b1).parse(data=b2)`) — map graph var -> blocks
@@ -102,13 +108,15 @@ object IssueCorpus {
             .stripPrefix("\"").stripSuffix("\"")).toMap
         val after = seg.substring(close)
         val expect =
-          if ("""assert\s+not\s+conforms|assert\s+conforms\s+(?:is|==)\s+False""".r
+          if ("""assert\s+not\s+conforms|assert\s+conforms\s+(?:is|==)\s+False|assert\s+False\s*==\s*conforms""".r
               .findFirstIn(after).isDefined) Some(false)
-          else if ("""assert\s+conforms\s+(?:is|==)\s+True""".r
+          else if ("""assert\s+conforms\s+(?:is|==)\s+True|assert\s+True\s*==\s*conforms""".r
               .findFirstIn(after).isDefined) Some(true)
           else if ("""(?m)assert\s+conforms\s*(?:#.*)?$""".r
               .findFirstIn(after).isDefined) Some(true)
           else None
+        val textChecks = """assert\s+"([^"]+)"\s+(not\s+)?in\s+(?:string|results_text|v_text|rtext|text)\b""".r
+          .findAllMatchIn(after).map(m => (m.group(1), m.group(2) == null)).toList
         val expectErr =
           """ConstraintLoadError|ShapeLoadError|ReportableRuntimeError""".r
             .findFirstIn(seg).isDefined &&
@@ -119,7 +127,9 @@ object IssueCorpus {
         Some(PyCase(dataVar,
           kwargs.get("shacl_graph").filter(_.matches("\\w+")),
           kwargs.get("ont_graph").filter(_.matches("\\w+")),
-          kwargs, expect, expectErr, segStart))
+          kwargs, expect, expectErr, segStart,
+          textContains = textChecks.collect { case (t, true) => t },
+          textNotContains = textChecks.collect { case (t, false) => t }))
       }
     }
     PyFile(path, blocks ++ inline, aliases.toList, cases)
@@ -207,8 +217,20 @@ object IssueCorpus {
         allowInfos = c.opts.get("allow_infos").contains("True"),
         allowWarnings = c.opts.get("allow_warnings").contains("True"))
       val out = Validator.validateGraph(spark, dataG, shapesG, opts, ontGraph = ontG)
-      (out.conforms == c.expect.get,
-        s"expected conforms=${c.expect.get} got ${out.conforms}")
+      // report-text content checks: pyshacl prints CURIEs, this engine full
+      // IRIs, so CURIE tokens are matched by local name
+      def norm(tok: String): String =
+        if (tok.matches("\\w+:[^/].*") && !tok.startsWith("http")) tok.substring(tok.indexOf(':') + 1)
+        else tok
+      val textFails =
+        c.textContains.filterNot(t => out.reportText.contains(norm(t)))
+          .map(t => s"report text lacks '$t'") ++
+        c.textNotContains.filter(t => out.reportText.contains(norm(t)))
+          .map(t => s"report text unexpectedly contains '$t'")
+      if (out.conforms != c.expect.get)
+        (false, s"expected conforms=${c.expect.get} got ${out.conforms}")
+      else if (textFails.nonEmpty) (false, textFails.mkString("; "))
+      else (true, "")
       }
     }
 }
