@@ -36,4 +36,54 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == exp)
   }
+
+  test("streaming SHACL validation: per-batch violation counts sum to the batch run") {
+    import graft.rdf._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // three parquet files of row-local triples: (doc, ex:score, lit) where
+    // some scores are non-numeric -> sh:datatype violations, batch-local
+    def iriT(c: org.apache.spark.sql.Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    def litT(c: org.apache.spark.sql.Column, dt: String) =
+      struct(c.as("v"), lit(2.toByte).as("k"), lit(dt).as("dt"), lit("").as("lang"))
+    val dir = java.nio.file.Files.createTempDirectory("svalid")
+    val xsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    for (part <- 0 until 3) {
+      spark.range(part * 100, (part + 1) * 100).select(
+        iriT(concat(lit("http://ex/d"), $"id")).as("s"),
+        lit("http://ex/score").as("p"),
+        // every 10th value is ill-typed for xsd:integer
+        litT(when($"id" % 10 === 0, concat(lit("bad"), $"id"))
+          .otherwise($"id".cast("string")), xsdInt).as("o"))
+        .coalesce(1).write.parquet(s"$dir/p$part")
+      // flatten: move part files up so the stream source sees one dir
+      val sub = new java.io.File(s"$dir/p$part")
+      sub.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/part-$part.parquet"))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(sub)
+    }
+    val shapes = TurtleParser.parseGraph(
+      """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |@prefix ex: <http://ex/> .
+        |ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:score ;
+        |  sh:property [ sh:path ex:score ; sh:datatype xsd:integer ] .
+        |""".stripMargin, "http://test/")
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[StreamingValidation.BatchReport]()
+    val q = StreamingValidation.validateParquetStream(spark, dir.toString, shapes)(reports.add(_))
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val rs = reports.asScala.toList
+    assert(rs.size == 3, s"expected 3 micro-batches, got ${rs.size}")
+    assert(rs.forall(!_.conforms))
+    val streamTotal = rs.map(_.totalViolations).sum
+    // batch run over the union must agree (row-local constraints)
+    val batchOut = graft.shacl.Validator.validateFrameAtScale(spark,
+      spark.read.parquet(dir.toString), shapes)
+    assert(streamTotal == batchOut.totalViolations)
+    assert(streamTotal == 30)
+  }
 }
