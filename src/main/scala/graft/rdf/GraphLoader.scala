@@ -10,6 +10,48 @@ package graft.rdf
 object GraphLoader {
   private val owlImports = Iri("http://www.w3.org/2002/07/owl#imports")
 
+  /** Format-sniffing parse (load.py:370-386): JSON-LD by a leading '{'/'[',
+    * RDF/XML by an XML prolog or rdf:RDF root, Turtle otherwise — with a
+    * TriG retry when Turtle fails and the document has graph blocks. */
+  def parseContent(content: String, base: String, bnodePrefix: String = "b",
+                   format: Option[String] = None): MemGraph = {
+    val head = content.dropWhile(_.isWhitespace)
+    format.map(_.toLowerCase) match {
+      case Some("json-ld") | Some("jsonld") => JsonLd.parseGraph(content, bnodePrefix)
+      case Some("trig") => TrigParser.parseGraph(content, base, bnodePrefix)
+      case Some("xml") | Some("rdf-xml") | Some("application/rdf+xml") =>
+        RdfXml.parseGraph(content, base, bnodePrefix)
+      case Some("turtle") | Some("ttl") | Some("nt") | Some("ntriples") =>
+        TurtleParser.parseGraph(content, base, bnodePrefix)
+      case _ =>
+        if (head.startsWith("{") || head.startsWith("[")) JsonLd.parseGraph(content, bnodePrefix)
+        else if (head.startsWith("<?xml") || head.startsWith("<rdf:RDF") ||
+                 head.startsWith("<RDF")) RdfXml.parseGraph(content, base, bnodePrefix)
+        else
+          try TurtleParser.parseGraph(content, base, bnodePrefix)
+          catch {
+            case e: Throwable if content.contains("{") =>
+              try TrigParser.parseGraph(content, base, bnodePrefix)
+              catch { case _: Throwable => throw e }
+          }
+    }
+  }
+
+  /** Sniffing file load (extension hints the format). */
+  def parseFile(path: String, bnodePrefix: String = "b"): MemGraph = {
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val ext = path.split('.').last.toLowerCase
+    val fmt = ext match {
+      case "jsonld" | "json" => Some("json-ld")
+      case "trig" => Some("trig")
+      case "rdf" | "xml" | "owl" => Some("xml")
+      case "ttl" | "nt" => Some("turtle")
+      case _ => None
+    }
+    parseContent(content, "file://" + path, bnodePrefix, fmt)
+  }
+
   final case class Loaded(graph: MemGraph, followed: List[String], skipped: List[String])
 
   def loadWithImports(path: String, maxDepth: Int = 3): Loaded = {

@@ -20,8 +20,8 @@ object RulesCli {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val dataG = TurtleParser.parseFile(pos.head)
-      val shapesG = pos.lift(1).map(TurtleParser.parseFile(_, bnodePrefix = "s")).getOrElse(dataG)
+      val dataG = GraphLoader.parseFile(pos.head) // format-sniffing loader
+      val shapesG = pos.lift(1).map(GraphLoader.parseFile(_, bnodePrefix = "s")).getOrElse(dataG)
       var df = TriplesDF.fromMemGraph(spark, dataG)
       if (args.contains("--rdfs")) df = RdfsInference.expand(spark, df)
       val out = RulesEngine.expand(spark, df, shapesG, iterateRules = args.contains("--iterate"))

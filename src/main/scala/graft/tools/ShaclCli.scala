@@ -26,8 +26,8 @@ object ShaclCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val dataG = TurtleParser.parseFile(pos.head, bnodePrefix = "d")
-      val shapesG = pos.lift(1).map(TurtleParser.parseFile(_, bnodePrefix = "s"))
+      val dataG = GraphLoader.parseFile(pos.head, bnodePrefix = "d") // format-sniffing loader
+      val shapesG = pos.lift(1).map(GraphLoader.parseFile(_, bnodePrefix = "s"))
       val out = Validator.validateGraph(spark, dataG, shapesG,
         ValidationOptions(inference = inference,
           advanced = args.contains("--advanced"),

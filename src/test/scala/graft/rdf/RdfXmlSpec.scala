@@ -1,0 +1,83 @@
+package graft.rdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RdfXmlSpec extends AnyFunSuite {
+  val ex = "http://ex.org/"
+
+  test("typed nodes, rdf:about/resource, nested nodes, datatyped + lang literals") {
+    val g = RdfXml.parseGraph(
+      s"""<?xml version="1.0"?>
+         |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         |         xmlns:ex="$ex">
+         |  <ex:Person rdf:about="${ex}alice" ex:nick="Al">
+         |    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+         |    <ex:label xml:lang="en">Alice</ex:label>
+         |    <ex:knows rdf:resource="${ex}bob"/>
+         |    <ex:address>
+         |      <rdf:Description>
+         |        <ex:city>Berlin</ex:city>
+         |      </rdf:Description>
+         |    </ex:address>
+         |  </ex:Person>
+         |</rdf:RDF>""".stripMargin)
+    val alice = Iri(ex + "alice")
+    assert(g.contains(alice, RDF.ty, Iri(ex + "Person")))
+    assert(g.contains(alice, Iri(ex + "nick"), Lit("Al")))
+    assert(g.contains(alice, Iri(ex + "age"), Lit("30", XSD.integer)))
+    assert(g.contains(alice, Iri(ex + "label"), Lit("Alice", "", "en")))
+    assert(g.contains(alice, Iri(ex + "knows"), Iri(ex + "bob")))
+    val addr = g.objects(alice, Iri(ex + "address")).toList
+    assert(addr.size == 1)
+    assert(g.objects(addr.head, Iri(ex + "city")).toList == List(Lit("Berlin")))
+  }
+
+  test("parseType Resource/Collection and rdf:li containers") {
+    val g = RdfXml.parseGraph(
+      s"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         |         xmlns:ex="$ex">
+         |  <rdf:Description rdf:about="${ex}s">
+         |    <ex:props rdf:parseType="Resource">
+         |      <ex:a>1</ex:a>
+         |    </ex:props>
+         |    <ex:list rdf:parseType="Collection">
+         |      <rdf:Description rdf:about="${ex}x"/>
+         |      <rdf:Description rdf:about="${ex}y"/>
+         |    </ex:list>
+         |    <ex:bag>
+         |      <rdf:Bag>
+         |        <rdf:li>one</rdf:li>
+         |        <rdf:li>two</rdf:li>
+         |      </rdf:Bag>
+         |    </ex:bag>
+         |  </rdf:Description>
+         |</rdf:RDF>""".stripMargin)
+    val s = Iri(ex + "s")
+    val anon = g.objects(s, Iri(ex + "props")).toList.head
+    assert(g.objects(anon, Iri(ex + "a")).toList == List(Lit("1")))
+    val lst = g.objects(s, Iri(ex + "list")).toList.head
+    assert(g.items(lst) == List(Iri(ex + "x"), Iri(ex + "y")))
+    val bag = g.objects(s, Iri(ex + "bag")).toList.head
+    assert(g.objects(bag, Iri(RDF.ns + "_1")).toList == List(Lit("one")))
+    assert(g.objects(bag, Iri(RDF.ns + "_2")).toList == List(Lit("two")))
+  }
+
+  test("the parsed graph validates like its Turtle equivalent") {
+    val spark = graft.TestSpark.spark
+    val xml = RdfXml.parseGraph(
+      s"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         |         xmlns:ex="$ex">
+         |  <ex:T rdf:about="${ex}bad"/>
+         |  <ex:T rdf:about="${ex}good"><ex:p>x</ex:p></ex:T>
+         |</rdf:RDF>""".stripMargin)
+    val shapes = TurtleParser.parseGraph(
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |@prefix ex: <$ex> .
+         |ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         |  sh:property [ sh:path ex:p ; sh:minCount 1 ] .
+         |""".stripMargin, "http://test/")
+    val out = graft.shacl.Validator.validateGraph(spark, xml, Some(shapes))
+    assert(!out.conforms)
+    assert(out.results.map(_.focus) == Seq(Iri(ex + "bad")))
+  }
+}
