@@ -70,18 +70,25 @@ object IssueCorpus {
     // rdflib indirection: `g = rdflib.Graph(); g.parse(data=block)` (possibly
     // chained `.parse(data=b1).parse(data=b2)`) — map graph var -> blocks
     val aliases = scala.collection.mutable.ListBuffer.empty[(Int, String, List[String])]
-    for (m <- """(\w+)(?:\s*=\s*rdflib\.\w*Graph\(\))?((?:\s*\.parse\(\s*data=\w+[^)]*\))+)""".r
+    for (m <- """(\w+)(?:\s*=\s*(?:rdflib\.)?\w*Graph\(\))?((?:\s*\.parse\(\s*data=\w+[^)]*\))+)""".r
            .findAllMatchIn(text)) {
       val v = m.group(1)
       val parsed = """\.parse\(\s*data=(\w+)""".r.findAllMatchIn(m.group(2))
         .map(_.group(1)).toList
       if (parsed.nonEmpty) aliases += ((m.start, v, parsed))
     }
-    // anonymous inline fixture: g = rdflib.Graph().parse(data=\"\"\"...\"\"\")
+    // anonymous inline fixture: g(.= Graph())?.parse(data=\"\"\"...\"\"\") —
+    // the literal becomes a synthetic block targeted by a positional alias
     val inline = scala.collection.mutable.Map.empty[String, String]
-    for (m <- """(?s)(\w+)\s*=\s*rdflib\.\w*Graph\(\)\.parse\(\s*data=(?:'''(.*?)'''|\"\"\"(.*?)\"\"\")""".r
-           .findAllMatchIn(text))
-      inline(m.group(1)) = pyUnescape(Option(m.group(2)).getOrElse(m.group(3)))
+    for (m <- """(?s)(\w+)(?:\s*=\s*(?:rdflib\.)?\w*Graph\(\))?\s*\.parse\(\s*data=(?:'''(.*?)'''|\"\"\"(.*?)\"\"\")""".r
+           .findAllMatchIn(text)) {
+      val synth = s"__inline_${m.start}"
+      inline(synth) = pyUnescape(Option(m.group(2)).getOrElse(m.group(3)))
+      aliases += ((m.start, m.group(1), List(synth)))
+    }
+    // rdflib BytesIO indirection: fp = BytesIO(block)
+    for (m <- """(\w+)\s*=\s*(?:io\.)?BytesIO\((\w+)\)""".r.findAllMatchIn(text))
+      aliases += ((m.start, m.group(1), List(m.group(2))))
     // split on validate( calls; pair each with the asserts that follow it
     val callIdx = "(?<![\\w])(?:pyshacl\\.)?validate\\(".r
       .findAllMatchIn(text).map(_.start).toList
