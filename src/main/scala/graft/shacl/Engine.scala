@@ -336,8 +336,10 @@ final class ValidationEngine(
     if (shape.deactivated) return emptyViol
     val key = shape.id.key
     // memoize sub-shape evaluations only: top-level (stack-empty) plans
-    // stay lazy so run() still collects everything in one job
-    val cacheable = stack.nonEmpty && !cyclicShapeKeys.contains(key)
+    // stay lazy so run() still collects everything in one job.
+    // GRAFT_DISABLE_MEMO exists for A/B wall-time measurement.
+    val cacheable = stack.nonEmpty && !cyclicShapeKeys.contains(key) &&
+      !sys.env.contains("GRAFT_DISABLE_MEMO")
     if (cacheable) {
       val plan = focus.queryExecution.analyzed
       vioCache.synchronized {
