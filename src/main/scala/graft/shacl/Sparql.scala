@@ -47,6 +47,8 @@ object Sparql {
   final case class ENot(e: SqExpr) extends SqExpr
   final case class ENeg(e: SqExpr) extends SqExpr
   final case class EExists(g: SqGroup, negated: Boolean) extends SqExpr
+  /** Aggregate call (COUNT/SUM/MIN/MAX/AVG/SAMPLE); arg None = COUNT(*). */
+  final case class EAgg(fn: String, distinct: Boolean, arg: Option[SqExpr]) extends SqExpr
 
   sealed trait SqElem
   final case class SqTriple(s: SqTerm, p: SqPred, o: SqTerm) extends SqElem
@@ -67,7 +69,9 @@ object Sparql {
 
   sealed trait SqQuery
   final case class SqSelect(distinct: Boolean, proj: List[SqProj], where: SqGroup,
-                            orderBy: List[(String, Boolean)], limit: Option[Int]) extends SqQuery
+                            orderBy: List[(String, Boolean)], limit: Option[Int],
+                            groupBy: List[String] = Nil,
+                            having: Option[SqExpr] = None) extends SqQuery
   final case class SqAsk(where: SqGroup) extends SqQuery
   final case class SqConstruct(template: List[SqTriple], where: SqGroup) extends SqQuery
 
@@ -212,6 +216,22 @@ object Sparql {
       takeKw("WHERE")
       val g = group()
       // solution modifiers
+      val gb = scala.collection.mutable.ListBuffer.empty[String]
+      var having: Option[SqExpr] = None
+      ws()
+      if (takeKw("GROUP")) {
+        ws()
+        if (!takeKw("BY")) fail("expected BY after GROUP")
+        ws()
+        while (peek == '?' || peek == '$') { gb += varName(); ws() }
+        if (gb.isEmpty) fail("empty GROUP BY")
+      }
+      ws()
+      if (takeKw("HAVING")) {
+        ws(); expect('(')
+        having = Some(expr())
+        ws(); expect(')')
+      }
       val ob = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
       ws()
       if (takeKw("ORDER")) {
@@ -228,7 +248,7 @@ object Sparql {
       }
       ws()
       val lim = if (takeKw("LIMIT")) { ws(); Some(integer()) } else None
-      SqSelect(distinct, proj.toList, g, ob.toList, lim)
+      SqSelect(distinct, proj.toList, g, ob.toList, lim, gb.toList, having)
     }
 
     private def constructBody(): SqConstruct = {
@@ -525,6 +545,15 @@ object Sparql {
           val iri = expandPname(word)
           if (peek == '(') EFnIri(iri, argList())
           else EConst(Iri(iri))
+        } else if (peek == '(' &&
+                   Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
+                     .contains(word.toUpperCase)) {
+          pos += 1; ws()
+          val dist = takeKw("DISTINCT")
+          ws()
+          val arg = if (peek == '*') { pos += 1; None } else Some(expr())
+          ws(); expect(')')
+          EAgg(word.toUpperCase, dist, arg)
         } else if (peek == '(') {
           ECall(word.toUpperCase, argList())
         } else word.toLowerCase match {

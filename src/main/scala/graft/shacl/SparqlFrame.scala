@@ -72,7 +72,12 @@ final class SparqlFrame(
 
   private var rootSeed: Sol = _
 
-  private def project(q: SqSelect, g: Sol, keep: Set[String]): Sol = {
+  private def project(q: SqSelect, g0: Sol, keep: Set[String]): Sol = {
+    // GROUP BY / aggregate projections: aggregate calls in projections and
+    // HAVING are lifted into one Spark aggregation keyed by the GROUP BY
+    // vars ∪ the pre-bound attribution vars (the reference evaluates each
+    // query per focus node, so a "global" aggregate is per-focus there)
+    val g = aggregateStep(q, g0, keep)
     val projVars = scala.collection.mutable.LinkedHashSet.empty[String]
     var df = g.df
     q.proj.foreach {
@@ -81,7 +86,7 @@ final class SparqlFrame(
         if (!g.vars.contains(x)) df = df.withColumn(x, nullT)
         projVars += x
       case PExpr(e, as) =>
-        df = df.withColumn(as, compileT(e, Sol(df, g.vars, g.maybeNull)))
+        df = df.withColumn(as, compileT(rewriteAggs(e, g), Sol(df, g.vars, g.maybeNull)))
         projVars += as
     }
     val all = (projVars.toSeq ++ keep.filter(g.vars.contains).filterNot(projVars.contains)).distinct
@@ -102,6 +107,75 @@ final class SparqlFrame(
     }
     q.limit.foreach(n => df = df.limit(n))
     Sol(df, all.toSet, g.maybeNull.intersect(all.toSet))
+  }
+
+  // ------------------------------------------------------ aggregation
+  /** Aggregate names are keyed by the EAgg AST so the same aggregate in a
+    * projection and in HAVING shares one computed column. */
+  private val aggNames = scala.collection.mutable.Map.empty[EAgg, String]
+
+  private def collectAggs(e: SqExpr, out: scala.collection.mutable.ListBuffer[EAgg]): Unit =
+    e match {
+      case a: EAgg => out += a
+      case EBin(_, l, r) => collectAggs(l, out); collectAggs(r, out)
+      case ENot(x) => collectAggs(x, out)
+      case ENeg(x) => collectAggs(x, out)
+      case ECall(_, args) => args.foreach(collectAggs(_, out))
+      case EFnIri(_, args) => args.foreach(collectAggs(_, out))
+      case _ =>
+    }
+
+  private def rewriteAggs(e: SqExpr, sol: Sol): SqExpr = e match {
+    case a: EAgg => EVar(aggNames.getOrElse(a,
+      throw new ReportableError("aggregate used outside an aggregation query")))
+    case EBin(op, l, r) => EBin(op, rewriteAggs(l, sol), rewriteAggs(r, sol))
+    case ENot(x) => ENot(rewriteAggs(x, sol))
+    case ENeg(x) => ENeg(rewriteAggs(x, sol))
+    case ECall(f, args) => ECall(f, args.map(rewriteAggs(_, sol)))
+    case EFnIri(f, args) => EFnIri(f, args.map(rewriteAggs(_, sol)))
+    case other => other
+  }
+
+  /** If the query aggregates, run the groupBy/agg and (HAVING) filter;
+    * otherwise return the solution untouched. */
+  private def aggregateStep(q: SqSelect, g: Sol, keep: Set[String]): Sol = {
+    val found = scala.collection.mutable.ListBuffer.empty[EAgg]
+    q.proj.foreach { case PExpr(e, _) => collectAggs(e, found); case _ => }
+    q.having.foreach(collectAggs(_, found))
+    if (found.isEmpty && q.groupBy.isEmpty) return g
+    val groupCols = (q.groupBy ++ keep.toSeq.sorted).distinct.filter(g.vars.contains)
+    val aggExprs = found.toList.distinct.zipWithIndex.map { case (a, i) =>
+      val name = s"__agg_$i"
+      aggNames(a) = name
+      val c: Column = a match {
+        case EAgg("COUNT", dist, None) =>
+          if (dist) numToTerm(countDistinct(struct(g.vars.toSeq.sorted.map(col): _*))
+            .cast("decimal(38,10)"))
+          else numToTerm(count(lit(1)).cast("decimal(38,10)"))
+        case EAgg("COUNT", dist, Some(arg)) =>
+          val t = compileT(arg, g)
+          if (dist) numToTerm(countDistinct(t).cast("decimal(38,10)"))
+          else numToTerm(count(t).cast("decimal(38,10)"))
+        case EAgg("SUM", _, Some(arg)) =>
+          numToTerm(sum(num(compileT(arg, g))).cast("decimal(38,10)"))
+        case EAgg("AVG", _, Some(arg)) =>
+          numToTerm(avg(num(compileT(arg, g))).cast("decimal(38,10)"))
+        case EAgg("MIN", _, Some(arg)) => numToTerm(min(num(compileT(arg, g))))
+        case EAgg("MAX", _, Some(arg)) => numToTerm(max(num(compileT(arg, g))))
+        case EAgg("SAMPLE", _, Some(arg)) => first(compileT(arg, g), ignoreNulls = true)
+        case other => throw new ReportableError(s"unsupported aggregate $other")
+      }
+      c.as(name)
+    }
+    val grouped =
+      if (aggExprs.isEmpty) g.df.select(groupCols.map(col): _*).distinct()
+      else if (groupCols.isEmpty) g.df.agg(aggExprs.head, aggExprs.tail: _*)
+      else g.df.groupBy(groupCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    var sol = Sol(grouped, groupCols.toSet ++ aggNames.values, Set.empty)
+    q.having.foreach { h =>
+      sol = sol.copy(df = sol.df.filter(compileB(rewriteAggs(h, sol), sol) === true))
+    }
+    sol
   }
 
   /** Collect a solution frame driver-side: one Map per row. */
