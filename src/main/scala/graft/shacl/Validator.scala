@@ -1,7 +1,7 @@
 package graft.shacl
 
 import graft.rdf._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** High-level validation entry point — the analogue of pyshacl.validate()
   * (/root/reference/pyshacl/entrypoints.py:33-256 +
@@ -127,6 +127,51 @@ object Validator {
          s"... (${total - sampleRows.size} more results not shown; see the violations frame)\n"
        else "")
     ScaleOutcome(blocking == 0, total, byComp, bySev, sampleRows, text, viol)
+  }
+
+  /** Violations frame → validation-report TRIPLES frame, fully
+    * distributed (the at-scale completion of the report path: write these
+    * through a TripleStore / parquet sink instead of collecting an
+    * in-memory report graph). One deterministic result bnode per row;
+    * severities resolve through a broadcastable shape-key map. Report-root
+    * and sh:conforms triples are driver-side one-liners the caller adds
+    * (they need the global count anyway). */
+  def reportTriplesFrame(viol: DataFrame, shapes: Map[graft.rdf.Node, ShapeIR]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val termType = TriplesDF.termType
+    def iriT(v: Column) = struct(v.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    def keyT(k: Column) = // term key -> term struct (IRI or bnode or literal key)
+      when(k.startsWith("_:"),
+        struct(k.substr(lit(3), length(k)).as("v"), lit(1.toByte).as("k"),
+          lit("").as("dt"), lit("").as("lang")))
+        .otherwise(iriT(regexp_replace(k, "^<|>$", "")))
+    val sevMap = shapes.values.map(s => s.id.key -> s.severity.value).toMap
+    val sevCol = sevMap.foldLeft(lit(SH.Violation.value)) { case (acc, (k, sev)) =>
+      when(col("shape") === k, sev).otherwise(acc)
+    }
+    val rn = struct(
+      concat(lit("vr"), conv(xxhash64(col("f"), col("v"), col("path"), col("comp"),
+        col("shape"), col("orig")).cast("string"), 10, 16)).as("v"),
+      lit(1.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    val base = viol.filter(col("prid").isNull).select(
+      rn.as("_rn"), col("f"), col("v"), col("path"), col("comp"), col("shape"), col("msgs"))
+    val parts = Seq(
+      base.select(col("_rn").as("s"), lit(graft.rdf.RDF.ty.value).as("p"),
+        iriT(lit(SH.ValidationResult.value)).as("o")),
+      base.select(col("_rn").as("s"), lit(SH.focusNode.value).as("p"), col("f").as("o")),
+      base.select(col("_rn").as("s"), lit(SH.resultSeverity.value).as("p"), iriT(sevCol).as("o")),
+      base.select(col("_rn").as("s"), lit(SH.sourceShape.value).as("p"),
+        keyT(col("shape")).as("o")),
+      base.select(col("_rn").as("s"), lit(SH.sourceConstraintComponent.value).as("p"),
+        iriT(col("comp")).as("o")),
+      base.filter(col("v").isNotNull)
+        .select(col("_rn").as("s"), lit(SH.value.value).as("p"), col("v").as("o")),
+      base.filter(col("path").isNotNull)
+        .select(col("_rn").as("s"), lit(SH.resultPath.value).as("p"), keyT(col("path")).as("o")),
+      base.filter(col("msgs").isNotNull)
+        .select(col("_rn").as("s"), lit(SH.resultMessage.value).as("p"),
+          explode(col("msgs")).as("o")))
+    parts.reduce(_ unionByName _)
   }
 
   /** Pre-validation inference (run_type.py:21-85): 'rdfs', 'owlrl', or

@@ -52,6 +52,37 @@ class ScaleValidationSpec extends AnyFunSuite {
       .limit(1).count() == 1)
   }
 
+  test("report triples emit distributed and land in a TripleStore") {
+    val n = 100000L
+    val ex = "http://ex.org/"
+    val ids = spark.range(n)
+    val types = ids.select(iriCol(concat(lit(ex + "p"), $"id")).as("s"),
+      lit(RDF.ty.value).as("p"), iriCol(lit(ex + "Person")).as("o"))
+    val shapesG = TurtleParser.parseGraph(
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |@prefix ex: <$ex> .
+         |ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+         |  sh:message "missing name" ;
+         |  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+         |""".stripMargin, "http://test/")
+    val shapes = new ShapeCompiler(shapesG).compile()
+    val engine = new ValidationEngine(spark, types, shapes, shapesG)
+    val viol = engine.violationsFrame()
+    val report = Validator.reportTriplesFrame(viol, shapes)
+    // every violating focus contributes: type, focusNode, severity,
+    // sourceShape, sourceConstraintComponent, resultPath (no value here)
+    val byP = report.groupBy($"p").count().as[(String, Long)].collect().toMap
+    assert(byP(SH.focusNode.value) == n)
+    assert(byP(SH.resultPath.value) == n)
+    assert(byP(SH.resultSeverity.value) == n)
+    assert(!byP.contains(SH.value.value))
+    // distributed write through the predicate-partitioned store
+    val store = new graft.kg.TripleStore(spark,
+      java.nio.file.Files.createTempDirectory("report").toString)
+    store.append(report.select($"s", $"p", $"o"))
+    assert(store.scanPredicate(SH.focusNode.value).count() == n)
+  }
+
   test("at-scale outcome agrees with the collected path on a small graph") {
     val g = TurtleParser.parseGraph(
       """@prefix sh: <http://www.w3.org/ns/shacl#> .
