@@ -580,7 +580,7 @@ object Sparql {
     private def ws(): Unit = {
       while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
     }
-    private def peek: Char = if (pos < s.length) s.charAt(pos) else ' '
+    private def peek: Char = if (pos < s.length) s.charAt(pos) else '\u0000'
     private def expect(c: Char): Unit = {
       ws()
       if (peek != c) fail(s"expected '$c'")
