@@ -238,6 +238,28 @@ object Queries {
     res.df.select(col("nname")("v").as("nname"), col("rname")("v").as("rname"))
   }
 
+  /** SPARQL aggregation end-to-end: orders lift to (order ex:by customer)
+    * triples, GROUP BY ?cust HAVING(COUNT > 20) compiles through the
+    * frontend, result equals the relational GROUP BY (DuckDB oracle). */
+  val qSparqlAgg: Q = (s, d) => {
+    import graft.shacl.{Sparql, SparqlFrame, PathEval}
+    val ex = "http://graft.dev/rel/"
+    def iriT(c: Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    val o = t(s, d, "orders")
+    val triples = o.select(
+      iriT(concat(lit(ex + "order/"), col("o_orderkey"))).as("s"),
+      lit(ex + "by").as("p"),
+      iriT(concat(lit(ex + "customer/"), col("o_custkey"))).as("o"))
+    val q = Sparql.parseQuery(
+      """SELECT ?cust (COUNT(?o) AS ?n) WHERE { ?o ex:by ?cust . }
+        |GROUP BY ?cust HAVING (COUNT(?o) > 20)""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
+    val frame = new SparqlFrame(s, triples, PathEval.step(triples, _, _), Map.empty, None)
+    val res = frame.evalSelect(q, frame.unitSeed)
+    res.df.select(col("cust")("v").as("cust"), col("n")("v").cast("bigint").as("n"))
+  }
+
   /** Embedding norms (aggregate/zip_with kernels). */
   val qEmbedNorm: Q = (s, d) =>
     t(s, d, "embeddings").select(col("vec_id"),
@@ -355,7 +377,10 @@ object Queries {
         |GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
     "q_sparql_join" ->
       """SELECT n_name AS nname, r_name AS rname FROM nation
-        |JOIN region ON n_regionkey = r_regionkey WHERE length(n_name) >= 6""".stripMargin
+        |JOIN region ON n_regionkey = r_regionkey WHERE length(n_name) >= 6""".stripMargin,
+    "q_sparql_agg" ->
+      """SELECT concat('http://graft.dev/rel/customer/', o_custkey) AS cust,
+        |COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 20""".stripMargin
     // q_minhash_lsh / q_simhash / q_ngram_jaccard / q_ann_* are hash-kernel
     // based (xxhash64) — not DuckDB-expressible; driver rows-only check.
   )
@@ -389,6 +414,7 @@ object Queries {
     "q_ann_lsh" -> qAnnLsh,
     "q_embed_norm" -> qEmbedNorm,
     "q_window_agg" -> qWindowAgg,
-    "q_sparql_join" -> qSparqlJoin
+    "q_sparql_join" -> qSparqlJoin,
+    "q_sparql_agg" -> qSparqlAgg
   )
 }
