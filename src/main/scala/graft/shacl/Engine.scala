@@ -683,13 +683,12 @@ final class ValidationEngine(
   lazy val fnsByIri: Map[String, ShaclFnDef] =
     functions.map { case (k, v) => (k match { case Iri(x) => x; case o => o.key }, v) }
 
-  private def sparqlFrame(shape: ShapeIR): SparqlFrame =
-    new SparqlFrame(spark, T, step, fnsByIri, shape.path)
+  /** shapes graph as a triples frame (for GRAPH $shapesGraph patterns —
+    * supported here; the reference raises NotImplementedError). */
+  private lazy val shapesTriplesDF: DataFrame = TriplesDF.fromMemGraph(spark, sg)
 
-  private def guardShapesGraphVar(text: String): Unit =
-    if (Sparql.mentionsVar(text, "shapesGraph"))
-      throw new ReportableError(
-        "SPARQL Constraint text has $shapesGraph in it, but Shapes Graph is not currently supported.")
+  private def sparqlFrame(shape: ShapeIR): SparqlFrame =
+    new SparqlFrame(spark, T, step, fnsByIri, shape.path, Some(shapesTriplesDF))
 
   /** One sh:sparql SELECT constraint over the focus set
     * (sparql_based_constraints.py:96-193): violations are the query's
@@ -697,7 +696,7 @@ final class ValidationEngine(
     * value, with the reference's defaulting rules. */
   private def evalSparqlConstraint(shape: ShapeIR, T0: DataFrame,
                                    c: SparqlConstraintIR): DataFrame = {
-    guardShapesGraphVar(c.select)
+    // $shapesGraph is supported (GRAPH blocks match the shapes frame)
     Sparql.checkPreBinding(c.select, valueBound = false, Set.empty)
     val q = Sparql.parseQuery(c.select, c.prefixes) match {
       case s: Sparql.SqSelect => s
@@ -748,7 +747,7 @@ final class ValidationEngine(
     * report each result row. */
   private def evalCustomComponent(shape: ShapeIR, V: DataFrame,
                                   b: BoundValidatorIR): DataFrame = {
-    guardShapesGraphVar(b.query)
+    // $shapesGraph is supported (GRAPH blocks match the shapes frame)
     Sparql.checkPreBinding(b.query, valueBound = true, b.paramBinds.keySet)
     val frame = sparqlFrame(shape)
     val mentionsCS = Sparql.mentionsVar(b.query, "currentShape")

@@ -28,10 +28,18 @@ final class SparqlFrame(
     T: DataFrame,
     pathStep: (DataFrame, PathIR) => DataFrame,
     fns: Map[String, ShaclFnDef],
-    shapePath: Option[PathIR]) {
+    shapePath: Option[PathIR],
+    /** shapes graph as a triples frame: GRAPH $shapesGraph { ... } patterns
+      * evaluate against it. The reference raises NotImplementedError here
+      * (its own CI allow-fails shapesGraph-001); this engine has the shapes
+      * graph at hand and supports it. */
+    shapesT: Option[DataFrame] = None) {
   import Sparql._
 
   Kernels.ensure(spark)
+
+  /** The frame BGPs currently match against (swapped inside GRAPH blocks). */
+  private var activeT: DataFrame = T
 
   final case class Sol(df: DataFrame, vars: Set[String], maybeNull: Set[String])
 
@@ -220,6 +228,10 @@ final class SparqlFrame(
       // flows into subqueries) and join back on shared variables
       val sub = evalSelect2(sel, rootSeed)
       joinSols(cur, sub)
+    case SqGraphPat(TVar("shapesGraph"), g) if shapesT.isDefined =>
+      val saved = activeT
+      activeT = shapesT.get
+      try evalGroup(g, cur) finally activeT = saved
     case SqGraphPat(TVar("shapesGraph"), _) =>
       throw new ReportableError(
         "SPARQL Constraint text has $shapesGraph in it, but Shapes Graph is not currently supported.")
@@ -242,7 +254,7 @@ final class SparqlFrame(
       case PredPath(p) => return pathPattern(t, cur, p)
       case _ =>
     }
-    var base = T
+    var base = activeT
     // constant positions filter; variable positions project
     val sources = scala.collection.mutable.ListBuffer.empty[(String, Column)]
     t.s match {
@@ -279,7 +291,7 @@ final class SparqlFrame(
     * scan (no anchor needed). */
   private def pathPairs(p: PathIR): Option[DataFrame] = p match {
     case PathIR.PPred(pred) =>
-      Some(T.filter(col("p") === pred).select(col("s").as("f"), col("o").as("v")))
+      Some(activeT.filter(col("p") === pred).select(col("s").as("f"), col("o").as("v")))
     case PathIR.PInv(inner) =>
       pathPairs(inner).map(_.select(col("v").as("f"), col("f").as("v")))
     case PathIR.PSeq(parts) =>
@@ -323,7 +335,10 @@ final class SparqlFrame(
       case TVar(x) => cur.df.select(col(x).as("f")).filter(col("f").isNotNull).distinct()
       case TConst(n) => spark.range(1).select(termLit(n).as("f"))
     }
-    val res = pathStep(anchorDf.select(col("f"), col("f").as("v")), p).distinct()
+    // inside a GRAPH block, paths walk the active (shapes) frame
+    val res =
+      (if (activeT eq T) pathStep(anchorDf.select(col("f"), col("f").as("v")), p)
+       else PathEval.step(activeT, anchorDf.select(col("f"), col("f").as("v")), p)).distinct()
     val (df, vars) = (anchor, other) match {
       case (TVar(a), TVar(o)) => (res.select(col("f").as(a), col("v").as(o)), Set(a, o))
       case (TVar(a), TConst(n)) =>
@@ -410,7 +425,8 @@ final class SparqlFrame(
       val c = cmpC(compileT(l, cur), compileT(r, cur))
       op match { case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0; case ">=" => c >= 0 }
     case ECall("BOUND", List(EVar(x))) =>
-      if (cur.vars.contains(x)) col(x).isNotNull else lit(false)
+      if (x == "shapesGraph") lit(shapesT.isDefined)
+      else if (cur.vars.contains(x)) col(x).isNotNull else lit(false)
     case ECall("ISLITERAL", List(a)) => kindIsB(compileT(a, cur), 2)
     case ECall("ISIRI", List(a)) => kindIsB(compileT(a, cur), 0)
     case ECall("ISURI", List(a)) => kindIsB(compileT(a, cur), 0)

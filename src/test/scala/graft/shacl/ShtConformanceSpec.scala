@@ -19,15 +19,14 @@ class ShtConformanceSpec extends AnyFunSuite {
   }
 
   /** SHACL-SPARQL suite (sh:sparql, components, pre-binding legality).
-    * shapesGraph-001 is excluded exactly like the reference's own CI
-    * (test_sht_validate.py ALLOWABLE_FAILURES: $shapesGraph binding is
-    * unsupported there too). */
+    * Includes shapesGraph-001 — the reference's own CI allow-fails it
+    * ($shapesGraph is NotImplemented there); this engine evaluates
+    * GRAPH $shapesGraph blocks against the shapes frame and passes it. */
   test("W3C SHACL sparql suite passes end to end") {
     val results = ShtSuite.runAll(TestSpark.spark,
-      "/root/reference/test/resources/sht_tests/sparql",
-      exclude = Seq("shapesGraph-001"))
+      "/root/reference/test/resources/sht_tests/sparql")
     val failures = results.filterNot(_.passed)
-    assert(results.size >= 22, s"expected >=22 cases, found ${results.size}")
+    assert(results.size >= 23, s"expected >=23 cases, found ${results.size}")
     assert(failures.isEmpty, failures.map(f =>
       s"${f.file} [${f.entry}]: ${f.detail.linesIterator.take(3).mkString(" | ")}").mkString("\n"))
   }
