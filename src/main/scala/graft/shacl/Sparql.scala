@@ -47,8 +47,10 @@ object Sparql {
   final case class ENot(e: SqExpr) extends SqExpr
   final case class ENeg(e: SqExpr) extends SqExpr
   final case class EExists(g: SqGroup, negated: Boolean) extends SqExpr
-  /** Aggregate call (COUNT/SUM/MIN/MAX/AVG/SAMPLE); arg None = COUNT(*). */
-  final case class EAgg(fn: String, distinct: Boolean, arg: Option[SqExpr]) extends SqExpr
+  /** Aggregate call (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT); arg None =
+    * COUNT(*); sep = GROUP_CONCAT's SEPARATOR (default " " per SPARQL 1.1). */
+  final case class EAgg(fn: String, distinct: Boolean, arg: Option[SqExpr],
+                        sep: Option[String] = None) extends SqExpr
 
   sealed trait SqElem
   final case class SqTriple(s: SqTerm, p: SqPred, o: SqTerm) extends SqElem
@@ -134,23 +136,38 @@ object Sparql {
     java.util.regex.Pattern.compile("([\\s{}()])[\\$\\?]" + name + "\\b")
       .matcher(stripComments(query)).find()
 
-  private def stripComments(s: String): String =
-    s.linesIterator.map { line =>
-      // cheap comment strip: '#' outside string literals and IRIs
-      var inStr = false; var inIri = false
-      val sb = new StringBuilder
-      var i = 0
-      var done = false
-      while (i < line.length && !done) {
-        val c = line.charAt(i)
-        if (c == '"') inStr = !inStr
-        else if (c == '<' && !inStr) inIri = true
-        else if (c == '>' && !inStr) inIri = false
-        if (c == '#' && !inStr && !inIri) done = true else sb.append(c)
-        i += 1
-      }
-      sb.toString
-    }.mkString("\n")
+  /** Strip '#' comments outside string literals and IRIs. Tracks both quote
+    * characters, backslash escapes, and triple-quoted (multi-line) literals —
+    * string state carries across lines so `"say \"hi\" #x"` or a '#' inside
+    * a '''...''' block survives intact. */
+  private def stripComments(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var quote: Char = 0 // active string delimiter; 0 = outside strings
+    var triple = false
+    var inIri = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < s.length) { sb.append(c).append(s.charAt(i + 1)); i += 2 }
+        else if (c == quote &&
+          (!triple || (i + 2 < s.length && s.charAt(i + 1) == quote && s.charAt(i + 2) == quote))) {
+          if (triple) { sb.append(c).append(c).append(c); i += 3 }
+          else { sb.append(c); i += 1 }
+          quote = 0; triple = false
+        } else { sb.append(c); i += 1 }
+      } else if (c == '"' || c == '\'') {
+        if (i + 2 < s.length && s.charAt(i + 1) == c && s.charAt(i + 2) == c) {
+          quote = c; triple = true; sb.append(c).append(c).append(c); i += 3
+        } else { quote = c; triple = false; sb.append(c); i += 1 }
+      } else if (c == '<') { inIri = true; sb.append(c); i += 1 }
+      else if (c == '>') { inIri = false; sb.append(c); i += 1 }
+      else if (c == '\n') { inIri = false; sb.append(c); i += 1 }
+      else if (c == '#' && !inIri) { while (i < s.length && s.charAt(i) != '\n') i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   // ------------------------------------------------------------- parser
   def parseQuery(query: String, prefixes: Map[String, String]): SqQuery =
@@ -546,14 +563,23 @@ object Sparql {
           if (peek == '(') EFnIri(iri, argList())
           else EConst(Iri(iri))
         } else if (peek == '(' &&
-                   Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
+                   Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT")
                      .contains(word.toUpperCase)) {
           pos += 1; ws()
           val dist = takeKw("DISTINCT")
           ws()
           val arg = if (peek == '*') { pos += 1; None } else Some(expr())
+          ws()
+          // GROUP_CONCAT(expr ; SEPARATOR = "sep")
+          val sep =
+            if (peek == ';') {
+              pos += 1; ws()
+              if (!takeKw("SEPARATOR")) fail("expected SEPARATOR in GROUP_CONCAT")
+              ws(); expect('='); ws()
+              Some(literal().lex)
+            } else None
           ws(); expect(')')
-          EAgg(word.toUpperCase, dist, arg)
+          EAgg(word.toUpperCase, dist, arg, sep)
         } else if (peek == '(') {
           ECall(word.toUpperCase, argList())
         } else word.toLowerCase match {

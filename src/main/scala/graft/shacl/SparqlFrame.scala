@@ -103,11 +103,14 @@ final class SparqlFrame(
     if (q.orderBy.nonEmpty) {
       val keys = q.orderBy.flatMap { case (v, asc) =>
         if (!all.contains(v)) Nil
-        // order by kind then lexical form; numeric order inside one family
-        // is approximated lexically (sufficient for the corpus, documented)
+        // SPARQL order: by kind (bnode < IRI < literal), then BY VALUE for
+        // numeric literals (rdflib orders 2 < 10, not "10" < "2"), then
+        // lexically — the numeric flag sorts numerics before non-numeric
+        // literals so mixed columns stay deterministic
         else {
           val c = col(v)
-          val ks = Seq(c("k"), c("v"))
+          val n = num(c)
+          val ks = Seq(c("k"), n.isNull, n, c("v"))
           if (asc) ks.map(_.asc) else ks.map(_.desc)
         }
       }
@@ -156,21 +159,28 @@ final class SparqlFrame(
       val name = s"__agg_$i"
       aggNames(a) = name
       val c: Column = a match {
-        case EAgg("COUNT", dist, None) =>
+        case EAgg("COUNT", dist, None, _) =>
           if (dist) numToTerm(countDistinct(struct(g.vars.toSeq.sorted.map(col): _*))
             .cast("decimal(38,10)"))
           else numToTerm(count(lit(1)).cast("decimal(38,10)"))
-        case EAgg("COUNT", dist, Some(arg)) =>
+        case EAgg("COUNT", dist, Some(arg), _) =>
           val t = compileT(arg, g)
           if (dist) numToTerm(countDistinct(t).cast("decimal(38,10)"))
           else numToTerm(count(t).cast("decimal(38,10)"))
-        case EAgg("SUM", _, Some(arg)) =>
+        case EAgg("SUM", _, Some(arg), _) =>
           numToTerm(sum(num(compileT(arg, g))).cast("decimal(38,10)"))
-        case EAgg("AVG", _, Some(arg)) =>
+        case EAgg("AVG", _, Some(arg), _) =>
           numToTerm(avg(num(compileT(arg, g))).cast("decimal(38,10)"))
-        case EAgg("MIN", _, Some(arg)) => numToTerm(min(num(compileT(arg, g))))
-        case EAgg("MAX", _, Some(arg)) => numToTerm(max(num(compileT(arg, g))))
-        case EAgg("SAMPLE", _, Some(arg)) => first(compileT(arg, g), ignoreNulls = true)
+        case EAgg("MIN", _, Some(arg), _) => numToTerm(min(num(compileT(arg, g))))
+        case EAgg("MAX", _, Some(arg), _) => numToTerm(max(num(compileT(arg, g))))
+        case EAgg("SAMPLE", _, Some(arg), _) => first(compileT(arg, g), ignoreNulls = true)
+        case EAgg("GROUP_CONCAT", dist, Some(arg), sep) =>
+          // str(term) of each solution, joined by the separator. SPARQL
+          // leaves solution order unspecified; sort for determinism (the
+          // driver's oracle compare hashes cell values).
+          val v = compileT(arg, g)("v")
+          val items = sort_array(if (dist) collect_set(v) else collect_list(v))
+          strT(array_join(items, sep.getOrElse(" ")))
         case other => throw new ReportableError(s"unsupported aggregate $other")
       }
       c.as(name)
@@ -435,7 +445,26 @@ final class SparqlFrame(
       termKey(compileT(a, cur)) === termKey(compileT(b, cur))
     case ECall("LANGMATCHES", args) => langMatchesB(args, cur)
     case ECall("REGEX", args) => regexB(args, cur)
+    case ECall(fn @ ("STRSTARTS" | "STRENDS" | "CONTAINS"), List(x, y)) =>
+      str2B(fn, compileT(x, cur), compileT(y, cur))
+    case ECall("ISNUMERIC", List(a)) =>
+      val t = compileT(a, cur)
+      when(t.isNull, nullB)
+        .otherwise(t("k") === 2 && t("dt").isin(XSD.numericTypes.toSeq: _*))
     case other => ebv(compileT(other, cur))
+  }
+
+  /** Two-arg string test (SPARQL 17.4.3 argument compatibility): both
+    * literals; arg2 plain or sharing arg1's language tag; NULL = error. */
+  private def str2B(fn: String, l: Column, r: Column): Column = {
+    val bad = l.isNull || r.isNull || l("k") =!= 2 || r("k") =!= 2 ||
+      (r("lang") =!= "" && r("lang") =!= l("lang"))
+    val res = fn match {
+      case "STRSTARTS" => l("v").startsWith(r("v"))
+      case "STRENDS" => l("v").endsWith(r("v"))
+      case "CONTAINS" => l("v").contains(r("v"))
+    }
+    when(bad, nullB).otherwise(res)
   }
 
   /** Compile an expression to a term-struct Column (NULL = SPARQL error /
@@ -489,10 +518,117 @@ final class SparqlFrame(
 
   private def builtin(fn: String, args: List[SqExpr], cur: Sol): Column = {
     def a(i: Int): Column = compileT(args(i), cur)
+    /** literal-preserving result: same dt/lang as the source term. */
+    def keepLit(t: Column, v: Column): Column =
+      struct(v.as("v"), lit(2.toByte).as("k"), t("dt").as("dt"), t("lang").as("lang"))
+    /** guard: NULL unless the term is a literal. */
+    def onLit(t: Column, r: Column): Column =
+      when(t.isNull || t("k") =!= 2, nullT).otherwise(r)
+    /** constant string argument (patterns/replacements must be constants to
+      * stay inside codegen'd regexp expressions). */
+    def constStr(i: Int, what: String): String = args(i) match {
+      case EConst(Lit(p, _, _)) => p
+      case _ => throw new ReportableError(s"$fn() $what must be a constant")
+    }
+    // xsd:date/dateTime lexical form; groups 1-7 = Y M D h m s tz
+    val dtPat = "^(-?\\d{4,})-(\\d{2})-(\\d{2})" +
+      "(?:T(\\d{2}):(\\d{2}):(\\d{2}(?:\\.\\d+)?))?(Z|[+-]\\d{2}:\\d{2})?$"
     fn match {
       case "BOUND" | "LANGMATCHES" | "REGEX" | "SAMETERM" |
-           "ISLITERAL" | "ISIRI" | "ISURI" | "ISBLANK" =>
+           "ISLITERAL" | "ISIRI" | "ISURI" | "ISBLANK" |
+           "STRSTARTS" | "STRENDS" | "CONTAINS" | "ISNUMERIC" =>
         boolT(compileB(ECall(fn, args), cur))
+      case "SUBSTR" =>
+        val t = a(0)
+        val start = num(a(1)).cast("int")
+        val len = if (args.size > 2) num(a(2)).cast("int") else length(t("v")) + 1
+        onLit(t, when(start.isNull || len.isNull, nullT)
+          .otherwise(keepLit(t, t("v").substr(start, len))))
+      case "REPLACE" =>
+        val t = a(0)
+        val pat = constStr(1, "pattern")
+        val repl = constStr(2, "replacement")
+        val flags = args.drop(3).headOption.collect { case EConst(Lit(f, _, _)) => f }
+          .map(_.filter("ims".contains(_))).filter(_.nonEmpty).map(f => s"(?$f)").getOrElse("")
+        onLit(t, keepLit(t,
+          regexp_replace(t("v"), flags + RegexDialect.pythonToJava(pat), repl)))
+      case "STRBEFORE" | "STRAFTER" =>
+        val l = a(0); val r = a(1)
+        val bad = l.isNull || r.isNull || l("k") =!= 2 || r("k") =!= 2 ||
+          (r("lang") =!= "" && r("lang") =!= l("lang"))
+        val pos = instr(l("v"), r("v")) // 1-based; 0 when absent
+        val hit =
+          if (fn == "STRBEFORE") l("v").substr(lit(1), pos - 1)
+          else l("v").substr(pos + length(r("v")), length(l("v")))
+        // empty needle: BEFORE -> "", AFTER -> whole input (lang preserved);
+        // no match -> plain "" (SPARQL 17.4.3.4)
+        when(bad, nullT)
+          .when(r("v") === "", keepLit(l, if (fn == "STRBEFORE") lit("") else l("v")))
+          .when(pos > 0, keepLit(l, hit))
+          .otherwise(strT(lit("")))
+      case "IRI" | "URI" =>
+        val t = a(0)
+        when(t.isNull || t("k") === 1, nullT)
+          .otherwise(struct(t("v").as("v"), lit(0.toByte).as("k"),
+            lit("").as("dt"), lit("").as("lang")))
+      case "BNODE" =>
+        val v =
+          if (args.isEmpty) concat(lit("genid-sparql-"), expr("uuid()"))
+          else concat(lit("genid-sparql-"), md5(a(0)("v")))
+        struct(v.as("v"), lit(1.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+      case "STRDT" =>
+        val t = a(0); val dt = a(1)
+        when(t.isNull || t("k") =!= 2 || dt.isNull || dt("k") =!= 0, nullT)
+          .otherwise(struct(t("v").as("v"), lit(2.toByte).as("k"),
+            dt("v").as("dt"), lit("").as("lang")))
+      case "STRLANG" =>
+        val t = a(0); val lg = a(1)
+        when(t.isNull || t("k") =!= 2 || lg.isNull || lg("k") =!= 2, nullT)
+          .otherwise(struct(t("v").as("v"), lit(2.toByte).as("k"),
+            lit("").as("dt"), lower(lg("v")).as("lang")))
+      case "ROUND" =>
+        // XPath fn:round: .5 rounds toward positive infinity (not HALF_UP)
+        numToTerm(floor(num(a(0)) + 0.5).cast("decimal(38,10)"))
+      case "CEIL" => numToTerm(ceil(num(a(0))).cast("decimal(38,10)"))
+      case "FLOOR" => numToTerm(floor(num(a(0))).cast("decimal(38,10)"))
+      case "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS" =>
+        val t = a(0)
+        val idx = Map("YEAR" -> 1, "MONTH" -> 2, "DAY" -> 3,
+          "HOURS" -> 4, "MINUTES" -> 5, "SECONDS" -> 6)(fn)
+        val g = regexp_extract(t("v"), dtPat, idx)
+        numToTerm(when(t.isNull || t("k") =!= 2 || g === "",
+          lit(null).cast("decimal(38,10)")).otherwise(g.cast("decimal(38,10)")))
+      case "TZ" =>
+        val t = a(0)
+        onLit(t, strT(regexp_extract(t("v"), dtPat, 7)))
+      case "TIMEZONE" =>
+        val t = a(0)
+        val tz = regexp_extract(t("v"), dtPat, 7)
+        val h = regexp_extract(tz, "^[+-]0*(\\d+):(\\d{2})$", 1).cast("int")
+        val m = regexp_extract(tz, "^[+-]0*(\\d+):(\\d{2})$", 2).cast("int")
+        val dur = when(tz === "Z", lit("PT0S"))
+          .otherwise(concat(when(tz.startsWith("-"), "-").otherwise(""), lit("PT"),
+            h.cast("string"), lit("H"),
+            when(m > 0, concat(m.cast("string"), lit("M"))).otherwise(lit(""))))
+        when(t.isNull || t("k") =!= 2 || tz === "", nullT)
+          .otherwise(struct(dur.as("v"), lit(2.toByte).as("k"),
+            lit(XSD.ns + "dayTimeDuration").as("dt"), lit("").as("lang")))
+      case "MD5" => val t = a(0); onLit(t, strT(md5(t("v"))))
+      case "SHA1" => val t = a(0); onLit(t, strT(sha1(t("v"))))
+      case "SHA256" => val t = a(0); onLit(t, strT(sha2(t("v"), 256)))
+      case "SHA384" => val t = a(0); onLit(t, strT(sha2(t("v"), 384)))
+      case "SHA512" => val t = a(0); onLit(t, strT(sha2(t("v"), 512)))
+      case "ENCODE_FOR_URI" =>
+        val t = a(0)
+        // RFC 3986 percent-encoding from url_encode's form-encoding: '+' is
+        // %20, '*' must be escaped, '~' must not be
+        val e = regexp_replace(regexp_replace(regexp_replace(
+          url_encode(t("v")), "\\+", "%20"), "\\*", "%2A"), "%7E", "~")
+        onLit(t, strT(e))
+      case "UUID" =>
+        struct(concat(lit("urn:uuid:"), expr("uuid()")).as("v"),
+          lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+      case "STRUUID" => strT(expr("uuid()"))
       case "LANG" =>
         val t = a(0)
         when(t.isNull || t("k") =!= 2, nullT).otherwise(strT(t("lang")))

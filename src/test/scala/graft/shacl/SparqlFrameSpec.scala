@@ -18,13 +18,19 @@ class SparqlFrameSpec extends AnyFunSuite {
        |ex:c ex:alias "C-alias" .
        |""".stripMargin
 
-  def run(q: String): Seq[Map[String, Node]] = {
-    val T = TriplesDF.fromMemGraph(spark, TurtleParser.parseGraph(data, "http://test/"))
+  def runOn(ttl: String, q: String): Seq[Map[String, Node]] = {
+    val T = TriplesDF.fromMemGraph(spark, TurtleParser.parseGraph(ttl, "http://test/"))
     val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None)
     val sel = Sparql.parseQuery(q, Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
     val res = frame.evalSelect(sel, frame.unitSeed)
     frame.collect(res, res.vars.filterNot(_.startsWith("__")).toSeq.sorted)
   }
+
+  def run(q: String): Seq[Map[String, Node]] = runOn(data, q)
+
+  /** One-row expression probe: SELECT (expr AS ?r) over a single solution. */
+  def eval1(exprTxt: String): Option[Node] =
+    run(s"""SELECT ($exprTxt AS ?r) WHERE { ?z ex:alias ?al . }""").head.get("r")
 
   test("OPTIONAL leaves unmatched rows with unbound vars; COALESCE fills") {
     val rows = run(
@@ -63,5 +69,110 @@ class SparqlFrameSpec extends AnyFunSuite {
         |  ?s ex:name ?n . BIND (STRLEN(?n) AS ?len) . FILTER (?len = 1)
         |}""".stripMargin)
     assert(rows.size == 2 && rows.forall(_("len") == Lit("1", XSD.integer)))
+  }
+
+  // ------------------------------------------------ ORDER BY value semantics
+  val numData =
+    s"""@prefix ex: <$ex> .
+       |ex:x1 ex:v 2 . ex:x2 ex:v 10 . ex:x3 ex:v "b" . ex:x4 ex:v 3.5 .
+       |""".stripMargin
+
+  test("ORDER BY sorts numeric literals by value, not lexically") {
+    val rows = runOn(numData, "SELECT ?n WHERE { ?s ex:v ?n . } ORDER BY ?n")
+    assert(rows.map(_("n")) ==
+      Seq(Lit("2", XSD.integer), Lit("3.5", XSD.decimal), Lit("10", XSD.integer), Lit("b")))
+    val desc = runOn(numData, "SELECT ?n WHERE { ?s ex:v ?n . } ORDER BY DESC(?n)")
+    assert(desc.map(_("n")) ==
+      Seq(Lit("b"), Lit("10", XSD.integer), Lit("3.5", XSD.decimal), Lit("2", XSD.integer)))
+  }
+
+  // ----------------------------------------------------- builtin functions
+  test("string tests: STRSTARTS / STRENDS / CONTAINS / isNumeric") {
+    assert(eval1("""STRSTARTS(?al, "C-")""").contains(Lit("true", XSD.boolean)))
+    assert(eval1("""STRENDS(?al, "alias")""").contains(Lit("true", XSD.boolean)))
+    assert(eval1("""CONTAINS(?al, "-ali")""").contains(Lit("true", XSD.boolean)))
+    assert(eval1("""CONTAINS(?al, "xyz")""").contains(Lit("false", XSD.boolean)))
+    assert(eval1("""isNumeric(?al)""").contains(Lit("false", XSD.boolean)))
+    assert(eval1("""isNumeric(7)""").contains(Lit("true", XSD.boolean)))
+  }
+
+  test("SUBSTR / REPLACE / STRBEFORE / STRAFTER") {
+    assert(eval1("""SUBSTR(?al, 3)""").contains(Lit("alias")))
+    assert(eval1("""SUBSTR(?al, 1, 1)""").contains(Lit("C")))
+    assert(eval1("""REPLACE(?al, "ali", "ALI")""").contains(Lit("C-ALIas")))
+    assert(eval1("""REPLACE("aaa", "a", "b", "i")""").contains(Lit("bbb")))
+    assert(eval1("""STRBEFORE(?al, "-")""").contains(Lit("C")))
+    assert(eval1("""STRAFTER(?al, "-")""").contains(Lit("alias")))
+    assert(eval1("""STRAFTER(?al, "zz")""").contains(Lit("")))
+    assert(eval1("""STRAFTER(?al, "")""").contains(Lit("C-alias")))
+    assert(eval1("""STRBEFORE(?al, "")""").contains(Lit("")))
+  }
+
+  test("term constructors: IRI / STRDT / STRLANG / BNODE") {
+    assert(eval1(s"""IRI("${ex}new")""").contains(Iri(ex + "new")))
+    assert(eval1("""STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>)""")
+      .contains(Lit("5", XSD.integer)))
+    assert(eval1("""STRLANG("chat", "EN")""").contains(Lit("chat", "", "en")))
+    assert(eval1("""BNODE("x")""").exists { case BNode(_) => true; case _ => false })
+    assert(eval1("""BNODE()""").exists { case BNode(_) => true; case _ => false })
+  }
+
+  test("numeric: ROUND (half toward +inf) / CEIL / FLOOR") {
+    assert(eval1("ROUND(2.5)").contains(Lit("3", XSD.integer)))
+    assert(eval1("ROUND(-2.5)").contains(Lit("-2", XSD.integer)))
+    assert(eval1("CEIL(1.1)").contains(Lit("2", XSD.integer)))
+    assert(eval1("FLOOR(-1.1)").contains(Lit("-2", XSD.integer)))
+  }
+
+  test("date/time accessors over xsd:dateTime lexical forms") {
+    val d = """"2011-01-10T14:45:13.815-05:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>"""
+    assert(eval1(s"YEAR($d)").contains(Lit("2011", XSD.integer)))
+    assert(eval1(s"MONTH($d)").contains(Lit("1", XSD.integer)))
+    assert(eval1(s"DAY($d)").contains(Lit("10", XSD.integer)))
+    assert(eval1(s"HOURS($d)").contains(Lit("14", XSD.integer)))
+    assert(eval1(s"MINUTES($d)").contains(Lit("45", XSD.integer)))
+    assert(eval1(s"SECONDS($d)").contains(Lit("13.815", XSD.decimal)))
+    assert(eval1(s"TZ($d)").contains(Lit("-05:00")))
+    assert(eval1(s"TIMEZONE($d)")
+      .contains(Lit("-PT5H", XSD.ns + "dayTimeDuration")))
+    val z = """"2011-01-10T14:45:13Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>"""
+    assert(eval1(s"TZ($z)").contains(Lit("Z")))
+    assert(eval1(s"TIMEZONE($z)").contains(Lit("PT0S", XSD.ns + "dayTimeDuration")))
+  }
+
+  test("hash functions + ENCODE_FOR_URI match known vectors") {
+    assert(eval1("""MD5("abc")""").contains(Lit("900150983cd24fb0d6963f7d28e17f72")))
+    assert(eval1("""SHA1("abc")""").contains(Lit("a9993e364706816aba3e25717850c26c9cd0d89d")))
+    assert(eval1("""SHA256("abc")""").contains(
+      Lit("ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")))
+    assert(eval1("""ENCODE_FOR_URI("Los Angeles")""").contains(Lit("Los%20Angeles")))
+    assert(eval1("""ENCODE_FOR_URI("~bob/a*x")""").contains(Lit("~bob%2Fa%2Ax")))
+  }
+
+  test("UUID / STRUUID produce fresh well-formed terms") {
+    val u = eval1("UUID()").get
+    assert(u match { case Iri(v) => v.startsWith("urn:uuid:"); case _ => false })
+    val s0 = eval1("STRUUID()").get
+    assert(s0 match { case Lit(v, "", "") => v.length == 36; case _ => false })
+  }
+
+  test("GROUP_CONCAT with separator and DISTINCT") {
+    val rows = runOn(numData,
+      """SELECT (GROUP_CONCAT(?n ; SEPARATOR = "|") AS ?all)
+        |WHERE { ?s ex:v ?n . }""".stripMargin)
+    assert(rows.head("all") == Lit("10|2|3.5|b")) // sorted for determinism
+    val d = runOn(numData,
+      """SELECT (GROUP_CONCAT(DISTINCT ?k) AS ?ks) WHERE { ?s ex:v ?n . BIND("x" AS ?k) }""")
+    assert(d.head("ks") == Lit("x"))
+  }
+
+  test("comments strip: '#' survives inside quoted strings") {
+    val rows = run(
+      "SELECT ?s WHERE { ?s ex:alias ?al . # a real comment\n" +
+        """FILTER (?al != "color #1") } # trailing""")
+    assert(rows.map(_("s")) == Seq(Iri(ex + "c")))
+    val esc = run(
+      "SELECT ?s WHERE { ?s ex:alias ?al . FILTER (?al != \"say \\\"hi\\\" #x\") }")
+    assert(esc.map(_("s")) == Seq(Iri(ex + "c")))
   }
 }
