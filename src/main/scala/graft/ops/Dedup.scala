@@ -105,11 +105,16 @@ object Dedup {
     * Banding is derived from maxDist (pigeonhole: maxDist+1 bands over 64
     * bits guarantee two signatures within maxDist share at least one whole
     * band) — the fixed 4-chunk layout silently lost recall for dist > 3.
-    * Bands are capped at 16 (4-bit bands): beyond that the buckets stop
-    * pruning and the verify join pays instead. */
+    * Bands go up to 64 (1-bit bands) so the pigeonhole guarantee holds for
+    * every maxDist <= 63; past ~16 bands bucket pruning degrades toward the
+    * verify join paying instead (still correct, just less selective). At
+    * maxDist >= 64 every pair qualifies — rejected rather than silently
+    * losing recall. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3): DataFrame = {
-    val nBands = math.min(maxDist + 1, 16)
+    require(maxDist >= 0 && maxDist < 64,
+      s"maxDist must be in [0, 63] for 64-bit simhash (got $maxDist)")
+    val nBands = math.min(maxDist + 1, 64)
     val bounds = (0 to nBands).map(b => 64 * b / nBands)
     val sh = simhashSig(docs, idCol, textCol)
     val bandCols = (0 until nBands).map { b =>

@@ -36,21 +36,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits from deterministic
-    * pseudo-random hyperplanes (hash-derived, no external randomness).
-    * `table` salts the hyperplane family so multiple independent tables
-    * can be derived from the same vector. */
+  /** Deterministic pseudo-uniform[-1,1] hyperplane weight for
+    * (table, bit, dim) — hash-derived, no external randomness. */
+  private def rhpWeight(table: Column, bit: Column, dim: Column): Column =
+    (pmod(xxhash64(concat(table.cast("string"), lit(":"), bit.cast("string"),
+      lit(":"), dim.cast("string"))), lit(1000L)).cast("double") / 500.0d) - 1.0d
+
+  /** Random-hyperplane LSH signature as a single Column expression. Column
+    * form kept for ad-hoc use; it inlines `bits` independent aggregate()
+    * passes over the array — [[rhpSigTable]] is the fast path (one explode,
+    * partial-aggregating sums; the inlined form cost q_ann_lsh 5.5 s vs
+    * 1.9 s in BENCH_r02). */
   def rhpSignature(vec: Column, bits: Int = 8, table: Int = 0): Column =
     (0 until bits).map { b =>
       val proj = aggregate(
-        transform(vec, (x, i) =>
-          x.cast("double") *
-            // deterministic pseudo-gaussian weight from (table, bit, dim) hash
-            ((pmod(xxhash64(concat(lit(s"$table:$b:"), i.cast("string"))), lit(1000L))
-              .cast("double") / 500.0d) - 1.0d)),
+        transform(vec, (x, i) => x.cast("double") * rhpWeight(lit(table), lit(b), i)),
         lit(0.0d), (acc, v) => acc + v)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce[Column](_ bitwiseOR _)
+
+  /** Banded multi-table signatures via explode + groupBy (the simhashSig
+    * trick, Dedup.scala): dimensions stream ONCE through bits×tables
+    * partial-aggregating sums instead of bits×tables re-scans of the
+    * embedding array per row. Returns (id, tbl, sig). */
+  def rhpSigTable(docs: DataFrame, idCol: String, vecCol: String,
+                  bits: Int, tables: Int): DataFrame = {
+    val dims = docs.select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .select(col("id"), col("pos").as("d"), col("col").cast("double").as("x"))
+    val sums = for (t <- 0 until tables; b <- 0 until bits)
+      yield sum(col("x") * rhpWeight(lit(t), lit(b), col("d"))).as(s"p_${t}_$b")
+    dims.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"), posexplode(array((0 until tables).map { t =>
+        (0 until bits).map(b =>
+          when(col(s"p_${t}_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce[Column](_ bitwiseOR _)
+      }: _*)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("sig"))
+  }
 
   /** Banded multi-table LSH ANN: `tables` independent `bits`-bit signature
     * tables; a (query, item) pair is a candidate when ANY table collides
@@ -61,14 +83,12 @@ object Similarity {
     * dedupe on (query, item) before the cosine verify. */
   def lshTopK(items: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
-      posexplode(array((0 until tables).map(t =>
-        rhpSignature(col(vecCol), bits, t)): _*)))
-      .select(col("item_id"), col("item_vec"), col("pos").as("tbl"), col("col").as("sig"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      posexplode(array((0 until tables).map(t =>
-        rhpSignature(col(vecCol), bits, t)): _*)))
-      .select(col("q_id"), col("q_vec"), col("pos").as("tbl"), col("col").as("sig"))
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+      .join(rhpSigTable(items, idCol, vecCol, bits, tables)
+        .withColumnRenamed("id", "item_id"), "item_id")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .join(rhpSigTable(queries, idCol, vecCol, bits, tables)
+        .withColumnRenamed("id", "q_id"), "q_id")
     val scored = it.join(broadcast(q), Seq("tbl", "sig"))
       .filter(col("q_id") =!= col("item_id"))
       .select(col("q_id"), col("item_id"), cosine(col("q_vec"), col("item_vec")).as("cos"))
@@ -81,9 +101,7 @@ object Similarity {
     * signature scheme: (tbl, sig, n) — assert max(n) stays bounded. */
   def lshBucketSizes(items: DataFrame, idCol: String, vecCol: String,
                      bits: Int = 12, tables: Int = 4): DataFrame =
-    items.select(col(idCol),
-      posexplode(array((0 until tables).map(t =>
-        rhpSignature(col(vecCol), bits, t)): _*)))
-      .groupBy(col("pos").as("tbl"), col("col").as("sig"))
+    rhpSigTable(items, idCol, vecCol, bits, tables)
+      .groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("n"))
 }
