@@ -232,17 +232,22 @@ object SparqlExpr {
   }
 }
 
-/** Gathered sh:SPARQLFunction definition (compiled select body). */
+/** Gathered sh:SPARQLFunction definition. `body` is Left(compiled Column
+  * AST) for single-BIND/projection SELECTs — the vectorized fast path — or
+  * Right(parsed full SPARQL query) for bodies with real WHERE clauses /
+  * sh:ask, evaluated set-oriented through [[SparqlFrame]] (the reference
+  * runs arbitrary bodies per call, shacl_function.py:283-326). */
 final case class ShaclFnDef(
   iri: Iri,
   params: List[(String, String, Boolean)], // (localname, datatype, optional)
   returnType: Option[String],
-  body: SparqlExpr.Ast)
+  body: Either[SparqlExpr.Ast, Sparql.SqQuery])
 
 object ShaclFunctions {
   val SPARQLFunction = SH("SPARQLFunction")
   val parameter = SH("parameter")
   val select = SH("select")
+  val askP = SH("ask")
   val optionalP = SH("optional")
   val returnType = SH("returnType")
 
@@ -250,10 +255,17 @@ object ShaclFunctions {
     * by sh:order when all present else by path localname (:204-214). */
   def gather(sg: MemGraph): Map[Node, ShaclFnDef] =
     sg.subjects(RDF.ty, SPARQLFunction).collect { case fn: Iri =>
-      sg.value(fn, select) match {
-        case Some(Lit(body, _, _)) =>
+      val bodyTxt = sg.value(fn, select).collect { case Lit(b, _, _) => (b, false) }
+        .orElse(sg.value(fn, askP).collect { case Lit(b, _, _) => (b, true) })
+      bodyTxt match {
+        case Some((body, isAsk)) =>
           try {
-            val ast = SparqlExpr.parseSelect(body)
+            val ast: Either[SparqlExpr.Ast, Sparql.SqQuery] =
+              if (isAsk) Right(Sparql.parseQuery(body, Sparql.collectPrefixes(sg, fn)))
+              else try Left(SparqlExpr.parseSelect(body)) catch {
+                case _: SparqlExpr.ParseError =>
+                  Right(Sparql.parseQuery(body, Sparql.collectPrefixes(sg, fn)))
+              }
             val params = sg.objects(fn, parameter).toList.map { p =>
               val path = sg.value(p, SH.path) match {
                 case Some(Iri(v)) => v
@@ -274,7 +286,10 @@ object ShaclFunctions {
             Some(fn -> ShaclFnDef(fn, ordered.map(p => (p._1, p._2, p._3)),
               sg.value(fn, returnType).collect { case Iri(v) => v }, ast))
           } catch {
-            case _: SparqlExpr.ParseError => None // unsupported body: leave unregistered
+            // unparseable body: leave unregistered (call sites then raise
+            // the reference's "was not defined" error)
+            case _: SparqlExpr.ParseError => None
+            case _: Sparql.ParseError => None
           }
         case _ => None
       }

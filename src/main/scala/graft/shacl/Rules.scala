@@ -296,10 +296,42 @@ object RulesEngine {
         cur = cur.join(d, "f")
         s"_a$i"
       }
-      val env = defn.params.zip(argCols).map { case ((local, dt, _), c) =>
-        local -> SparqlExpr.termToTyped(col(c), dt)
-      }.toMap
-      val res = SparqlExpr.compile(defn.body, env)
-      cur.select(col("f"), SparqlExpr.typedToTerm(res).as("v")).distinct()
+      defn.body match {
+        case Left(ast) =>
+          val env = defn.params.zip(argCols).map { case ((local, dt, _), c) =>
+            local -> SparqlExpr.termToTyped(col(c), dt)
+          }.toMap
+          val res = SparqlExpr.compile(ast, env)
+          cur.select(col("f"), SparqlExpr.typedToTerm(res).as("v")).distinct()
+        case Right(q) =>
+          // full SPARQL body: focus+args seed one set-oriented evaluation
+          val frame = new SparqlFrame(engine.triplesDF.sparkSession, engine.triplesDF,
+            engine.step, engine.fnsByIri, None)
+          val seedDf = cur.select(col("f") +:
+            defn.params.zip(argCols).map { case ((local, _, _), c) => col(c).as(local) }: _*)
+          val seed = frame.sol(seedDf, Set("f") ++ defn.params.map(_._1))
+          q match {
+            case sel: Sparql.SqSelect =>
+              val res = frame.evalSelect(sel, seed, keep = Set("f"))
+              val resultVar = sel.proj.headOption match {
+                case Some(Sparql.PVar(x)) => x
+                case Some(Sparql.PExpr(_, as)) => as
+                case _ => throw new ReportableError(
+                  s"SHACLFunction $fnRef SELECT body must project a result variable")
+              }
+              res.df.groupBy(col("f"))
+                .agg(first(col(resultVar), ignoreNulls = true).as("v"))
+                .filter(col("v").isNotNull)
+            case ask: Sparql.SqAsk =>
+              val hits = frame.evalAsk(ask, seed).df.select(col("f").as("_hf")).distinct()
+              cur.select(col("f")).distinct()
+                .join(hits, col("f") === col("_hf"), "left")
+                .select(col("f"),
+                  when(col("_hf").isNotNull, termLit(Lit("true", XSD.boolean)))
+                    .otherwise(termLit(Lit("false", XSD.boolean))).as("v"))
+            case _ => throw new ReportableError(
+              s"SHACLFunction $fnRef body must be a SELECT or ASK query")
+          }
+      }
   }
 }

@@ -213,12 +213,20 @@ final class SparqlFrame(
     case t: SqTriple => joinSols(cur, triplePattern(t, cur))
     case SqFilter(EExists(g, neg)) => existsFilter(cur, g, neg)
     case SqFilter(ENot(EExists(g, neg))) => existsFilter(cur, g, !neg)
+    case SqFilter(e) if hasFullFn(e) =>
+      val (e2, lifted) = liftFnCalls(e, cur)
+      val filtered = lifted.df.filter(compileB(e2, lifted) === true)
+      Sol(filtered.select(cur.vars.toSeq.sorted.map(col): _*), cur.vars, cur.maybeNull)
     case SqFilter(e) =>
       cur.copy(df = cur.df.filter(compileB(e, cur) === true))
     case SqBind(e, v) =>
       if (cur.vars.contains(v))
         throw new ReportableError(s"BIND would re-bind already-bound variable ?$v")
-      Sol(cur.df.withColumn(v, compileT(e, cur)), cur.vars + v, cur.maybeNull)
+      if (hasFullFn(e)) {
+        val (e2, lifted) = liftFnCalls(e, cur)
+        val df = lifted.df.withColumn(v, compileT(e2, lifted))
+        Sol(df.select((cur.vars + v).toSeq.sorted.map(col): _*), cur.vars + v, cur.maybeNull)
+      } else Sol(cur.df.withColumn(v, compileT(e, cur)), cur.vars + v, cur.maybeNull)
     case SqUnion(branches) =>
       val sols = branches.map(b => evalGroup(b, cur))
       if (sols.size == 1) sols.head
@@ -250,9 +258,91 @@ final class SparqlFrame(
   }
 
   /** evalSelect without clobbering rootSeed (nested use). */
-  private def evalSelect2(q: SqSelect, seed: Sol): Sol = {
+  private def evalSelect2(q: SqSelect, seed: Sol, keep: Set[String] = Set.empty): Sol = {
     val g = evalGroup(q.where, seed)
-    project(q, g, Set.empty)
+    project(q, g, keep)
+  }
+
+  // ------------------------------------- full-bodied SHACLFunction calls
+  private var fnCounter = 0
+
+  private def hasFullFn(e: SqExpr): Boolean = e match {
+    case EFnIri(iri, args) => fns.get(iri).exists(_.body.isRight) || args.exists(hasFullFn)
+    case EBin(_, l, r) => hasFullFn(l) || hasFullFn(r)
+    case ENot(x) => hasFullFn(x)
+    case ENeg(x) => hasFullFn(x)
+    case ECall(_, as) => as.exists(hasFullFn)
+    case _ => false
+  }
+
+  /** Replace full-bodied SHACLFunction calls with computed columns: the
+    * DISTINCT argument tuples seed ONE set-oriented evaluation of the
+    * function's WHERE clause, and results join back by argument value — the
+    * reference evaluates the body per call (shacl_function.py:283-326);
+    * here a million calls over k distinct argument tuples cost one pass. */
+  private def liftFnCalls(e: SqExpr, cur0: Sol): (SqExpr, Sol) = {
+    var cur = cur0
+    def walk(e: SqExpr): SqExpr = e match {
+      case EFnIri(iri, args0) =>
+        val args = args0.map(walk)
+        fns.get(iri).filter(_.body.isRight) match {
+          case Some(defn) =>
+            val (v, s2) = applyFnFull(defn, args, cur)
+            cur = s2
+            EVar(v)
+          case None => EFnIri(iri, args)
+        }
+      case EBin(op, l, r) => EBin(op, walk(l), walk(r))
+      case ENot(x) => ENot(walk(x))
+      case ENeg(x) => ENeg(walk(x))
+      case ECall(f, as) => ECall(f, as.map(walk))
+      case other => other
+    }
+    (walk(e), cur)
+  }
+
+  private def applyFnFull(defn: ShaclFnDef, args: List[SqExpr], cur: Sol): (String, Sol) = {
+    fnCounter += 1
+    val resVar = s"__fnr$fnCounter"
+    val paramNames = defn.params.map(_._1)
+    val argNames = paramNames.map(p => s"__fna${fnCounter}_$p")
+    var df = cur.df
+    paramNames.zip(argNames).zip(args).foreach { case ((_, an), a) =>
+      df = df.withColumn(an, compileT(a, cur))
+    }
+    val seedDf = df
+      .select(paramNames.zip(argNames).map { case (p, an) => col(an).as(p) }: _*)
+      .distinct()
+    val seed = Sol(seedDf, paramNames.toSet, Set.empty)
+    val resolved: DataFrame = defn.body.toOption.get match {
+      case sel: SqSelect =>
+        val res = evalSelect2(sel, seed, keep = paramNames.toSet)
+        val resultVar = sel.proj.headOption match {
+          case Some(PVar(x)) => x
+          case Some(PExpr(_, as)) => as
+          case _ => throw new ReportableError(
+            s"SHACLFunction <${defn.iri.value}> SELECT body must project a result variable")
+        }
+        if (paramNames.isEmpty) res.df.agg(first(col(resultVar), ignoreNulls = true).as(resVar))
+        else res.df.groupBy(paramNames.map(col): _*)
+          .agg(first(col(resultVar), ignoreNulls = true).as(resVar))
+      case ask: SqAsk =>
+        // ASK per argument tuple: matched tuples -> true, else false
+        val g = evalGroup(ask.where, seed)
+        val hits = g.df.select(paramNames.map(col): _*).distinct()
+          .withColumn("__hit", lit(1))
+        seedDf.join(hits, paramNames, "left")
+          .select(paramNames.map(col) :+ boolT(col("__hit").isNotNull).as(resVar): _*)
+      case _ => throw new ReportableError(
+        s"SHACLFunction <${defn.iri.value}> body must be a SELECT or ASK query")
+    }
+    val renamed = paramNames.zip(argNames).foldLeft(resolved) { case (d, (p, an)) =>
+      d.withColumnRenamed(p, an)
+    }
+    val joined =
+      if (argNames.isEmpty) df.crossJoin(broadcast(renamed))
+      else df.join(renamed, argNames, "left")
+    (resVar, Sol(joined, cur.vars + resVar, cur.maybeNull))
   }
 
   // ---------------------------------------------------------- BGP joins
@@ -484,11 +574,17 @@ final class SparqlFrame(
     case EFnIri(iri, args) =>
       val defn = fns.getOrElse(iri, throw new ReportableError(
         s"The SHACLFunction <$iri> was not defined in this SHACL Shapes file."))
-      val argCols = args.map(compileT(_, cur))
-      val env = defn.params.zip(argCols).map { case ((local, dt, _), c) =>
-        local -> SparqlExpr.termToTyped(c, dt)
-      }.toMap
-      SparqlExpr.typedToTerm(SparqlExpr.compile(defn.body, env))
+      defn.body match {
+        case Left(ast) =>
+          val argCols = args.map(compileT(_, cur))
+          val env = defn.params.zip(argCols).map { case ((local, dt, _), c) =>
+            local -> SparqlExpr.termToTyped(c, dt)
+          }.toMap
+          SparqlExpr.typedToTerm(SparqlExpr.compile(ast, env))
+        case Right(_) => throw new ReportableError(
+          s"The SHACLFunction <$iri> has a full SPARQL body; calls are supported " +
+            "in FILTER and BIND position (where they evaluate set-oriented).")
+      }
     case EExists(_, _) =>
       throw new ReportableError("EXISTS is only supported as a top-level FILTER")
   }
