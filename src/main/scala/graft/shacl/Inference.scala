@@ -136,6 +136,10 @@ object OwlRlInference {
   private val owlNs = "http://www.w3.org/2002/07/owl#"
   private def O(l: String) = owlNs + l
 
+  /** Above this many distinct sameAs edges the identity components run
+    * distributed (ConnectedComponents) instead of a driver BFS. */
+  val DriverSameAsLimit = 100000
+
   def expand(spark: SparkSession, df0: DataFrame): DataFrame = {
     import spark.implicits._
     // schema harvest (small): inverseOf / equivalentClass / equivalentProperty
@@ -207,35 +211,61 @@ object OwlRlInference {
       out = out.unionByName(edges.select($"s", lit(tp).as("p"), $"o")).distinct()
     }
 
-    // eq-rep: owl:sameAs symmetric-transitive closure, then replicate
-    // statements onto every alias (sameAs sets are collected driver-side —
-    // they are schema-scale in the corpora; a web-scale identity graph
-    // would use the ConnectedComponents operator instead)
-    val sameAs = out.filter($"p" === O("sameAs"))
-      .select(termKey($"s"), termKey($"o")).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
-    if (sameAs.nonEmpty) {
-      val undirected = (sameAs ++ sameAs.map(x => (x._2, x._1))).distinct
-      val adj = undirected.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
-      val comp = scala.collection.mutable.Map.empty[String, Set[String]]
-      for (start <- adj.keys if !comp.contains(start)) {
-        val seen = scala.collection.mutable.Set(start)
-        var frontier = List(start)
-        while (frontier.nonEmpty)
-          frontier = frontier.flatMap(adj.getOrElse(_, Nil)).filter(seen.add)
-        val cluster = seen.toSet
-        cluster.foreach(m => comp(m) = cluster)
-      }
-      val pairs = comp.toSeq.flatMap { case (m, cl) => cl.filter(_ != m).map(a => (m, a)) }.distinct
-      if (pairs.nonEmpty) {
-        val prDF = pairs.toDF("_from", "_to")
-        val toTerm = RdfsInference.termKeyToTermCol(spark, $"_to")
-        val subAlias = out.join(broadcast(prDF), termKey($"s") === $"_from")
-          .select(toTerm.as("s"), $"p", $"o")
-        val objAlias = out.join(broadcast(prDF), termKey($"o") === $"_from")
-          .select($"s", $"p", toTerm.as("o"))
-        out = out.unionByName(subAlias).unionByName(objAlias).distinct()
-      }
+    // eq-rep: owl:sameAs symmetric-transitive closure, then replicate every
+    // statement onto ALL alias combinations in one pass — the (member,
+    // alias) pair table includes identity pairs, so joining it on BOTH the
+    // subject and the object yields the full fixpoint product (a triple
+    // whose subject AND object are aliased gets every doubly-substituted
+    // variant; two single-pass derivations missed those).
+    // Small alias sets (the corpora) come from a driver BFS + broadcast;
+    // past DriverSameAsLimit edges, components run distributed through the
+    // ConnectedComponents operator and the pair table stays a join.
+    val sameAsEdges = out.filter($"p" === O("sameAs"))
+      .select(termKey($"s").as("_src"), termKey($"o").as("_dst"))
+      .filter($"_src" =!= $"_dst").distinct()
+    val probe = sameAsEdges.limit(DriverSameAsLimit + 1).count()
+    if (probe > 0) {
+      val pairsDF: DataFrame =
+        if (probe <= DriverSameAsLimit) {
+          val sameAs = sameAsEdges.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+          val undirected = (sameAs ++ sameAs.map(x => (x._2, x._1))).distinct
+          val adj = undirected.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+          val comp = scala.collection.mutable.Map.empty[String, Set[String]]
+          for (start <- adj.keys if !comp.contains(start)) {
+            val seen = scala.collection.mutable.Set(start)
+            var frontier = List(start)
+            while (frontier.nonEmpty)
+              frontier = frontier.flatMap(adj.getOrElse(_, Nil)).filter(seen.add)
+            val cluster = seen.toSet
+            cluster.foreach(m => comp(m) = cluster)
+          }
+          broadcast(comp.toSeq.flatMap { case (m, cl) => cl.map(a => (m, a)) }
+            .toDF("_from", "_to"))
+        } else {
+          // node ids via xxhash64 of the term key (collision odds negligible
+          // at any realistic identity-graph size); map back through the key
+          // table after the star-contraction converges
+          val nodes = sameAsEdges.select($"_src".as("_key"))
+            .unionByName(sameAsEdges.select($"_dst".as("_key"))).distinct()
+            .withColumn("id", xxhash64($"_key"))
+          val cc = graft.kg.ConnectedComponents.run(spark,
+            sameAsEdges.select(xxhash64($"_src").as("src"), xxhash64($"_dst").as("dst")))
+          val assign = nodes.join(cc, "id").select($"_key", $"component")
+          assign.join(assign.select($"_key".as("_to"), $"component"), "component")
+            .select($"_key".as("_from"), $"_to")
+        }
+      val subDF = pairsDF.select($"_from".as("_sfrom"), $"_to".as("_sto"))
+      val objDF = pairsDF.select($"_from".as("_ofrom"), $"_to".as("_oto"))
+      out = out
+        .join(subDF, termKey($"s") === $"_sfrom", "left")
+        .join(objDF, termKey($"o") === $"_ofrom", "left")
+        .select(
+          when($"_sto".isNull, $"s")
+            .otherwise(RdfsInference.termKeyToTermCol(spark, $"_sto")).as("s"),
+          $"p",
+          when($"_oto".isNull, $"o")
+            .otherwise(RdfsInference.termKeyToTermCol(spark, $"_oto")).as("o"))
+        .distinct()
     }
     // RDFS closure over the enriched graph (covers rdfs2/3/5/7/9/11 with
     // the equivalence-derived schema in place)

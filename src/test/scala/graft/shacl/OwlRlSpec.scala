@@ -50,6 +50,48 @@ class OwlRlSpec extends AnyFunSuite {
     assert(g.contains(I("bob"), I("age"), Lit("44")))
   }
 
+  test("sameAs substitutes subject AND object together (double-alias fixpoint)") {
+    val g = expandTtl(prefixes +
+      """ex:a owl:sameAs ex:b .
+        |ex:c owl:sameAs ex:d .
+        |ex:a ex:likes ex:c .
+        |""".stripMargin)
+    def I(l: String) = Iri("http://ex.org/" + l)
+    // all four alias combinations must materialize (owlrl runs eq-rep to
+    // fixpoint; two independent single-pass substitutions miss (b, likes, d))
+    for (s <- Seq("a", "b"); o <- Seq("c", "d"))
+      assert(g.contains(I(s), I("likes"), I(o)), s"missing ($s likes $o)")
+  }
+
+  test("1M-pair sameAs closure runs distributed with bounded driver memory") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val owl = "http://www.w3.org/2002/07/owl#"
+    val ex = "http://ex.org/e/"
+    val nPairs = 1000000L
+    def iriT(c: org.apache.spark.sql.Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    // pair i: e{2i} sameAs e{2i+1}
+    val sameAs = spark.range(nPairs).select(
+      iriT(concat(lit(ex), (col("id") * 2).cast("string"))).as("s"),
+      lit(owl + "sameAs").as("p"),
+      iriT(concat(lit(ex), (col("id") * 2 + 1).cast("string"))).as("o"))
+    // an attribute on the even member of the first 1000 pairs
+    val attrs = spark.range(1000).select(
+      iriT(concat(lit(ex), (col("id") * 2).cast("string"))).as("s"),
+      lit("http://ex.org/name").as("p"),
+      struct(concat(lit("n"), col("id").cast("string")).as("v"), lit(2.toByte).as("k"),
+        lit("").as("dt"), lit("").as("lang")).as("o"))
+    assert(nPairs > OwlRlInference.DriverSameAsLimit) // exercises the CC path
+    val out = OwlRlInference.expand(spark, sameAs.unionByName(attrs))
+    // every attribute replicates onto the odd alias: (e{2i+1}, name, n_i)
+    val replicated = out.filter(col("p") === "http://ex.org/name" &&
+      col("s")("v") === (ex + "7") && col("o")("v") === "n3").count()
+    assert(replicated == 1L)
+    // total attribute rows: 1000 originals + 1000 aliases
+    assert(out.filter(col("p") === "http://ex.org/name").count() == 2000L)
+  }
+
   test("validateGraph honors inference='owlrl'") {
     val data = TurtleParser.parseGraph(prefixes +
       """ex:Human owl:equivalentClass ex:Person .
