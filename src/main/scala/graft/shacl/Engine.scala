@@ -334,11 +334,16 @@ final class ValidationEngine(
   def violations(shape: ShapeIR, focus: DataFrame,
                  stack: List[(String, String)] = Nil): DataFrame = {
     if (shape.deactivated) return emptyViol
-    val key = shape.id.key
+    // the cache key carries the stack depth: a result computed at a shallow
+    // stack must not be reused at a depth where the maxDepth guard would
+    // have fired mid-expansion (depth-limit errors would otherwise depend
+    // on shape evaluation order). Entry count stays bounded by
+    // shapes × depth buckets for an acyclic shapes graph.
+    val key = s"${shape.id.key}@${stack.length}"
     // memoize sub-shape evaluations only: top-level (stack-empty) plans
     // stay lazy so run() still collects everything in one job.
     // GRAFT_DISABLE_MEMO exists for A/B wall-time measurement.
-    val cacheable = stack.nonEmpty && !cyclicShapeKeys.contains(key) &&
+    val cacheable = stack.nonEmpty && !cyclicShapeKeys.contains(shape.id.key) &&
       !sys.env.contains("GRAFT_DISABLE_MEMO")
     if (cacheable) {
       val plan = focus.queryExecution.analyzed

@@ -161,6 +161,15 @@ object RulesEngine {
     if (rules.isEmpty) return triples0
 
     var triples = triples0.localCheckpoint()
+    // the engine is rebuilt LAZILY — only after a rule actually added
+    // triples — so the sub-shape memo cache and subclass closure survive
+    // across rules and fixpoint rounds that don't mutate the graph
+    // (rebuilding per rule×iteration recomputed sh:condition checks from
+    // scratch every time), while a rule that does fire stays visible to the
+    // rules after it, matching the reference's sequential graph mutation
+    // (rule_expand_runner.py:131-252).
+    var engine = new ValidationEngine(spark, triples, shapes, sg)
+    var engineStale = false
     // shapes sorted by sh:order, then each shape's rules by sh:order
     val byShape = rules.groupBy(_.shape).toList
       .sortBy { case (sh, _) => (shapes.get(sh).map(_.order).getOrElse(BigDecimal(0)), sh.key) }
@@ -176,7 +185,10 @@ object RulesEngine {
         iters += 1
         var added = 0L
         for (r <- sorted if !r.deactivated) {
-          val engine = new ValidationEngine(spark, triples, shapes, sg)
+          if (engineStale) {
+            engine = new ValidationEngine(spark, triples, shapes, sg)
+            engineStale = false
+          }
           engine.targetsDF(shape) match {
             case None => // no targets: no focus nodes
             case Some(t0) =>
@@ -208,6 +220,7 @@ object RulesEngine {
               if (n > 0) {
                 triples = triples.unionByName(fresh).localCheckpoint()
                 added += n
+                engineStale = true
               }
           }
         }

@@ -149,9 +149,14 @@ object Validator {
     val sevCol = sevMap.foldLeft(lit(SH.Violation.value)) { case (acc, (k, sev)) =>
       when(col("shape") === k, sev).otherwise(acc)
     }
+    // the constraint node and messages are part of the identity: two
+    // distinct sh:sparql constraints on one shape hitting the same
+    // (focus, value) must yield distinct result nodes, not one merged
+    // result with both message sets
     val rn = struct(
       concat(lit("vr"), conv(xxhash64(col("f"), col("v"), col("path"), col("comp"),
-        col("shape"), col("orig")).cast("string"), 10, 16)).as("v"),
+        col("shape"), col("orig"), col("constraint"), col("msgs"))
+        .cast("string"), 10, 16)).as("v"),
       lit(1.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
     val base = viol.filter(col("prid").isNull).select(
       rn.as("_rn"), col("f"), col("v"), col("path"), col("comp"), col("shape"), col("msgs"))
