@@ -33,7 +33,11 @@ final class SparqlFrame(
       * evaluate against it. The reference raises NotImplementedError here
       * (its own CI allow-fails shapesGraph-001); this engine has the shapes
       * graph at hand and supports it. */
-    shapesT: Option[DataFrame] = None) {
+    shapesT: Option[DataFrame] = None,
+    /** named data graphs as a quads frame (s,p,o,g): GRAPH <iri> / GRAPH ?g
+      * patterns evaluate per graph (the reference queries rdflib Datasets
+      * as unions or per-graph, graph_abstraction.py:112-128). */
+    quads: Option[DataFrame] = None) {
   import Sparql._
 
   Kernels.ensure(spark)
@@ -227,19 +231,7 @@ final class SparqlFrame(
         val df = lifted.df.withColumn(v, compileT(e2, lifted))
         Sol(df.select((cur.vars + v).toSeq.sorted.map(col): _*), cur.vars + v, cur.maybeNull)
       } else Sol(cur.df.withColumn(v, compileT(e, cur)), cur.vars + v, cur.maybeNull)
-    case SqUnion(branches) =>
-      val sols = branches.map(b => evalGroup(b, cur))
-      if (sols.size == 1) sols.head
-      else {
-        val allVars = sols.flatMap(_.vars).toSet
-        val aligned = sols.map { s0 =>
-          val df = allVars.diff(s0.vars).foldLeft(s0.df)((d, v) => d.withColumn(v, nullT))
-          df.select(allVars.toSeq.sorted.map(col): _*)
-        }
-        val mn = sols.flatMap(_.maybeNull).toSet ++
-          allVars.filter(v => sols.exists(s0 => !s0.vars.contains(v)))
-        Sol(aligned.reduce(_ unionByName _), allVars, mn)
-      }
+    case SqUnion(branches) => unionSols(branches.map(b => evalGroup(b, cur)))
     case SqOptional(g) => optionalJoin(cur, g)
     case SqSubSelect(sel) =>
       // sub-selects evaluate against the pre-bound seed (SHACL pre-binding
@@ -253,8 +245,42 @@ final class SparqlFrame(
     case SqGraphPat(TVar("shapesGraph"), _) =>
       throw new ReportableError(
         "SPARQL Constraint text has $shapesGraph in it, but Shapes Graph is not currently supported.")
+    case SqGraphPat(TConst(Iri(name)), g) if quads.isDefined =>
+      val saved = activeT
+      activeT = QuadsDF.graph(quads.get, Some(name))
+      try evalGroup(g, cur) finally activeT = saved
+    case SqGraphPat(TVar(x), g) if quads.isDefined =>
+      // GRAPH ?g: the block evaluates once per named graph with ?g bound to
+      // the graph IRI; the graph catalog is driver-scale even when the
+      // graphs themselves are not
+      val names = QuadsDF.graphNames(quads.get)
+      val sols = names.map { nm =>
+        val saved = activeT
+        activeT = QuadsDF.graph(quads.get, Some(nm))
+        try {
+          val s0 = evalGroup(g, cur)
+          if (s0.vars.contains(x)) // ?g also bound inside the block
+            s0.copy(df = s0.df.filter(col(x) === termLit(Iri(nm))))
+          else Sol(s0.df.withColumn(x, termLit(Iri(nm))), s0.vars + x, s0.maybeNull)
+        } finally activeT = saved
+      }
+      if (sols.isEmpty) Sol(cur.df.limit(0).withColumn(x, nullT), cur.vars + x, cur.maybeNull + x)
+      else unionSols(sols)
     case SqGraphPat(other, _) =>
       throw new ReportableError(s"GRAPH patterns are not supported (got $other)")
+  }
+
+  /** Align variable sets (missing vars -> NULL) and union. */
+  private def unionSols(sols: Seq[Sol]): Sol = {
+    if (sols.size == 1) return sols.head
+    val allVars = sols.flatMap(_.vars).toSet
+    val aligned = sols.map { s0 =>
+      val df = allVars.diff(s0.vars).foldLeft(s0.df)((d, v) => d.withColumn(v, nullT))
+      df.select(allVars.toSeq.sorted.map(col): _*)
+    }
+    val mn = sols.flatMap(_.maybeNull).toSet ++
+      allVars.filter(v => sols.exists(s0 => !s0.vars.contains(v)))
+    Sol(aligned.reduce(_ unionByName _), allVars, mn)
   }
 
   /** evalSelect without clobbering rootSeed (nested use). */

@@ -166,6 +166,31 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(d.head("ks") == Lit("x"))
   }
 
+  test("GRAPH <iri> and GRAPH ?g evaluate against named data graphs") {
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |ex:dflt ex:name "D" .
+         |GRAPH ex:g1 { ex:a ex:name "A1" . }
+         |GRAPH ex:g2 { ex:a ex:name "A2" . ex:b ex:name "B2" . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    def q(txt: String): Seq[Map[String, Node]] = {
+      val sel = Sparql.parseQuery(txt, Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
+      val res = frame.evalSelect(sel, frame.unitSeed)
+      frame.collect(res, res.vars.filterNot(_.startsWith("__")).toSeq.sorted)
+    }
+    val g1 = q("SELECT ?n WHERE { GRAPH ex:g1 { ?s ex:name ?n . } }")
+    assert(g1.map(_("n")) == Seq(Lit("A1")))
+    val byVar = q("SELECT ?g ?s ?n WHERE { GRAPH ?g { ?s ex:name ?n . } } ORDER BY ?n")
+    assert(byVar.map(r => (r("g"), r("n"))) == Seq(
+      (Iri(ex + "g1"), Lit("A1")), (Iri(ex + "g2"), Lit("A2")), (Iri(ex + "g2"), Lit("B2"))))
+    // default-graph triples are NOT visible inside GRAPH ?g
+    assert(!byVar.exists(_("n") == Lit("D")))
+  }
+
   test("comments strip: '#' survives inside quoted strings") {
     val rows = run(
       "SELECT ?s WHERE { ?s ex:alias ?al . # a real comment\n" +
