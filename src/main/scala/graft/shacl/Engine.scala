@@ -22,7 +22,10 @@ final case class ValidationOptions(
   // abort_on_first (validator.py:336-337)
   abortOnFirst: Boolean = false,
   // CLI focus-node filter (shape.py:670-684): restrict to these IRIs
-  focusNodes: Option[Set[String]] = None
+  focusNodes: Option[Set[String]] = None,
+  // use_shapes shape selection (validator.py:237-255): validate only the
+  // named shapes (their sub-shapes still evaluate through references)
+  useShapes: Option[Set[String]] = None
 )
 
 /** Catalyst-native SHACL validation engine.
@@ -822,19 +825,30 @@ final class ValidationEngine(
   def violatorsOf(ref: Node, nodes: DataFrame): DataFrame =
     violations(childShape(ref, "sh:filterShape"), nodes).select($"f").distinct()
 
+  private def focusFilter(t: DataFrame): DataFrame = opts.focusNodes match {
+    case Some(irises) => t.filter($"f"("k") === 0 && $"f"("v").isin(irises.toSeq: _*))
+    case None => t
+  }
+
+  /** Top-level shapes to validate, in deterministic order; use_shapes
+    * (validator.py:237-255) restricts to the named shape IRIs. */
+  private def selectedShapes: Seq[ShapeIR] = {
+    val base = shapes.values.toSeq.sortBy(_.id.key)
+    opts.useShapes match {
+      case Some(sel) => base.filter(_.id match { case Iri(v) => sel.contains(v); case _ => false })
+      case None => base
+    }
+  }
+
   /** Top-level run: every shape in the cache validates against its own
     * targets (validator.py:332-337). Returns the collected result rows. */
   def run(): Seq[ResultRow] = {
-    def focusFilter(t: DataFrame): DataFrame = opts.focusNodes match {
-      case Some(irises) => t.filter($"f"("k") === 0 && $"f"("v").isin(irises.toSeq: _*))
-      case None => t
-    }
     if (opts.abortOnFirst) {
       // short-circuit: evaluate shape by shape, stop at the first
       // violation — a LIMIT-1 existence probe, not a full evaluation
       // (validator.py:336-337 abort_on_first)
       val buf = scala.collection.mutable.ListBuffer.empty[Row]
-      val it = shapes.values.toSeq.sortBy(_.id.key).iterator
+      val it = selectedShapes.iterator
       while (it.hasNext && buf.isEmpty) {
         val shape = it.next()
         if (!shape.deactivated)
@@ -844,7 +858,7 @@ final class ValidationEngine(
       }
       return buf.toSeq.map(rowToResult)
     }
-    val parts = shapes.values.toSeq.sortBy(_.id.key).flatMap { shape =>
+    val parts = selectedShapes.flatMap { shape =>
       if (shape.deactivated) None
       else targetsDF(shape).map(t => violations(shape, focusFilter(t).localCheckpoint()))
     }
@@ -859,11 +873,7 @@ final class ValidationEngine(
     * aggregate counts, take bounded samples, or write report triples
     * distributed; see Validator.validateFrameAtScale. */
   def violationsFrame(): DataFrame = {
-    def focusFilter(t: DataFrame): DataFrame = opts.focusNodes match {
-      case Some(irises) => t.filter($"f"("k") === 0 && $"f"("v").isin(irises.toSeq: _*))
-      case None => t
-    }
-    val parts = shapes.values.toSeq.sortBy(_.id.key).flatMap { shape =>
+    val parts = selectedShapes.flatMap { shape =>
       if (shape.deactivated) None
       else targetsDF(shape).map(t => violations(shape, focusFilter(t)))
     }

@@ -11,12 +11,35 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [--ttl]
   */
 object ShaclCli {
+
+  /** Parse CLI args to (positional files, options, print-ttl). Split out so
+    * the flag surface is testable without exiting a JVM. */
+  def parseArgs(args: Array[String]): (List[String], ValidationOptions, Boolean) = {
+    val valueFlags = Set("--inference", "--focus", "--use-shapes")
+    val pos = args.toList.zipWithIndex.filterNot { case (a, i) =>
+      a.startsWith("--") || (i > 0 && valueFlags.contains(args(i - 1)))
+    }.map(_._1)
+    def valueOf(flag: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`flag`, v) => v }
+    def setOf(flag: String): Option[Set[String]] =
+      valueOf(flag).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    val opts = ValidationOptions(
+      inference = valueOf("--inference").getOrElse("none"),
+      advanced = args.contains("--advanced"),
+      iterateRules = args.contains("--iterate-rules"),
+      allowInfos = args.contains("--allow-infos"),
+      allowWarnings = args.contains("--allow-warnings"),
+      abortOnFirst = args.contains("--abort-first"),
+      // pySHACL -f / --focus and --use-shapes (validator.py:237-255,
+      // shape.py:670-684): comma-separated IRI lists
+      focusNodes = setOf("--focus"),
+      useShapes = setOf("--use-shapes"))
+    (pos, opts, args.contains("--ttl"))
+  }
+
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first]"); sys.exit(2) }
-    val pos = args.filterNot(_.startsWith("--")).toList
-    val inference = if (args.contains("--inference")) "rdfs"
-      else args.sliding(2).collectFirst { case Array("--inference", v) => v }.getOrElse("none")
-    val asTtl = args.contains("--ttl")
+    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>]"); sys.exit(2) }
+    val (pos, opts, asTtl) = parseArgs(args)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-shacl")
@@ -28,13 +51,7 @@ object ShaclCli {
     try {
       val dataG = GraphLoader.parseFile(pos.head, bnodePrefix = "d") // format-sniffing loader
       val shapesG = pos.lift(1).map(GraphLoader.parseFile(_, bnodePrefix = "s"))
-      val out = Validator.validateGraph(spark, dataG, shapesG,
-        ValidationOptions(inference = inference,
-          advanced = args.contains("--advanced"),
-          iterateRules = args.contains("--iterate-rules"),
-          allowInfos = args.contains("--allow-infos"),
-          allowWarnings = args.contains("--allow-warnings"),
-          abortOnFirst = args.contains("--abort-first")))
+      val out = Validator.validateGraph(spark, dataG, shapesG, opts)
       println(out.reportText)
       if (asTtl) println(TurtleWriter.write(out.reportGraph))
       spark.stop()

@@ -1,0 +1,65 @@
+package graft.shacl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.rdf._
+import graft.tools.ShaclCli
+
+/** CLI flag surface + the focus-node filter and use_shapes shape selection
+  * (reference: validator.py:237-255 use_shapes, shape.py:670-684 focus). */
+class ShaclCliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val ex = "http://ex.org/"
+
+  test("parseArgs: value flags are not positionals; sets parse") {
+    val (pos, opts, ttl) = ShaclCli.parseArgs(Array(
+      "data.ttl", "shapes.ttl", "--inference", "owlrl", "--ttl",
+      "--focus", s"${ex}a,${ex}b", "--use-shapes", s"${ex}S1"))
+    assert(pos == List("data.ttl", "shapes.ttl"))
+    assert(opts.inference == "owlrl")
+    assert(ttl)
+    assert(opts.focusNodes.contains(Set(ex + "a", ex + "b")))
+    assert(opts.useShapes.contains(Set(ex + "S1")))
+  }
+
+  val data = TurtleParser.parseGraph(
+    s"""@prefix ex: <$ex> .
+       |ex:a a ex:Person .
+       |ex:b a ex:Person .
+       |ex:c a ex:Person ; ex:age "x" .
+       |""".stripMargin, "http://t/d")
+
+  val shapes = TurtleParser.parseGraph(
+    s"""@prefix ex: <$ex> .
+       |@prefix sh: <http://www.w3.org/ns/shacl#> .
+       |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+       |ex:S1 a sh:NodeShape ; sh:targetClass ex:Person ;
+       |  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+       |ex:S2 a sh:NodeShape ; sh:targetClass ex:Person ;
+       |  sh:property [ sh:path ex:age ; sh:datatype xsd:integer ] .
+       |""".stripMargin, "http://t/s")
+
+  test("focus filter restricts validation to the named focus nodes") {
+    val all = Validator.validateGraph(spark, data, Some(shapes))
+    assert(all.results.map(_.focus).toSet ==
+      Set(Iri(ex + "a"), Iri(ex + "b"), Iri(ex + "c"))) // minCount x3 + datatype on c
+    assert(all.results.size == 4)
+    val focused = Validator.validateGraph(spark, data, Some(shapes),
+      ValidationOptions(focusNodes = Some(Set(ex + "b"))))
+    assert(!focused.conforms)
+    assert(focused.results.map(_.focus).toSet == Set(Iri(ex + "b")))
+  }
+
+  test("use_shapes selects only the named shapes") {
+    val onlyS2 = Validator.validateGraph(spark, data, Some(shapes),
+      ValidationOptions(useShapes = Some(Set(ex + "S2"))))
+    assert(!onlyS2.conforms)
+    assert(onlyS2.results.size == 1)
+    assert(onlyS2.results.head.focus == Iri(ex + "c"))
+    assert(onlyS2.results.head.component == SH.DatatypeConstraintComponent)
+    // selecting a shape with no violations conforms
+    val none = Validator.validateGraph(spark, data, Some(shapes),
+      ValidationOptions(useShapes = Some(Set(ex + "NoSuch"))))
+    assert(none.conforms)
+  }
+}
