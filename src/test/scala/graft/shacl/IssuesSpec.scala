@@ -246,10 +246,24 @@ class IssuesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/reference/test/issues"
 
-  /** Issues known to depend on reference behavior out of scope here; each
-    * carries the reason it is skipped (VERDICT r1 asked for an explicit
-    * enumeration rather than silence). */
-  val knownSkip: Map[String, String] = Map()
+  /** Per-file dispositions the generic extractor can't infer. Files whose
+    * pytest bodies use parameterized templates / fixture composition /
+    * programmatic graphs are replayed case-by-case in [[IssueTargetedSpec]];
+    * the remainder are genuinely web- or Python-runtime-bound. */
+  val knownSkip: Map[String, String] = Map(
+    "test_076.py" -> "replayed in IssueTargetedSpec (asserts rule-derived triples in the mutated graph)",
+    "test_116.py" -> "replayed in IssueTargetedSpec (%-template fixture composition)",
+    "test_126.py" -> "replayed in IssueTargetedSpec (parameterized severity template + report-graph asserts)",
+    "test_141.py" -> "replayed in IssueTargetedSpec (no-crash smoke, turtle + json-ld)",
+    "test_142.py" -> "replayed in IssueTargetedSpec (ont_graph smoke)",
+    "test_160.py" -> "replayed in IssueTargetedSpec (parameterized shapes template + report-graph asserts)",
+    "test_298.py" -> "replayed in IssueTargetedSpec (programmatic JSON-LD graphs + use_shapes)",
+    "test_304.py" -> "replayed in IssueTargetedSpec (subprocess PYTHONHASHSEED determinism -> two-run text equality)",
+    "test_098.py" -> "web-bound: do_owl_imports fetches http IRIs (zero egress)",
+    "test_108.py" -> "js-bound: pySHACL-js extension engine is out of scope",
+    "test_146.py" -> "python-runtime-bound: asserts `import pyshacl` emits no warnings",
+    "test_154.py" -> "web-bound: JSON-LD remote @context fetch (zero egress)",
+    "test_319.py" -> "web+runtime-bound: local HTTP server owl:imports + CPython GC finalizer behavior")
 
   test("issue-regression corpus replays (pass/skip inventory)") {
     import scala.jdk.CollectionConverters._
