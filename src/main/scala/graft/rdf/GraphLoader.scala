@@ -23,8 +23,11 @@ object GraphLoader {
         RdfXml.parseGraph(content, base, bnodePrefix)
       case Some("turtle") | Some("ttl") | Some("nt") | Some("ntriples") =>
         TurtleParser.parseGraph(content, base, bnodePrefix)
+      case Some("hext") => Hext.parseGraph(content, bnodePrefix)
       case _ =>
-        if (head.startsWith("{") || head.startsWith("[")) JsonLd.parseGraph(content, bnodePrefix)
+        // a hext doc is NDJSON arrays-of-strings; a JSON-LD array is [{...}]
+        if (head.startsWith("[\"")) Hext.parseGraph(content, bnodePrefix)
+        else if (head.startsWith("{") || head.startsWith("[")) JsonLd.parseGraph(content, bnodePrefix)
         else if (head.startsWith("<?xml") || head.startsWith("<rdf:RDF") ||
                  head.startsWith("<RDF")) RdfXml.parseGraph(content, base, bnodePrefix)
         else
@@ -44,6 +47,7 @@ object GraphLoader {
     val ext = path.split('.').last.toLowerCase
     val fmt = ext match {
       case "jsonld" | "json" => Some("json-ld")
+      case "hext" => Some("hext")
       case "trig" => Some("trig")
       case "rdf" | "xml" | "owl" => Some("xml")
       case "ttl" | "nt" => Some("turtle")
