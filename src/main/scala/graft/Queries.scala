@@ -238,6 +238,60 @@ object Queries {
     res.df.select(col("nname")("v").as("nname"), col("rname")("v").as("rname"))
   }
 
+  /** SPARQL 1.1 string builtins end-to-end (r3 frontend breadth):
+    * SUBSTR/UCASE/STRLEN/REPLACE projections + STRSTARTS/CONTAINS filters
+    * over nation-name triples, DuckDB-checked. */
+  val qSparqlStr: Q = (s, d) => {
+    import graft.shacl.{Sparql, SparqlFrame, PathEval}
+    val ex = "http://graft.dev/rel/"
+    def iriT(c: Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    def litT(c: Column) =
+      struct(c.as("v"), lit(2.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    val n = t(s, d, "nation")
+    val triples = n.select(
+      iriT(concat(lit(ex + "nation/"), col("n_nationkey"))).as("s"),
+      lit(ex + "name").as("p"), litT(col("n_name")).as("o"))
+    val q = Sparql.parseQuery(
+      """SELECT ?nname (LCASE(SUBSTR(?nname, 1, 3)) AS ?pfx)
+        |       (STRLEN(?nname) AS ?len) (REPLACE(?nname, "_", "-") AS ?slug)
+        |       (STRAFTER(?nname, "_") AS ?num)
+        |WHERE { ?n ex:name ?nname .
+        |        FILTER (STRSTARTS(?nname, "NAT") && CONTAINS(?nname, "1")) }""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
+    val frame = new SparqlFrame(s, triples, PathEval.step(triples, _, _), Map.empty, None)
+    val res = frame.evalSelect(q, frame.unitSeed)
+    res.df.select(col("nname")("v").as("nname"), col("pfx")("v").as("pfx"),
+      col("len")("v").cast("bigint").as("len"), col("slug")("v").as("slug"),
+      col("num")("v").as("num"))
+  }
+
+  /** GROUP_CONCAT end-to-end: nations roll up per region into a sorted
+    * comma-joined member list (DuckDB string_agg ORDER BY oracle). */
+  val qSparqlGroupConcat: Q = (s, d) => {
+    import graft.shacl.{Sparql, SparqlFrame, PathEval}
+    val ex = "http://graft.dev/rel/"
+    def iriT(c: Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    def litT(c: Column) =
+      struct(c.as("v"), lit(2.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    val n = t(s, d, "nation"); val r = t(s, d, "region")
+    val nIri = concat(lit(ex + "nation/"), col("n_nationkey"))
+    val rIri = concat(lit(ex + "region/"), col("r_regionkey"))
+    val triples = n.select(iriT(nIri).as("s"), lit(ex + "name").as("p"), litT(col("n_name")).as("o"))
+      .unionByName(n.select(iriT(nIri).as("s"), lit(ex + "inRegion").as("p"),
+        iriT(concat(lit(ex + "region/"), col("n_regionkey"))).as("o")))
+      .unionByName(r.select(iriT(rIri).as("s"), lit(ex + "name").as("p"), litT(col("r_name")).as("o")))
+    val q = Sparql.parseQuery(
+      """SELECT ?rname (GROUP_CONCAT(?nname ; SEPARATOR = ",") AS ?members)
+        |WHERE { ?n ex:inRegion ?reg . ?n ex:name ?nname . ?reg ex:name ?rname . }
+        |GROUP BY ?rname""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
+    val frame = new SparqlFrame(s, triples, PathEval.step(triples, _, _), Map.empty, None)
+    val res = frame.evalSelect(q, frame.unitSeed)
+    res.df.select(col("rname")("v").as("rname"), col("members")("v").as("members"))
+  }
+
   /** SPARQL aggregation end-to-end: orders lift to (order ex:by customer)
     * triples, GROUP BY ?cust HAVING(COUNT > 20) compiles through the
     * frontend, result equals the relational GROUP BY (DuckDB oracle). */
@@ -380,7 +434,16 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey WHERE length(n_name) >= 6""".stripMargin,
     "q_sparql_agg" ->
       """SELECT concat('http://graft.dev/rel/customer/', o_custkey) AS cust,
-        |COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 20""".stripMargin
+        |COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 20""".stripMargin,
+    "q_sparql_strfuncs" ->
+      """SELECT n_name AS nname, lower(substr(n_name, 1, 3)) AS pfx,
+        |length(n_name) AS len, replace(n_name, '_', '-') AS slug,
+        |split_part(n_name, '_', 2) AS num FROM nation
+        |WHERE n_name LIKE 'NAT%' AND n_name LIKE '%1%'""".stripMargin,
+    "q_sparql_group_concat" ->
+      """SELECT r_name AS rname, string_agg(n_name, ',' ORDER BY n_name) AS members
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin
     // q_minhash_lsh / q_simhash / q_ngram_jaccard / q_ann_* are hash-kernel
     // based (xxhash64) — not DuckDB-expressible; driver rows-only check.
   )
@@ -415,6 +478,8 @@ object Queries {
     "q_embed_norm" -> qEmbedNorm,
     "q_window_agg" -> qWindowAgg,
     "q_sparql_join" -> qSparqlJoin,
-    "q_sparql_agg" -> qSparqlAgg
+    "q_sparql_agg" -> qSparqlAgg,
+    "q_sparql_strfuncs" -> qSparqlStr,
+    "q_sparql_group_concat" -> qSparqlGroupConcat
   )
 }
