@@ -50,6 +50,52 @@ class OwlRlSpec extends AnyFunSuite {
     assert(g.contains(I("bob"), I("age"), Lit("44")))
   }
 
+  test("property chains: hasParent∘hasParent -> hasGrandparent") {
+    val g = expandTtl(prefixes +
+      """ex:hasGrandparent owl:propertyChainAxiom ( ex:hasParent ex:hasParent ) .
+        |ex:a ex:hasParent ex:b . ex:b ex:hasParent ex:c . ex:c ex:hasParent ex:d .
+        |""".stripMargin)
+    def I(l: String) = Iri("http://ex.org/" + l)
+    assert(g.contains(I("a"), I("hasGrandparent"), I("c")))
+    assert(g.contains(I("b"), I("hasGrandparent"), I("d")))
+    assert(!g.contains(I("a"), I("hasGrandparent"), I("d")))
+  }
+
+  test("FunctionalProperty / InverseFunctionalProperty derive sameAs + replication") {
+    val g = expandTtl(prefixes +
+      """ex:hasMother a owl:FunctionalProperty .
+        |ex:email a owl:InverseFunctionalProperty .
+        |ex:kid ex:hasMother ex:m1 . ex:kid ex:hasMother ex:m2 .
+        |ex:m1 ex:age "40" .
+        |ex:u1 ex:email "x@y.z" . ex:u2 ex:email "x@y.z" .
+        |ex:u1 ex:nick "Ed" .
+        |""".stripMargin)
+    def I(l: String) = Iri("http://ex.org/" + l)
+    val sameAs = Iri("http://www.w3.org/2002/07/owl#sameAs")
+    assert(g.contains(I("m1"), sameAs, I("m2")) || g.contains(I("m2"), sameAs, I("m1")))
+    assert(g.contains(I("m2"), I("age"), Lit("40"))) // replicated onto the alias
+    assert(g.contains(I("u2"), I("nick"), Lit("Ed")))
+  }
+
+  test("someValuesFrom / hasValue / allValuesFrom classification + oneOf") {
+    val g = expandTtl(prefixes +
+      """ex:CatOwner owl:equivalentClass [ a owl:Restriction ;
+        |    owl:onProperty ex:hasPet ; owl:someValuesFrom ex:Cat ] .
+        |ex:Vip owl:equivalentClass [ a owl:Restriction ;
+        |    owl:onProperty ex:status ; owl:hasValue "gold" ] .
+        |ex:felix a ex:Cat . ex:anna ex:hasPet ex:felix .
+        |ex:bob ex:status "gold" .
+        |ex:Primary owl:oneOf ( ex:red ex:green ex:blue ) .
+        |""".stripMargin)
+    def I(l: String) = Iri("http://ex.org/" + l)
+    // anna is typed with the restriction node, and via equivalentClass
+    // (mutual subclassing through the final RDFS pass) with CatOwner
+    assert(g.contains(I("anna"), RDF.ty, I("CatOwner")))
+    assert(g.contains(I("bob"), RDF.ty, I("Vip")))
+    assert(g.contains(I("red"), RDF.ty, I("Primary")))
+    assert(g.contains(I("blue"), RDF.ty, I("Primary")))
+  }
+
   test("sameAs substitutes subject AND object together (double-alias fixpoint)") {
     val g = expandTtl(prefixes +
       """ex:a owl:sameAs ex:b .
