@@ -406,10 +406,9 @@ final class SparqlFrame(
     val out = grouped.map { case (x, cols) => cols.head._2.as(x) }.toSeq
     val vars = grouped.keySet
     if (out.isEmpty) {
-      // fully-ground pattern: acts as an existence filter on the whole group
-      val any = base.limit(1).count() > 0
-      Sol(if (any) spark.range(1).select(lit(1).as("__unit"))
-          else spark.range(0).select(lit(1).as("__unit")), Set("__unit"), Set.empty)
+      // fully-ground pattern: a 0-or-1-row existence frame — joining it in
+      // filters the group naturally and stays LAZY (no compile-time action)
+      Sol(base.limit(1).select(lit(1).as("__unit")), Set("__unit"), Set.empty)
     } else Sol(base.select(out: _*), vars, Set.empty)
   }
 
@@ -471,9 +470,8 @@ final class SparqlFrame(
         (res.filter(col("v") === termLit(n)).select(col("f").as(a)), Set(a))
       case (TConst(_), TVar(o)) => (res.select(col("v").as(o)), Set(o))
       case (TConst(_), TConst(n)) =>
-        val any = res.filter(col("v") === termLit(n)).limit(1).count() > 0
-        (if (any) spark.range(1).select(lit(1).as("__unit"))
-         else spark.range(0).select(lit(1).as("__unit")), Set("__unit"))
+        (res.filter(col("v") === termLit(n)).limit(1).select(lit(1).as("__unit")),
+          Set("__unit"))
     }
     joinSols(cur, Sol(df, vars, Set.empty))
   }
@@ -503,32 +501,51 @@ final class SparqlFrame(
         a.maybeNull.contains(x) && b.maybeNull.contains(x))))
   }
 
-  private def withRid(cur: Sol): Sol = {
-    val df = cur.df.withColumn("__rid", monotonically_increasing_id().cast(StringType))
-      .localCheckpoint()
-    Sol(df, cur.vars + "__rid", cur.maybeNull)
+  /** EXISTS/OPTIONAL correlation without a minted row id: the sub-group is
+    * seeded with the DISTINCT binding tuples of `cur`, each carrying its
+    * original values under reserved `__k_` names (evaluation may null-fill
+    * a maybe-null var, so the coalesced output columns cannot serve as the
+    * correlation key). Results join back null-safely on those keys. A
+    * minted monotonically_increasing_id forced a localCheckpoint
+    * materialization barrier per clause — SPARQL solutions are multisets
+    * whose duplicates carry identical bindings, so binding-tuple identity
+    * is equivalent and keeps the whole query one lazy plan. */
+  private def keyedSeed(cur: Sol): (Seq[String], Sol) = {
+    val varsS = cur.vars.toSeq.sorted
+    val seedDf = cur.df
+      .select(varsS.map(col) ++ varsS.map(x => col(x).as("__k_" + x)): _*)
+      .distinct()
+    (varsS, Sol(seedDf, cur.vars ++ varsS.map("__k_" + _), cur.maybeNull))
   }
 
+  private def keyCond(l: DataFrame, r: DataFrame, varsS: Seq[String]): Column =
+    varsS.map(x => l(x) <=> r("__x_" + x)).reduceOption(_ && _).getOrElse(lit(true))
+
   private def existsFilter(cur: Sol, g: SqGroup, negated: Boolean): Sol = {
-    val curR = withRid(cur)
-    val sub = evalGroup(g, curR)
-    val hits = sub.df.select(col("__rid").as("__hit")).distinct()
-    val joined = curR.df.join(hits, col("__rid") === col("__hit"),
+    val (varsS, seed) = keyedSeed(cur)
+    val sub = evalGroup(g, seed)
+    val hits = sub.df.select(varsS.map(x => col("__k_" + x).as("__x_" + x)): _*).distinct()
+    val joined = cur.df.join(hits, keyCond(cur.df, hits, varsS),
       if (negated) "left_anti" else "left_semi")
-    Sol(joined.drop("__rid"), cur.vars, cur.maybeNull)
+    Sol(joined, cur.vars, cur.maybeNull)
   }
 
   private def optionalJoin(cur: Sol, g: SqGroup): Sol = {
-    val curR = withRid(cur)
-    val sub = evalGroup(g, curR)
-    val newVars = sub.vars.diff(curR.vars)
-    val hits = sub.df.select(col("__rid").as("__hit")).distinct()
-    val unmatched0 = curR.df.join(hits, col("__rid") === col("__hit"), "left_anti")
+    val (varsS, seed) = keyedSeed(cur)
+    val sub = evalGroup(g, seed)
+    val newVars = sub.vars.diff(seed.vars)
+    val outVars = (cur.vars ++ newVars).toSeq.sorted
+    // sub side: coalesced solution values under __v_, original keys under __x_
+    val subR = sub.df.select(
+      outVars.map(x => col(x).as("__v_" + x)) ++
+        varsS.map(x => col("__k_" + x).as("__x_" + x)): _*)
+    val matched = cur.df.join(subR, keyCond(cur.df, subR, varsS))
+      .select(outVars.map(x => col("__v_" + x).as(x)): _*)
+    val hits = subR.select(varsS.map(x => col("__x_" + x)): _*).distinct()
+    val unmatched0 = cur.df.join(hits, keyCond(cur.df, hits, varsS), "left_anti")
     val unmatched = newVars.foldLeft(unmatched0)((d, v) => d.withColumn(v, nullT))
-      .select((curR.vars ++ newVars).toSeq.sorted.map(col): _*)
-    val matched = sub.df.select((curR.vars ++ newVars).toSeq.sorted.map(col): _*)
-    Sol(matched.unionByName(unmatched).drop("__rid"),
-      cur.vars ++ newVars, cur.maybeNull ++ newVars)
+      .select(outVars.map(col): _*)
+    Sol(matched.unionByName(unmatched), cur.vars ++ newVars, cur.maybeNull ++ newVars)
   }
 
   // ------------------------------------------------------- expressions
