@@ -28,6 +28,16 @@ object ConnectedComponents {
       .filter($"a" =!= $"b").distinct()
       .localCheckpoint()
 
+    // convergence is checked via a (count, xxhash64-sum) digest — one
+    // lightweight agg per NEW edge set per round; the old set's digest is
+    // memoized from the previous round (it was that round's `next`), so
+    // each iteration costs one digest job, not two
+    def digest(df: DataFrame): (Long, String) = {
+      // decimal sum: exact and overflow-proof under ANSI mode
+      val r = df.agg(count(lit(1)), sum(xxhash64($"a", $"b").cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    var edgesDigest = digest(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -50,18 +60,13 @@ object ConnectedComponents {
         .unionByName(smallMins.select($"m".as("a"), $"u".as("b")))
         .filter($"a" =!= $"b")
       val next = large.unionByName(small).distinct().localCheckpoint()
-      // converged when the edge set is a stable star forest; compared via
-      // (count, xxhash64-sum) digest — one lightweight agg per side instead
-      // of two anti-join scans (collision probability is negligible, and a
-      // false match would only end the loop one round early on an
-      // already-stable forest)
-      def digest(df: DataFrame): (Long, String) = {
-        // decimal sum: exact and overflow-proof under ANSI mode
-        val r = df.agg(count(lit(1)), sum(xxhash64($"a", $"b").cast("decimal(38,0)"))).head()
-        (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
-      }
-      converged = digest(next) == digest(edges)
+      // converged when the edge set is a stable star forest (a digest
+      // collision is negligible and would only end the loop one round
+      // early on an already-stable forest)
+      val nextDigest = digest(next)
+      converged = nextDigest == edgesDigest
       edges = next
+      edgesDigest = nextDigest
       iter += 1
     }
     // final edge set is (component-min, member); add singleton roots
