@@ -108,13 +108,15 @@ final class SparqlFrame(
       val keys = q.orderBy.flatMap { case (v, asc) =>
         if (!all.contains(v)) Nil
         // SPARQL order: by kind (bnode < IRI < literal), then BY VALUE for
-        // numeric literals (rdflib orders 2 < 10, not "10" < "2"), then
-        // lexically — the numeric flag sorts numerics before non-numeric
-        // literals so mixed columns stay deterministic
+        // numeric literals (rdflib orders 2 < 10, not "10" < "2") and for
+        // temporal literals (timezone-normalized instant), then lexically —
+        // the family flags keep mixed columns deterministic
         else {
           val c = col(v)
           val n = num(c)
-          val ks = Seq(c("k"), n.isNull, n, c("v"))
+          val ts = when(c("dt").isin(XSD.dateTime, XSD.dateTimeStamp, XSD.date),
+            try_to_timestamp(c("v"))).otherwise(lit(null).cast(TimestampType))
+          val ks = Seq(c("k"), n.isNull, n, ts.isNull, ts, c("v"))
           if (asc) ks.map(_.asc) else ks.map(_.desc)
         }
       }
@@ -745,9 +747,11 @@ final class SparqlFrame(
         val tz = regexp_extract(t("v"), dtPat, 7)
         val h = regexp_extract(tz, "^[+-]0*(\\d+):(\\d{2})$", 1).cast("int")
         val m = regexp_extract(tz, "^[+-]0*(\\d+):(\\d{2})$", 2).cast("int")
-        val dur = when(tz === "Z", lit("PT0S"))
+        // canonical xsd:dayTimeDuration: zero components are omitted
+        // ("-PT5H", "PT30M"); the all-zero offset is "PT0S"
+        val dur = when(tz === "Z" || (h === 0 && m === 0), lit("PT0S"))
           .otherwise(concat(when(tz.startsWith("-"), "-").otherwise(""), lit("PT"),
-            h.cast("string"), lit("H"),
+            when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
             when(m > 0, concat(m.cast("string"), lit("M"))).otherwise(lit(""))))
         when(t.isNull || t("k") =!= 2 || tz === "", nullT)
           .otherwise(struct(dur.as("v"), lit(2.toByte).as("k"),

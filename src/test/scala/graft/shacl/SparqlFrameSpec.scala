@@ -166,6 +166,21 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(d.head("ks") == Lit("x"))
   }
 
+  test("ORDER BY sorts temporal literals by instant (timezone-normalized)") {
+    val dtns = "http://www.w3.org/2001/XMLSchema#dateTime"
+    val tData =
+      s"""@prefix ex: <$ex> .
+         |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+         |ex:t1 ex:v "2011-01-10T20:00:00Z"^^xsd:dateTime .
+         |ex:t2 ex:v "2011-01-10T14:00:00-08:00"^^xsd:dateTime .
+         |ex:t3 ex:v "2011-01-10T05:00:00+01:00"^^xsd:dateTime .
+         |""".stripMargin
+    val rows = runOn(tData, "SELECT ?v WHERE { ?s ex:v ?v . } ORDER BY ?v")
+    // instants: t3 = 04:00Z < t1 = 20:00Z < t2 = 22:00Z (lexical would give t2 first)
+    assert(rows.map(_("v").asInstanceOf[Lit].lex) ==
+      Seq("2011-01-10T05:00:00+01:00", "2011-01-10T20:00:00Z", "2011-01-10T14:00:00-08:00"))
+  }
+
   test("GRAPH <iri> and GRAPH ?g evaluate against named data graphs") {
     val trig =
       s"""@prefix ex: <$ex> .
