@@ -292,6 +292,31 @@ object Queries {
     res.df.select(col("rname")("v").as("rname"), col("members")("v").as("members"))
   }
 
+  /** GRAPH ?g over the named-graph quads layer: orders land in one named
+    * graph per priority; the SPARQL block evaluates per graph with ?g
+    * bound, and per-graph counts equal the relational GROUP BY (DuckDB
+    * oracle). The constant-graph filter prunes like a predicate filter. */
+  val qSparqlGraph: Q = (s, d) => {
+    import graft.shacl.{Sparql, SparqlFrame, PathEval}
+    val ex = "http://graft.dev/rel/"
+    def iriT(c: Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    val o = t(s, d, "orders")
+    val quads = o.select(
+      iriT(concat(lit(ex + "order/"), col("o_orderkey"))).as("s"),
+      lit(ex + "by").as("p"),
+      iriT(concat(lit(ex + "customer/"), col("o_custkey"))).as("o"),
+      concat(lit(ex + "g/"), regexp_replace(col("o_orderpriority"), "\\s", "_")).as("g"))
+    val T = graft.rdf.QuadsDF.defaultUnion(quads)
+    val q = Sparql.parseQuery(
+      """SELECT ?g (COUNT(?o) AS ?n) WHERE { GRAPH ?g { ?o ex:by ?c . } } GROUP BY ?g""",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
+    val frame = new SparqlFrame(s, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    val res = frame.evalSelect(q, frame.unitSeed)
+    res.df.select(col("g")("v").as("g"), col("n")("v").cast("bigint").as("n"))
+  }
+
   /** SPARQL aggregation end-to-end: orders lift to (order ex:by customer)
     * triples, GROUP BY ?cust HAVING(COUNT > 20) compiles through the
     * frontend, result equals the relational GROUP BY (DuckDB oracle). */
@@ -443,7 +468,10 @@ object Queries {
     "q_sparql_group_concat" ->
       """SELECT r_name AS rname, string_agg(n_name, ',' ORDER BY n_name) AS members
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin
+        |GROUP BY r_name""".stripMargin,
+    "q_sparql_graph" ->
+      """SELECT concat('http://graft.dev/rel/g/', replace(o_orderpriority, ' ', '_')) AS g,
+        |COUNT(*) AS n FROM orders GROUP BY 1""".stripMargin
     // q_minhash_lsh / q_simhash / q_ngram_jaccard / q_ann_* are hash-kernel
     // based (xxhash64) — not DuckDB-expressible; driver rows-only check.
   )
@@ -480,6 +508,7 @@ object Queries {
     "q_sparql_join" -> qSparqlJoin,
     "q_sparql_agg" -> qSparqlAgg,
     "q_sparql_strfuncs" -> qSparqlStr,
-    "q_sparql_group_concat" -> qSparqlGroupConcat
+    "q_sparql_group_concat" -> qSparqlGroupConcat,
+    "q_sparql_graph" -> qSparqlGraph
   )
 }
