@@ -54,13 +54,59 @@ final class TripleStore(spark: SparkSession, root: String) {
     * reading this same store — the normal read-transform-overwrite loop —
     * still scans intact inputs, and readAt time travel keeps working).
     * Physical deletion is a separate, explicit vacuum(). */
-  def overwritePartitions(df: DataFrame, preds: Seq[String]): Long = {
+  def overwritePartitions(df: DataFrame, preds: Seq[String]): Long =
+    overwriteParts(df, preds.map(p => p.split("[#/]").last))
+
+  private def overwriteParts(df: DataFrame, parts: Seq[String]): Long = {
     val id = currentSnapshot().getOrElse(0L) + 1L
-    val parts = preds.map(p => p.split("[#/]").last)
     val out = withPart(df).filter(col("p_part").isin(parts: _*)).withColumn("snap", lit(id))
     out.write.mode(SaveMode.Append).partitionBy("p_part", "snap").parquet(dataPath)
     appendLog(id, s"overwrite:${parts.mkString(",")}", out.count())
     id
+  }
+
+  /** Live parquet file count per partition (scan-planning cost proxy). */
+  def liveFileCounts(): Map[String, Int] = {
+    val atId = currentSnapshot().getOrElse(return Map.empty)
+    val over = overwrittenAt(atId)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Map.empty
+    (for {
+      pDir <- fs.listStatus(root).toSeq if pDir.isDirectory &&
+        pDir.getPath.getName.startsWith("p_part=")
+      pp = pDir.getPath.getName.stripPrefix("p_part=")
+      dead = over.getOrElse(pp, 0L)
+      sDir <- fs.listStatus(pDir.getPath).toSeq if sDir.isDirectory
+      snap <- sDir.getPath.getName.stripPrefix("snap=").toLongOption.toSeq
+      if snap <= atId && snap >= dead
+      f <- fs.listStatus(sDir.getPath).toSeq if f.getPath.getName.endsWith(".parquet")
+    } yield pp).groupBy(identity).map { case (pp, xs) => pp -> xs.size }
+  }
+
+  /** Small-file compaction (Iceberg's rewrite_data_files): every live
+    * partition holding at least `minFiles` files is rewritten into
+    * ceil(rows / targetRowsPerFile) files as ONE overwrite snapshot. At
+    * 100 TB a streaming/append workload fragments partitions until file
+    * listing dominates scan planning; compaction restores fat scans
+    * without changing table contents. Superseded files stay readable for
+    * time travel until vacuum(), like any other overwrite. Returns the
+    * new snapshot id, or None when nothing crosses the threshold. */
+  def compact(targetRowsPerFile: Long = 4000000L, minFiles: Int = 2): Option[Long] = {
+    val snap = currentSnapshot().getOrElse(return None)
+    val parts = liveFileCounts().filter(_._2 >= minFiles).keys.toSeq.sorted
+    if (parts.isEmpty) return None
+    val live = liveAt(snap)
+    val counts = live.filter(col("p_part").isin(parts: _*))
+      .groupBy($"p_part").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    if (counts.isEmpty) return None
+    val legs = counts.map { case (pp, n) =>
+      val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      live.filter($"p_part" === pp).drop("snap", "p_part").repartition(files)
+    }
+    Some(overwriteParts(legs.reduce(_ unionByName _), counts.map(_._1).toSeq))
   }
 
   /** Latest overwrite snapshot per partition at or before `atId`:

@@ -10,7 +10,10 @@ object PlanCheck {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_path_seq_agg", "q_class_anti", "q_range", "q_mincount",
-        "q_minhash_lsh", "q_sparql_join")
+        "q_minhash_lsh", "q_sparql_join",
+        // r3: rhpSigTable (one explode + partial aggs + broadcast sig join,
+        // WindowGroupLimit top-k) and the GROUP_CONCAT aggregate path
+        "q_ann_lsh", "q_sparql_group_concat")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

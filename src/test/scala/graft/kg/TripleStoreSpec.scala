@@ -68,6 +68,30 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(plan.contains("p_part"), s"no partition filter in plan:\n$plan")
   }
 
+  test("compact rewrites fragmented partitions; contents + time travel intact") {
+    val st = mkStore()
+    // 4 append snapshots fragment the label partition into >= 4 files
+    val preSnaps = (1 to 4).map { i =>
+      st.append(Seq((s"e:$i", "http://kg#label", s"v$i")).toDF("s", "p", "o"))
+    }
+    st.append(Seq(("e:x", "http://kg#type", "T")).toDF("s", "p", "o"))
+    val before = st.liveFileCounts()
+    assert(before("label") >= 4)
+    val pre = st.read().as[(String, String, String)].collect().toSet
+    val cid = st.compact(minFiles = 2)
+    assert(cid.isDefined)
+    // contents unchanged, label partition down to one file
+    assert(st.read().as[(String, String, String)].collect().toSet == pre)
+    val after = st.liveFileCounts()
+    assert(after("label") == 1, s"label files after compact: $after")
+    // the single-file type partition was below the threshold: untouched
+    assert(after("type") == before("type"))
+    // time travel to before compaction still works (until vacuum)
+    assert(st.readAt(preSnaps.last).filter($"p" === "http://kg#label").count() == 4)
+    st.vacuum()
+    assert(st.read().as[(String, String, String)].collect().toSet == pre)
+  }
+
   test("salted join equals plain join on skewed keys") {
     val big = spark.range(0, 10000).select(
       when($"id" % 100 =!= 0, $"id" % 500).otherwise(lit(7L)).as("k"), $"id".as("payload"))
