@@ -33,6 +33,23 @@ object EventStream {
       .start()
   }
 
+  /** Streaming exact dedup: keep the FIRST document per content
+    * fingerprint within the watermark horizon
+    * (dropDuplicatesWithinWatermark) — dedup state is bounded by the
+    * watermark, which is the only shape that survives an unbounded stream
+    * (an un-watermarked dropDuplicates accumulates state forever at
+    * 100 TB/day). Duplicates that straddle horizons are caught by the
+    * batch exact/MinHash jobs downstream. Works unchanged on a batch
+    * frame via plain dropDuplicates for A/B parity. */
+  def dedupDocs(docs: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val fp = docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
+    if (docs.isStreaming)
+      fp.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(Seq("fp"))
+    else fp.dropDuplicates(Seq("fp"))
+  }
+
   final case class UserState(count: Long, lastTs: Long)
   final case class UserActivity(user_id: Long, events: Long)
 

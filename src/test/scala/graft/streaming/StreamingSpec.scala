@@ -37,6 +37,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("streaming dedup: first doc per fingerprint within the watermark; state bounded") {
+    // doc stream with planted duplicates (same text, later ts)
+    val tmp = java.nio.file.Files.createTempDirectory("docs-stream")
+    val docs = spark.range(0, 300).select(
+      $"id".as("doc_id"),
+      // 100 distinct texts, each appearing 3x
+      concat(lit("the quick brown document number "), ($"id" % 100).cast("string")).as("text"),
+      to_timestamp(lit("2026-01-01 00:00:00")).plus(
+        expr("make_interval(0, 0, 0, 0, 0, 0, id)")).as("ts"))
+    docs.coalesce(1).write.parquet(tmp.resolve("in").toString)
+    val sub = new java.io.File(tmp.resolve("in").toString)
+    sub.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.move(f.toPath, tmp.resolve("part-0.parquet"))
+    }
+    val schema = spark.read.parquet(tmp.resolve("part-0.parquet").toString).schema
+    val src = spark.readStream.schema(schema).parquet(tmp.toString)
+    val q = EventStream.dedupDocs(src).writeStream
+      .outputMode("append").format("memory").queryName("dedup_docs")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_docs")
+    assert(streamed.count() == 100)
+    // streamed fingerprint set equals the batch dedup's
+    val batchFps = EventStream.dedupDocs(spark.read.parquet(tmp.resolve("part-0.parquet").toString))
+      .select($"fp").as[String].collect().toSet
+    assert(streamed.select($"fp").as[String].collect().toSet == batchFps)
+  }
+
   test("streaming SHACL validation: per-batch violation counts sum to the batch run") {
     import graft.rdf._
     import org.apache.spark.sql.functions._
