@@ -97,8 +97,35 @@ object ReportBuilder {
     case Iri(v) => v.split('#').last
   }
 
-  /** Deterministic plain-text report (validator.py:114-152, sorted). */
-  def text(conforms: Boolean, results: Seq[ResultRow], shapes: Map[Node, ShapeIR]): String = {
+  /** CURIE rendering for report text (stringify.py:28-80 renders via the
+    * graph's namespace manager): longest matching bound namespace wins;
+    * IRIs with no binding (or a non-PN local part) keep `<...>` form. */
+  private def curie(prefixes: Map[String, String], iri: String): String =
+    prefixes.toSeq.filter { case (_, ns) => ns.nonEmpty && iri.startsWith(ns) }
+      .sortBy(-_._2.length).headOption match {
+      case Some((p, ns)) =>
+        val local = iri.stripPrefix(ns)
+        if (local.nonEmpty && !local.exists(c => "/#<>\"{}|^`\\ ".contains(c)))
+          s"$p:$local"
+        else s"<$iri>"
+      case None => s"<$iri>"
+    }
+
+  private def pn(prefixes: Map[String, String], n: Node): String = n match {
+    case Iri(v) => curie(prefixes, v)
+    case other => other.toString
+  }
+
+  /** Term-key string ("<iri>" / "_:b" / literal key) -> display form. */
+  private def pnKey(prefixes: Map[String, String], key: String): String =
+    if (key.startsWith("<") && key.endsWith(">"))
+      curie(prefixes, key.drop(1).dropRight(1))
+    else key
+
+  /** Deterministic plain-text report (validator.py:114-152, sorted). Bound
+    * prefixes render IRIs as CURIEs like the reference's stringify. */
+  def text(conforms: Boolean, results: Seq[ResultRow], shapes: Map[Node, ShapeIR],
+           prefixes: Map[String, String] = Map.empty): String = {
     if (conforms) "Validation Report\nConforms: True\n"
     else {
       val lines = results.map { r =>
@@ -110,11 +137,11 @@ object ReportBuilder {
               GenericMessages.forResult(x, r.component, r.value, r.pathKey)).map(List(_)))
             .getOrElse(Nil)
         s"Constraint Violation in ${textName(r.component)} (${r.component}):\n" +
-          s"\tSeverity: ${si.map(_.severity.key).getOrElse(SH.Violation.key)}\n" +
-          s"\tSource Shape: ${r.shapeKey}\n" +
-          s"\tFocus Node: ${r.focus}\n" +
-          r.value.map(v => s"\tValue Node: $v\n").getOrElse("") +
-          r.pathKey.map(p => s"\tResult Path: $p\n").getOrElse("") +
+          s"\tSeverity: ${pnKey(prefixes, si.map(_.severity.key).getOrElse(SH.Violation.key))}\n" +
+          s"\tSource Shape: ${pnKey(prefixes, r.shapeKey)}\n" +
+          s"\tFocus Node: ${pn(prefixes, r.focus)}\n" +
+          r.value.map(v => s"\tValue Node: ${pn(prefixes, v)}\n").getOrElse("") +
+          r.pathKey.map(p => s"\tResult Path: ${pnKey(prefixes, p)}\n").getOrElse("") +
           msgs.sorted.map(m => s"\tMessage: $m\n").mkString
       }.sorted
       s"Validation Report\nConforms: False\nResults (${results.size}):\n" + lines.mkString

@@ -35,7 +35,8 @@ object Validator {
     val data = ontGraph.map(o => Inoculate.mix(dataGraph, o)).getOrElse(dataGraph)
     val df0 = TriplesDF.fromMemGraph(spark, data)
     val df = inferenceStep(spark, df0, opts.inference)
-    validateFrame(spark, df, sg, dataCbd = n => data.cbd(n), opts)
+    validateFrame(spark, df, sg, dataCbd = n => data.cbd(n), opts,
+      prefixes = sg.nsPrefixes ++ data.nsPrefixes)
   }
 
   /** Validate an arbitrary triples DataFrame (the at-scale path). CBDs for
@@ -45,7 +46,8 @@ object Validator {
       triples: DataFrame,
       shapesGraph: MemGraph,
       dataCbd: Node => Seq[Triple],
-      opts: ValidationOptions = ValidationOptions()): Outcome = {
+      opts: ValidationOptions = ValidationOptions(),
+      prefixes: Map[String, String] = Map.empty): Outcome = {
     // advanced mode: apply SHACL-AF rules (graph mutation) before any
     // constraint runs — validator.py:323-330
     val expanded =
@@ -68,7 +70,8 @@ object Validator {
     val (conforms, g, rep) = ReportBuilder.build(rows, shapes, shapesGraph, dataCbd,
       conformsOverride = Some(conformsV))
     Outcome(conforms, g, rep,
-      ReportBuilder.text(conforms, rows.filterNot(_.isDetail), shapes), rows)
+      ReportBuilder.text(conforms, rows.filterNot(_.isDetail), shapes,
+        if (prefixes.nonEmpty) prefixes else shapesGraph.nsPrefixes), rows)
   }
 
   /** At-scale validation outcome: nothing driver-bound except bounded
@@ -122,7 +125,7 @@ object Validator {
         pathKey = Option(r.getString(2)),
         component = Iri(r.getString(3)),
         shapeKey = r.getString(4)))
-    val text = ReportBuilder.text(blocking == 0, sampleRows, shapes) +
+    val text = ReportBuilder.text(blocking == 0, sampleRows, shapes, shapesGraph.nsPrefixes) +
       (if (total > sampleRows.size)
          s"... (${total - sampleRows.size} more results not shown; see the violations frame)\n"
        else "")
