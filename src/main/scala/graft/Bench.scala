@@ -44,11 +44,11 @@ object Bench {
     // (in production runs the lineage layer persists it to parquet)
     val links = graft.kg.KgPipeline.linkEntities(spark, ments).toDF().persist()
     try {
-      links.count()
+      val nLinks = links.count()
       val comps = graft.kg.KgPipeline.canonicalize(spark, links).persist()
       try {
         comps.count()
-        graft.kg.KgPipeline.materializeTriples(links, comps).count()
+        graft.kg.KgPipeline.materializeTriples(links, comps, Some(nLinks)).count()
       } finally { comps.unpersist(false) }
     } finally { links.unpersist(false) }
   }
@@ -75,7 +75,12 @@ object Bench {
     // min-of-2 runs per level damps co-tenant noise on this box (load avg
     // ~7-9 at idle). Both (4 -> 16) and (8 -> 32) pairs are reported; the
     // box advertises 32 CPUs but sustained thread scaling saturates ~16.
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "60000").toLong
+    // 100k fat docs (~7.8M triples): big enough that the constant serial
+    // fraction (driver-orchestrated CC rounds + per-job latency) stops
+    // dominating the N-core wall time — r3 measured eff(4->8) 0.74-0.76 at
+    // 60k docs vs 0.82 at 150k on the same code (BASELINE.md round 3);
+    // production at 100 TB sits far beyond either
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "100000").toLong
     def scaleRun(c: Int): (Long, Double) = {
       val sp = session(c)
       try {
@@ -115,11 +120,11 @@ object Bench {
     val links = graft.kg.KgPipeline.linkEntities(spark,
       graft.kg.KgPipeline.mentions(graft.kg.KgPipeline.tagSpans(docs))).toDF().persist()
     try {
-      links.count()
+      val nLinks = links.count()
       val comps = graft.kg.KgPipeline.canonicalize(spark, links).persist()
       try {
         comps.count()
-        graft.kg.KgPipeline.materializeTriples(links, comps).count()
+        graft.kg.KgPipeline.materializeTriples(links, comps, Some(nLinks)).count()
       } finally comps.unpersist(false)
     } finally links.unpersist(false)
   }

@@ -87,10 +87,13 @@ object KgPipeline {
     * salts Zipf-head entity ids explicitly (Skew.saltedJoin) — the join AQE
     * cannot pre-split because it sits inside the driver-orchestrated stage
     * sequence. */
-  def materializeTriples(links: DataFrame, components: DataFrame): DataFrame = {
+  def materializeTriples(links: DataFrame, components: DataFrame,
+                         nLinksHint: Option[Long] = None): DataFrame = {
     val spark = links.sparkSession
     val linksSel = links.select(col("doc_id"), col("span_idx"), col("entity_id"), col("score"))
-    val nLinks = linksSel.count()
+    // callers that already counted the persisted link table pass the count
+    // through — the hot-key threshold does not warrant a second job
+    val nLinks = nLinksHint.getOrElse(linksSel.count())
     val hot = Skew.hotKeys(linksSel, "entity_id", threshold = math.max(1000L, nLinks / 500L))
     val ent = Skew.saltedJoin(spark, linksSel,
       components.withColumnRenamed("id", "entity_id"), "entity_id", hot)
