@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * ?result) }`), which covers the reference's own test functions — is
   * parsed once and compiled into codegen-friendly Column expressions, so a
   * function call over a million focus nodes is one vectorized projection,
-  * not a million query evaluations. Full SPARQL bodies remain v2.
+  * not a million query evaluations. Bodies beyond the compiled subset (real
+  * WHERE clauses, sh:ask) parse through the full SPARQL frontend and
+  * evaluate set-oriented — see ShaclFnDef and SparqlFrame.applyFnFull.
   */
 object SparqlExpr {
   sealed trait Ast

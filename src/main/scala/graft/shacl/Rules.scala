@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * left-anti join against the current triples frame.
   *
   * Node expressions (/root/reference/pyshacl/helper/expression_helper.py:158-285):
-  * sh:this, constants, sh:path, sh:union, sh:intersection, sh:filterShape.
-  * SPARQL FunctionExpressions are deferred (need the SPARQL frontend, v2).
+  * sh:this, constants, sh:path, sh:union, sh:intersection, sh:filterShape,
+  * and SHACLFunction calls (compiled fast path or full SPARQL bodies via
+  * SparqlFrame — see EFunction below).
   */
 sealed trait NodeExprIR
 object NodeExprIR {
