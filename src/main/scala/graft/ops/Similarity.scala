@@ -61,7 +61,12 @@ object Similarity {
     * embedding array per row. Returns (id, tbl, sig). */
   def rhpSigTable(docs: DataFrame, idCol: String, vecCol: String,
                   bits: Int, tables: Int): DataFrame = {
-    val dims = docs.select(col(idCol).as("id"), posexplode(col(vecCol)))
+    // posexplode_outer keeps rows with empty/null embeddings: their sums
+    // come out null -> every sign bit 0 -> signature 0 in every table,
+    // matching the column-expression form (a plain posexplode would drop
+    // the id from the signature table and silently exclude it from
+    // candidates and bucket diagnostics)
+    val dims = docs.select(col(idCol).as("id"), posexplode_outer(col(vecCol)))
       .select(col("id"), col("pos").as("d"), col("col").cast("double").as("x"))
     val sums = for (t <- 0 until tables; b <- 0 until bits)
       yield sum(col("x") * rhpWeight(lit(t), lit(b), col("d"))).as(s"p_${t}_$b")

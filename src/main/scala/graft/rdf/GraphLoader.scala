@@ -25,8 +25,11 @@ object GraphLoader {
         TurtleParser.parseGraph(content, base, bnodePrefix)
       case Some("hext") => Hext.parseGraph(content, bnodePrefix)
       case _ =>
-        // a hext doc is NDJSON arrays-of-strings; a JSON-LD array is [{...}]
-        if (head.startsWith("[\"")) Hext.parseGraph(content, bnodePrefix)
+        // a hext doc is NDJSON arrays-of-strings (possibly with whitespace
+        // after the bracket); a JSON-LD array is [{...}]
+        val hextish = head.startsWith("[") &&
+          head.drop(1).dropWhile(_.isWhitespace).startsWith("\"")
+        if (hextish) Hext.parseGraph(content, bnodePrefix)
         else if (head.startsWith("{") || head.startsWith("[")) JsonLd.parseGraph(content, bnodePrefix)
         else if (head.startsWith("<?xml") || head.startsWith("<rdf:RDF") ||
                  head.startsWith("<RDF")) RdfXml.parseGraph(content, base, bnodePrefix)

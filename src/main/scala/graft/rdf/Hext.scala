@@ -40,7 +40,15 @@ object Hext {
       case dt => if (langS.nonEmpty) Lit(vS, "", langS)
         else Lit(vS, if (dt == XSD.string) "" else dt)
     }
-    Some(Quad(s, Iri(pS), o, if (gS.isEmpty) None else Some(Iri(gS))))
+    // blank-node graph labels are legal in hext; Quad models graph names as
+    // IRIs, so they skolemize to a per-file stable IRI (bnode graph names
+    // have no cross-document identity anyway — the bnodePrefix scopes them)
+    val g =
+      if (gS.isEmpty) None
+      else if (gS.startsWith("_:"))
+        Some(Iri(s"urn:graft:bnode-graph:$bnodePrefix-${gS.drop(2)}"))
+      else Some(Iri(gS))
+    Some(Quad(s, Iri(pS), o, g))
   }
 
   def parseQuads(content: String, bnodePrefix: String = "b"): Seq[Quad] =

@@ -283,7 +283,9 @@ object OwlRlInference {
         fps.nonEmpty || ifps.nonEmpty) {
       var grew = true
       var round = 0
-      while (grew && round < 10) {
+      val maxRounds = 50 // same bound as prp-trp; deep chain/classification
+      // closures converge long before this on real ontologies
+      while (grew && round < maxRounds) {
         round += 1
         val typeC = lit(RDF.ty.value).as("p")
         val derived = scala.collection.mutable.ListBuffer.empty[DataFrame]

@@ -318,34 +318,58 @@ object RulesEngine {
           val res = SparqlExpr.compile(ast, env)
           cur.select(col("f"), SparqlExpr.typedToTerm(res).as("v")).distinct()
         case Right(q) =>
-          // full SPARQL body: focus+args seed one set-oriented evaluation
+          // full SPARQL body, evaluated ONCE over the distinct argument
+          // tuples; results join back per (focus, tuple) row — a per-focus
+          // collapse would merge multi-valued arguments into one arbitrary
+          // result (the reference and the compiled path yield one result
+          // per argument tuple)
           val frame = new SparqlFrame(engine.triplesDF.sparkSession, engine.triplesDF,
             engine.step, engine.fnsByIri, None)
-          val seedDf = cur.select(col("f") +:
-            defn.params.zip(argCols).map { case ((local, _, _), c) => col(c).as(local) }: _*)
-          val seed = frame.sol(seedDf, Set("f") ++ defn.params.map(_._1))
-          q match {
+          val paramNames = defn.params.map(_._1)
+          val argPairs = paramNames.zip(argCols)
+          val trueT = termLit(Lit("true", XSD.boolean))
+          val falseT = termLit(Lit("false", XSD.boolean))
+          val resolved: DataFrame = q match { // one __r per distinct tuple
             case sel: Sparql.SqSelect =>
-              val res = frame.evalSelect(sel, seed, keep = Set("f"))
+              val tuples = cur.select(argPairs.map { case (p, c) => col(c).as(p) }: _*)
+                .distinct()
+              val res = frame.evalSelect(sel,
+                frame.sol(tuples, paramNames.toSet), keep = paramNames.toSet)
               val resultVar = sel.proj.headOption match {
                 case Some(Sparql.PVar(x)) => x
                 case Some(Sparql.PExpr(_, as)) => as
                 case _ => throw new ReportableError(
                   s"SHACLFunction $fnRef SELECT body must project a result variable")
               }
-              res.df.groupBy(col("f"))
-                .agg(first(col(resultVar), ignoreNulls = true).as("v"))
-                .filter(col("v").isNotNull)
+              if (paramNames.isEmpty)
+                res.df.agg(first(col(resultVar), ignoreNulls = true).as("__r"))
+              else res.df.groupBy(paramNames.map(col): _*)
+                .agg(first(col(resultVar), ignoreNulls = true).as("__r"))
             case ask: Sparql.SqAsk =>
-              val hits = frame.evalAsk(ask, seed).df.select(col("f").as("_hf")).distinct()
-              cur.select(col("f")).distinct()
-                .join(hits, col("f") === col("_hf"), "left")
-                .select(col("f"),
-                  when(col("_hf").isNotNull, termLit(Lit("true", XSD.boolean)))
-                    .otherwise(termLit(Lit("false", XSD.boolean))).as("v"))
+              if (paramNames.isEmpty) {
+                val any = frame.evalAsk(ask, frame.unitSeed).df.limit(1).count() > 0
+                cur.sparkSession.range(1)
+                  .select((if (any) trueT else falseT).as("__r"))
+              } else {
+                val tuples = cur.select(argPairs.map { case (p, c) => col(c).as(p) }: _*)
+                  .distinct()
+                val hits = frame.evalAsk(ask, frame.sol(tuples, paramNames.toSet)).df
+                  .select(paramNames.map(col): _*).distinct().withColumn("__hit", lit(1))
+                tuples.join(hits, paramNames, "left")
+                  .select(paramNames.map(col) :+
+                    when(col("__hit").isNotNull, trueT).otherwise(falseT).as("__r"): _*)
+              }
             case _ => throw new ReportableError(
               s"SHACLFunction $fnRef body must be a SELECT or ASK query")
           }
+          val renamed = argPairs.foldLeft(resolved) { case (d, (p, c)) =>
+            d.withColumnRenamed(p, c)
+          }
+          val joined =
+            if (argPairs.isEmpty) cur.crossJoin(broadcast(renamed))
+            else cur.join(renamed, argPairs.map(_._2), "left")
+          joined.select(col("f"), col("__r").as("v"))
+            .filter(col("v").isNotNull).distinct()
       }
   }
 }

@@ -156,6 +156,11 @@ object Sparql {
           else { sb.append(c); i += 1 }
           quote = 0; triple = false
         } else { sb.append(c); i += 1 }
+      } else if (inIri) {
+        // inside <...>: apostrophes and '#' (fragments) are IRI content,
+        // not string openers or comments
+        if (c == '>' || c == '\n') inIri = false
+        sb.append(c); i += 1
       } else if (c == '"' || c == '\'') {
         if (i + 2 < s.length && s.charAt(i + 1) == c && s.charAt(i + 2) == c) {
           quote = c; triple = true; sb.append(c).append(c).append(c); i += 3

@@ -642,6 +642,23 @@ final class SparqlFrame(
         .otherwise(tag === rng || tag.startsWith(concat(rng, lit("-")))))
   }
 
+  /** XPath regex flags -> a Java-regex pattern prefix + possible literal
+    * quoting: i/m/s/x map to inline flags, q means match the pattern
+    * literally (Pattern.quote); anything else is an error, not a silent
+    * semantic change. */
+  private def applyFlags(pat: String, flags: Option[String]): String = flags match {
+    case None => RegexDialect.pythonToJava(pat)
+    case Some(f) =>
+      val bad = f.filterNot("imsxq".contains(_))
+      if (bad.nonEmpty)
+        throw new ReportableError(s"unsupported regex flag(s) '$bad' (supported: i m s x q)")
+      val body =
+        if (f.contains('q')) java.util.regex.Pattern.quote(pat)
+        else RegexDialect.pythonToJava(pat)
+      val inline = f.filter(c => "imsx".contains(c) )
+      (if (inline.nonEmpty) s"(?$inline)" else "") + body
+  }
+
   private def regexB(args: List[SqExpr], cur: Sol): Column = {
     val t = compileT(args(0), cur)
     val pat = args(1) match {
@@ -649,9 +666,8 @@ final class SparqlFrame(
       case _ => throw new ReportableError("regex() pattern must be a constant")
     }
     val flags = args.drop(2).headOption.collect { case EConst(Lit(f, _, _)) => f }
-      .map(_.filter("ims".contains(_))).filter(_.nonEmpty).map(f => s"(?$f)").getOrElse("")
     when(t.isNull || t("k") =!= 2, nullB)
-      .otherwise(t("v").rlike(flags + RegexDialect.pythonToJava(pat)))
+      .otherwise(t("v").rlike(applyFlags(pat, flags)))
   }
 
   private def kindIsB(t: Column, k: Int): Column =
@@ -680,19 +696,23 @@ final class SparqlFrame(
            "STRSTARTS" | "STRENDS" | "CONTAINS" | "ISNUMERIC" =>
         boolT(compileB(ECall(fn, args), cur))
       case "SUBSTR" =>
+        // XPath fn:substring: 1-based window [start, start+len); zero or
+        // negative starts clip from position 1 (Spark's substr would count
+        // negatives from the END of the string)
         val t = a(0)
         val start = num(a(1)).cast("int")
-        val len = if (args.size > 2) num(a(2)).cast("int") else length(t("v")) + 1
-        onLit(t, when(start.isNull || len.isNull, nullT)
-          .otherwise(keepLit(t, t("v").substr(start, len))))
+        val begin = greatest(start, lit(1))
+        val effLen =
+          if (args.size > 2) greatest(start + num(a(2)).cast("int") - begin, lit(0))
+          else length(t("v")) + 1
+        onLit(t, when(start.isNull || effLen.isNull, nullT)
+          .otherwise(keepLit(t, t("v").substr(begin, effLen))))
       case "REPLACE" =>
         val t = a(0)
         val pat = constStr(1, "pattern")
         val repl = constStr(2, "replacement")
         val flags = args.drop(3).headOption.collect { case EConst(Lit(f, _, _)) => f }
-          .map(_.filter("ims".contains(_))).filter(_.nonEmpty).map(f => s"(?$f)").getOrElse("")
-        onLit(t, keepLit(t,
-          regexp_replace(t("v"), flags + RegexDialect.pythonToJava(pat), repl)))
+        onLit(t, keepLit(t, regexp_replace(t("v"), applyFlags(pat, flags), repl)))
       case "STRBEFORE" | "STRAFTER" =>
         val l = a(0); val r = a(1)
         val bad = l.isNull || r.isNull || l("k") =!= 2 || r("k") =!= 2 ||
@@ -713,9 +733,14 @@ final class SparqlFrame(
           .otherwise(struct(t("v").as("v"), lit(0.toByte).as("k"),
             lit("").as("dt"), lit("").as("lang")))
       case "BNODE" =>
+        // BNODE(str): same bnode for the same argument WITHIN one solution
+        // row, distinct across rows (SPARQL 17.4.2.9) — the row component
+        // comes from monotonically_increasing_id, which is stable across
+        // expressions of the same row
         val v =
           if (args.isEmpty) concat(lit("genid-sparql-"), expr("uuid()"))
-          else concat(lit("genid-sparql-"), md5(a(0)("v")))
+          else concat(lit("genid-sparql-"),
+            md5(concat(a(0)("v"), lit("@"), monotonically_increasing_id().cast("string"))))
         struct(v.as("v"), lit(1.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
       case "STRDT" =>
         val t = a(0); val dt = a(1)

@@ -107,6 +107,14 @@ class OpsSpec extends AnyFunSuite {
     val maxBucket = sizes.agg(max($"n")).as[Long].collect()(0)
     assert(maxBucket < total / 4,
       s"largest bucket $maxBucket of $total items — signatures are not spreading")
+    // empty embeddings keep their id in the signature table (sig 0 per
+    // table) instead of silently vanishing from candidates/diagnostics
+    val withEmpty = items.select($"vec_id", $"embedding").limit(3).unionByName(
+      spark.range(1).select(lit(999999L).as("vec_id"),
+        array().cast("array<float>").as("embedding")))
+    val sigs = Similarity.rhpSigTable(withEmpty, "vec_id", "embedding", 12, 4)
+    assert(sigs.filter($"id" === 999999L).count() == 4)
+    assert(sigs.filter($"id" === 999999L && $"sig" === 0L).count() == 4)
   }
 
   test("text ops: token count / quality / langid deterministic") {

@@ -39,6 +39,15 @@ class HextSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("bnode graph labels skolemize per file; sniffing tolerates whitespace") {
+    val line = """["http://ex.org/s", "http://ex.org/p", "v", "http://www.w3.org/2001/XMLSchema#string", "", "_:g1"]"""
+    val q = Hext.parseQuads(line, "hx").head
+    assert(q.g.contains(Iri("urn:graft:bnode-graph:hx-g1")))
+    val spaced = """[ "http://ex.org/a", "http://ex.org/name", "Alice", "http://www.w3.org/2001/XMLSchema#string", "", "" ]"""
+    val g = GraphLoader.parseContent(spaced, "file:///x")
+    assert(g.contains(Iri("http://ex.org/a"), Iri("http://ex.org/name"), Lit("Alice")))
+  }
+
   test("readHext scans distributed and feeds the quads layer") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hext")
     val f = dir.resolve("part.hext")

@@ -67,6 +67,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.results.map(_.focus).toSet == Set(Iri(ex + "carol")))
   }
 
+  test("full-bodied function in a TripleRule: one result per argument tuple") {
+    val dataG = TurtleParser.parseGraph(prelude +
+      """ex:kid a ex:Person ; ex:parent ex:p1, ex:p2 .
+        |ex:p1 ex:name "N1" . ex:p2 ex:name "N2" .
+        |""".stripMargin, "http://test/d2")
+    val shapesG = TurtleParser.parseGraph(prelude +
+      """ex:nameOf a sh:SPARQLFunction ;
+        |  sh:parameter [ sh:path ex:person ] ;
+        |  sh:select "SELECT ?result WHERE { $person ex:name ?result . }" .
+        |ex:R a sh:NodeShape ; sh:targetClass ex:Person ;
+        |  sh:rule [ a sh:TripleRule ;
+        |    sh:subject sh:this ;
+        |    sh:predicate ex:alias ;
+        |    sh:object [ ex:nameOf ( [ sh:path ex:parent ] ) ] ;
+        |  ] .
+        |""".stripMargin, "http://test/s2")
+    val expanded = RulesEngine.expand(spark,
+      TriplesDF.fromMemGraph(spark, dataG), shapesG)
+    val g = MemGraph(TriplesDF.collectTriples(expanded))
+    // two parents -> two argument tuples -> two derived aliases (a
+    // per-focus collapse would emit only one, nondeterministically)
+    assert(g.contains(Iri(ex + "kid"), Iri(ex + "alias"), Lit("N1")))
+    assert(g.contains(Iri(ex + "kid"), Iri(ex + "alias"), Lit("N2")))
+  }
+
   test("full-bodied function inside BIND feeds downstream comparison") {
     val out = validate(
       """ex:parentName a sh:SPARQLFunction ;

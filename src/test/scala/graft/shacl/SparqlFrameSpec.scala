@@ -206,6 +206,35 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(!byVar.exists(_("n") == Lit("D")))
   }
 
+  test("SUBSTR clips zero/negative starts like fn:substring; REPLACE honors q flag") {
+    assert(eval1("""SUBSTR("hello", 0, 3)""").contains(Lit("he")))
+    assert(eval1("""SUBSTR("hello", -1, 3)""").contains(Lit("h")))
+    assert(eval1("""SUBSTR("hello", 2, 0)""").contains(Lit("")))
+    assert(eval1("""REPLACE("a.b.c", ".", "-", "q")""").contains(Lit("a-b-c")))
+    intercept[ReportableError](eval1("""REPLACE("x", "a", "b", "g")"""))
+  }
+
+  test("BNODE(str) is fresh per solution row, stable within a row") {
+    val rows = runOn(numData,
+      """SELECT ?s (BNODE("x") AS ?b1) (BNODE("x") AS ?b2) WHERE { ?s ex:v ?n . }""")
+    assert(rows.size == 4)
+    assert(rows.map(_("b1")).distinct.size == 4) // fresh across rows
+    assert(rows.forall(r => r("b1") == r("b2"))) // stable within a row
+  }
+
+  test("comments strip: '#' inside an IRI / apostrophe IRIs do not break stripping") {
+    val g =
+      s"""@prefix ex: <$ex> .
+         |<http://dbpedia.org/resource/O'Reilly> ex:name "Tim" .
+         |""".stripMargin
+    val rows = runOn(g,
+      "SELECT ?n WHERE { <http://dbpedia.org/resource/O'Reilly> ex:name ?n . # note\n }")
+    assert(rows.map(_("n")) == Seq(Lit("Tim")))
+    // a '#' inside an IRI ref is a fragment, not a comment; after '>' it is
+    val frag = runOn(g, "SELECT ?n WHERE { ?x <http://ex.org/name> ?n . } # tail")
+    assert(frag.map(_("n")) == Seq(Lit("Tim")))
+  }
+
   test("comments strip: '#' survives inside quoted strings") {
     val rows = run(
       "SELECT ?s WHERE { ?s ex:alias ?al . # a real comment\n" +
