@@ -12,12 +12,14 @@ import org.apache.spark.sql.SparkSession
   */
 object ShaclCli {
 
-  /** Parse CLI args to (positional files, options, print-ttl). Split out so
-    * the flag surface is testable without exiting a JVM. */
-  def parseArgs(args: Array[String]): (List[String], ValidationOptions, Boolean) = {
-    val valueFlags = Set("--inference", "--focus", "--use-shapes")
+  /** Parse CLI args to (positional files, options, output format). Split
+    * out so the flag surface is testable without exiting a JVM. Formats
+    * mirror pySHACL's -f (cli.py:185-187): human (default) / turtle / nt /
+    * table; --ttl is shorthand for -f turtle. */
+  def parseArgs(args: Array[String]): (List[String], ValidationOptions, String) = {
+    val valueFlags = Set("--inference", "--focus", "--use-shapes", "-f", "--format")
     val pos = args.toList.zipWithIndex.filterNot { case (a, i) =>
-      a.startsWith("--") || (i > 0 && valueFlags.contains(args(i - 1)))
+      a.startsWith("-") || (i > 0 && valueFlags.contains(args(i - 1)))
     }.map(_._1)
     def valueOf(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
@@ -34,12 +36,49 @@ object ShaclCli {
       // shape.py:670-684): comma-separated IRI lists
       focusNodes = setOf("--focus"),
       useShapes = setOf("--use-shapes"))
-    (pos, opts, args.contains("--ttl"))
+    val fmt =
+      if (args.contains("--ttl")) "turtle"
+      else valueOf("-f").orElse(valueOf("--format")).getOrElse("human")
+    if (!Set("human", "turtle", "nt", "table").contains(fmt))
+      throw new IllegalArgumentException(s"unsupported output format '$fmt'")
+    (pos, opts, fmt)
+  }
+
+  /** Report graph as N-Triples (term toString is already NT form). */
+  def ntriples(g: graft.rdf.MemGraph): String =
+    g.triples().map(t => s"${t.s} ${t.p} ${t.o} .").toSeq.sorted.mkString("", "\n", "\n")
+
+  /** pySHACL's -f table: a conforms box + one row per ValidationResult
+    * (cli.py:435-470). */
+  def table(out: Validator.Outcome): String = {
+    def box(rows: Seq[Seq[String]], header: Seq[String]): String = {
+      val all = header +: rows
+      val widths = header.indices.map(i => all.map(r => r(i).length).max)
+      val line = widths.map(w => "-" * (w + 2)).mkString("+", "+", "+")
+      def fmt(r: Seq[String]) =
+        r.zip(widths).map { case (c, w) => " " + c.padTo(w, ' ') + " " }.mkString("|", "|", "|")
+      (Seq(line, fmt(header), line) ++ rows.map(fmt) :+ line).mkString("\n")
+    }
+    val head = box(Seq(Seq(out.conforms.toString)), Seq("Conforms"))
+    if (out.conforms) head + "\n"
+    else {
+      val sh = "http://www.w3.org/ns/shacl#"
+      def clip(s: String) = if (s.length > 25) s.take(25) + "..." else s
+      val rows = out.results.filterNot(_.isDetail).zipWithIndex.map { case (r, i) =>
+        Seq((i + 1).toString, "Violation", clip(r.focus.toString),
+          r.pathKey.map(clip).getOrElse("-"),
+          r.messages.headOption.map(m => clip(m.lex)).getOrElse("-"),
+          clip(r.component.value.stripPrefix(sh)), clip(r.shapeKey),
+          r.value.map(v => clip(v.toString)).getOrElse("-"))
+      }
+      head + "\n\n" + box(rows, Seq("No.", "Severity", "Focus Node", "Result Path",
+        "Message", "Component", "Shape", "Value")) + "\n"
+    }
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>]"); sys.exit(2) }
-    val (pos, opts, asTtl) = parseArgs(args)
+    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [-f human|turtle|nt|table] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>]"); sys.exit(2) }
+    val (pos, opts, fmt) = parseArgs(args)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-shacl")
@@ -52,8 +91,12 @@ object ShaclCli {
       val dataG = GraphLoader.parseFile(pos.head, bnodePrefix = "d") // format-sniffing loader
       val shapesG = pos.lift(1).map(GraphLoader.parseFile(_, bnodePrefix = "s"))
       val out = Validator.validateGraph(spark, dataG, shapesG, opts)
-      println(out.reportText)
-      if (asTtl) println(TurtleWriter.write(out.reportGraph))
+      fmt match {
+        case "human" => println(out.reportText)
+        case "turtle" => println(out.reportText); println(TurtleWriter.write(out.reportGraph))
+        case "nt" => println(ntriples(out.reportGraph))
+        case "table" => println(table(out))
+      }
       spark.stop()
       sys.exit(if (out.conforms) 0 else 1)
     } catch {

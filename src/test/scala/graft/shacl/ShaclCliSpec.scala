@@ -11,15 +11,29 @@ class ShaclCliSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val ex = "http://ex.org/"
 
-  test("parseArgs: value flags are not positionals; sets parse") {
-    val (pos, opts, ttl) = ShaclCli.parseArgs(Array(
+  test("parseArgs: value flags are not positionals; sets and formats parse") {
+    val (pos, opts, fmt) = ShaclCli.parseArgs(Array(
       "data.ttl", "shapes.ttl", "--inference", "owlrl", "--ttl",
       "--focus", s"${ex}a,${ex}b", "--use-shapes", s"${ex}S1"))
     assert(pos == List("data.ttl", "shapes.ttl"))
     assert(opts.inference == "owlrl")
-    assert(ttl)
+    assert(fmt == "turtle")
     assert(opts.focusNodes.contains(Set(ex + "a", ex + "b")))
     assert(opts.useShapes.contains(Set(ex + "S1")))
+    val (pos2, _, fmt2) = ShaclCli.parseArgs(Array("d.ttl", "-f", "table"))
+    assert(pos2 == List("d.ttl") && fmt2 == "table")
+    intercept[IllegalArgumentException](ShaclCli.parseArgs(Array("d.ttl", "-f", "xml")))
+  }
+
+  test("nt and table report formats render") {
+    val out = Validator.validateGraph(spark, data, Some(shapes))
+    val nt = ShaclCli.ntriples(out.reportGraph)
+    assert(nt.contains("<http://www.w3.org/ns/shacl#conforms>"))
+    assert(nt.linesIterator.forall(l => l.isEmpty || l.endsWith(" .")))
+    val tbl = ShaclCli.table(out)
+    assert(tbl.contains("Conforms") && tbl.contains("false"))
+    // columns clip at 25 chars like pySHACL's _col_widther
+    assert(tbl.contains("Focus Node") && tbl.contains("MinCountConstraintCompone"))
   }
 
   val data = TurtleParser.parseGraph(
