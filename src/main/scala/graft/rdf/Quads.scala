@@ -55,6 +55,26 @@ object QuadsDF {
   }
 }
 
+/** TriG serializer (sink counterpart of [[TrigParser]]): default-graph
+  * statements first, then one sorted `GRAPH <g> { ... }` block per named
+  * graph; N-Triples term syntax throughout so round-trips are exact. */
+object TrigWriter {
+  private def line(q: Quad): String =
+    s"${NTriplesWriter.node(q.s)} ${NTriplesWriter.node(q.p)} ${NTriplesWriter.node(q.o)} ."
+
+  def write(quads: Seq[Quad]): String = {
+    val sb = new StringBuilder
+    val (dflt, named) = quads.partition(_.g.isEmpty)
+    dflt.map(line).sorted.distinct.foreach(l => sb.append(l).append('\n'))
+    for ((g, qs) <- named.groupBy(_.g.get.value).toSeq.sortBy(_._1)) {
+      sb.append(s"GRAPH <$g> {\n")
+      qs.map(line).sorted.distinct.foreach(l => sb.append("  ").append(l).append('\n'))
+      sb.append("}\n")
+    }
+    sb.toString
+  }
+}
+
 /** TriG reader: Turtle plus named-graph blocks (`GRAPH <g> { ... }`,
   * `<g> { ... }`, `{ ... }` for the default graph). Implemented as a
   * top-level segmenter (string/comment/IRI-aware) that delegates each

@@ -101,6 +101,36 @@ object TriplesDF {
 
   final case class QuadRow(s: TermRow, p: String, o: TermRow, g: String)
 
+  /** Term struct -> N-Triples token as a codegen'd Column (escaping via a
+    * regexp chain): the distributed EXPORT path — at 100 TB a graph dump
+    * is `df.select(ntLine).write.text(shards)`, never a driver serialize. */
+  def ntTermCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      t("v"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"),
+      "\t", "\\\\t")
+    when(t("k") === 0, concat(lit("<"), t("v"), lit(">")))
+      .when(t("k") === 1, concat(lit("_:"), t("v")))
+      .otherwise(concat(lit("\""), esc, lit("\""),
+        when(t("lang") =!= "", concat(lit("@"), t("lang")))
+          .when(t("dt") =!= "", concat(lit("^^<"), t("dt"), lit(">")))
+          .otherwise(lit(""))))
+  }
+
+  /** One N-Triples/N-Quads line per row (g = "" -> no graph token). */
+  private def ntLine(withGraph: Boolean): org.apache.spark.sql.Column =
+    concat(Seq(ntTermCol(col("s")), lit(" <"), col("p"), lit("> "), ntTermCol(col("o"))) ++
+      (if (withGraph)
+        Seq(when(col("g") =!= "", concat(lit(" <"), col("g"), lit(">"))).otherwise(lit("")))
+       else Nil) :+ lit(" ."): _*)
+
+  /** Distributed N-Triples export: text shards, parallel over partitions. */
+  def writeNTriples(df: DataFrame, path: String): Unit =
+    df.select(ntLine(withGraph = false).as("value")).write.mode("overwrite").text(path)
+
+  /** Distributed N-Quads export of a quads frame (s,p,o,g). */
+  def writeNQuads(quads: DataFrame, path: String): Unit =
+    quads.select(ntLine(withGraph = true).as("value")).write.mode("overwrite").text(path)
+
   /** Distributed N-Quads scan: like readNTriples with an optional 4th
     * graph term per line ("" = default graph). Each line parses
     * independently, so ingest parallelizes over file splits. */

@@ -4,6 +4,41 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class QuadsSpec extends AnyFunSuite {
+
+  test("TriG writer round-trips through the TriG parser") {
+    val quads = Seq(
+      Quad(Iri("http://ex/a"), Iri("http://ex/p"), Lit("say \"hi\"\nline2"), None),
+      Quad(Iri("http://ex/a"), Iri("http://ex/p"), Lit("fr-val", "", "fr"),
+        Some(Iri("http://ex/g1"))),
+      Quad(BNode("b1"), Iri("http://ex/p"), Lit("42", XSD.integer),
+        Some(Iri("http://ex/g2"))))
+    val text = TrigWriter.write(quads)
+    val back = TrigParser.parseGraphQuads(text, "http://base/", "b")
+    def key(q: Quad) = (q.s match { case BNode(_) => "_:" case n => n.key },
+      q.p.value, q.o, q.g.map(_.value))
+    assert(back.map(key).toSet == quads.map(key).toSet)
+  }
+
+  test("distributed N-Triples/N-Quads writers round-trip through the readers") {
+    val spark = graft.TestSpark.spark
+    val quads = QuadsDF.fromQuads(spark, Seq(
+      Quad(Iri("http://ex/a"), Iri("http://ex/p"), Lit("x\t\"y\""), None),
+      Quad(Iri("http://ex/a"), Iri("http://ex/q"), Iri("http://ex/b"),
+        Some(Iri("http://ex/g1"))),
+      Quad(BNode("n1"), Iri("http://ex/p"), Lit("chat", "", "fr"),
+        Some(Iri("http://ex/g1")))))
+    val dir = java.nio.file.Files.createTempDirectory("ntout")
+    TriplesDF.writeNTriples(QuadsDF.defaultUnion(quads), s"$dir/nt")
+    val backT = TriplesDF.readNTriples(spark, s"$dir/nt")
+    assert(backT.count() == 3)
+    // literal content survives escaping (value column compare)
+    import org.apache.spark.sql.functions.col
+    assert(backT.filter(col("o")("v") === "x\t\"y\"").count() == 1)
+    TriplesDF.writeNQuads(quads, s"$dir/nq")
+    val backQ = TriplesDF.readNQuads(spark, s"$dir/nq")
+    assert(backQ.count() == 3)
+    assert(QuadsDF.graphNames(backQ) == Seq("http://ex/g1"))
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
