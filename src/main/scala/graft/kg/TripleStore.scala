@@ -146,6 +146,11 @@ final class TripleStore(spark: SparkSession, root: String) {
       .drop("snap", "p_part")
   }
 
+  /** Distributed N-Triples export of the live table (text shards via
+    * codegen'd term rendering — no driver serialize at any scale). */
+  def exportNTriples(path: String): Unit =
+    graft.rdf.TriplesDF.writeNTriples(read(), path)
+
   /** Physically delete files superseded by partition overwrites. Goes
     * through Hadoop FileSystem, so it works on HDFS/S3A as well as file://
     * (java.nio would be local-only). Time travel before the earliest
