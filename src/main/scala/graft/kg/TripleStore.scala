@@ -147,9 +147,25 @@ final class TripleStore(spark: SparkSession, root: String) {
   }
 
   /** Distributed N-Triples export of the live table (text shards via
-    * codegen'd term rendering — no driver serialize at any scale). */
-  def exportNTriples(path: String): Unit =
-    graft.rdf.TriplesDF.writeNTriples(read(), path)
+    * codegen'd term rendering — no driver serialize at any scale).
+    * Term-struct frames render exactly; the KG pipeline's plain-string
+    * schema renders s/p as IRIs and o as an IRI when it carries a scheme,
+    * a quoted literal otherwise. */
+  def exportNTriples(path: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val df = read()
+    df.schema("s").dataType match {
+      case _: StructType => graft.rdf.TriplesDF.writeNTriples(df, path)
+      case _ =>
+        val esc = regexp_replace(regexp_replace(col("o"), "\\\\", "\\\\\\\\"),
+          "\"", "\\\\\"")
+        val oTok = when(col("o").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+          concat(lit("<"), col("o"), lit(">")))
+          .otherwise(concat(lit("\""), esc, lit("\"")))
+        df.select(concat(lit("<"), col("s"), lit("> <"), col("p"), lit("> "),
+          oTok, lit(" .")).as("value")).write.mode(SaveMode.Overwrite).text(path)
+    }
+  }
 
   /** Physically delete files superseded by partition overwrites. Goes
     * through Hadoop FileSystem, so it works on HDFS/S3A as well as file://

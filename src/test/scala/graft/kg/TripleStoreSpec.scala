@@ -90,6 +90,10 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(st.readAt(preSnaps.last).filter($"p" === "http://kg#label").count() == 4)
     st.vacuum()
     assert(st.read().as[(String, String, String)].collect().toSet == pre)
+    // distributed NT export of the live table round-trips through the reader
+    val ntDir = java.nio.file.Files.createTempDirectory("ntexp").toString + "/out"
+    st.exportNTriples(ntDir)
+    assert(graft.rdf.TriplesDF.readNTriples(spark, ntDir).count() == st.read().count())
   }
 
   test("salted join equals plain join on skewed keys") {
