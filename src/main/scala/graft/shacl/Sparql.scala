@@ -73,7 +73,8 @@ object Sparql {
   final case class SqSelect(distinct: Boolean, proj: List[SqProj], where: SqGroup,
                             orderBy: List[(String, Boolean)], limit: Option[Int],
                             groupBy: List[String] = Nil,
-                            having: Option[SqExpr] = None) extends SqQuery
+                            having: Option[SqExpr] = None,
+                            offset: Option[Int] = None) extends SqQuery
   final case class SqAsk(where: SqGroup) extends SqQuery
   final case class SqConstruct(template: List[SqTriple], where: SqGroup) extends SqQuery
 
@@ -268,9 +269,17 @@ object Sparql {
           else more = false
         }
       }
-      ws()
-      val lim = if (takeKw("LIMIT")) { ws(); Some(integer()) } else None
-      SqSelect(distinct, proj.toList, g, ob.toList, lim, gb.toList, having)
+      // LIMIT/OFFSET may appear in either order (SPARQL LimitOffsetClauses)
+      var lim: Option[Int] = None
+      var off: Option[Int] = None
+      var moreMods = true
+      while (moreMods) {
+        ws()
+        if (lim.isEmpty && takeKw("LIMIT")) { ws(); lim = Some(integer()) }
+        else if (off.isEmpty && takeKw("OFFSET")) { ws(); off = Some(integer()) }
+        else moreMods = false
+      }
+      SqSelect(distinct, proj.toList, g, ob.toList, lim, gb.toList, having, off)
     }
 
     private def constructBody(): SqConstruct = {

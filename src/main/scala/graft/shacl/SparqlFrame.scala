@@ -122,6 +122,7 @@ final class SparqlFrame(
       }
       if (keys.nonEmpty) df = df.orderBy(keys: _*)
     }
+    q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
     Sol(df, all.toSet, g.maybeNull.intersect(all.toSet))
   }

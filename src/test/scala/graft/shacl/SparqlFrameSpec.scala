@@ -166,6 +166,13 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(d.head("ks") == Lit("x"))
   }
 
+  test("OFFSET slices after ORDER BY, composes with LIMIT in either order") {
+    val q1 = runOn(numData, "SELECT ?n WHERE { ?s ex:v ?n . } ORDER BY ?n OFFSET 1 LIMIT 2")
+    assert(q1.map(_("n")) == Seq(Lit("3.5", XSD.decimal), Lit("10", XSD.integer)))
+    val q2 = runOn(numData, "SELECT ?n WHERE { ?s ex:v ?n . } ORDER BY ?n LIMIT 2 OFFSET 3")
+    assert(q2.map(_("n")) == Seq(Lit("b")))
+  }
+
   test("ORDER BY sorts temporal literals by instant (timezone-normalized)") {
     val dtns = "http://www.w3.org/2001/XMLSchema#dateTime"
     val tData =
