@@ -90,6 +90,8 @@ object JsonLd {
       v match {
         case JStr(s) =>
           coerce match {
+            case Some("@id") if s.startsWith("_:") =>
+              Some(BNode(s"$bnodePrefix-${s.drop(2)}"))
             case Some("@id") => Some(ctx.expandIri(s, vocabFallback = false).map(Iri)
               .getOrElse(Iri(s)))
             case Some(dt) => Some(Lit(s, dt))
@@ -119,9 +121,14 @@ object JsonLd {
     /** Emit a node object's triples into graph g; returns its subject. */
     def nodeObject(o: JObj, outerCtx: Ctx, g: Option[Iri]): Node = {
       val ctx = o.m.get("@context").map(parseCtx(_, outerCtx)).getOrElse(outerCtx)
-      val subj: Node = o.m.get("@id").collect { case JStr(s) => s }
-        .flatMap(ctx.expandIri(_, vocabFallback = false)).map(Iri)
-        .getOrElse(freshBnode())
+      // "_:"-prefixed ids are blank node identifiers (JSON-LD 1.1 §3.3),
+      // scoped per document via the bnode prefix — not IRIs
+      val subj: Node = o.m.get("@id").collect { case JStr(s) => s } match {
+        case Some(s) if s.startsWith("_:") => BNode(s"$bnodePrefix-${s.drop(2)}")
+        case Some(s) => ctx.expandIri(s, vocabFallback = false).map(Iri)
+          .getOrElse(freshBnode())
+        case None => freshBnode()
+      }
       for ((k, v) <- o.m if !k.startsWith("@")) {
         ctx.expandIri(k, vocabFallback = true).foreach { predIri =>
           val coerce = ctx.coercion(k)
@@ -165,5 +172,54 @@ object JsonLd {
     val g = new MemGraph
     parseQuads(content, bnodePrefix).foreach(q => g.add(q.s, q.p, q.o))
     g
+  }
+}
+
+/** JSON-LD serializer (expanded form, JSON-LD 1.1 §4): a top-level array of
+  * node objects — one per subject, predicates as absolute IRIs, objects as
+  * `{"@id": ...}` / `{"@value": ..., "@type"/"@language": ...}`. Expanded
+  * form needs no @context, so round-trips through [[JsonLd]] are exact.
+  * Deterministic: subjects, predicates and objects render sorted. */
+object JsonLdWriter {
+
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
+
+  private def idOf(n: Node): String = n match {
+    case Iri(v) => v
+    case BNode(id) => s"_:$id"
+    case l: Lit => throw new JsonLd.JsonLdError(s"literal in subject position: $l")
+  }
+
+  private def objJson(n: Node): String = n match {
+    case Iri(v) => s"""{"@id":${jstr(v)}}"""
+    case BNode(id) => s"""{"@id":${jstr("_:" + id)}}"""
+    case Lit(lex, dt, lang) =>
+      if (lang.nonEmpty) s"""{"@value":${jstr(lex)},"@language":${jstr(lang)}}"""
+      else if (dt.nonEmpty && dt != XSD.string)
+        s"""{"@value":${jstr(lex)},"@type":${jstr(dt)}}"""
+      else s"""{"@value":${jstr(lex)}}"""
+  }
+
+  def write(g: MemGraph): String = {
+    val nodes = g.allSubjects.toSeq.sortBy(_.key).map { s =>
+      val preds = g.predicateObjects(s).toSeq.groupBy(_._1).toSeq.sortBy(_._1.value)
+        .map { case (p, os) =>
+          s"${jstr(p.value)}:[${os.map(x => objJson(x._2)).sorted.mkString(",")}]"
+        }
+      s"""{"@id":${jstr(idOf(s))},${preds.mkString(",")}}"""
+    }
+    nodes.mkString("[\n", ",\n", "\n]\n")
   }
 }

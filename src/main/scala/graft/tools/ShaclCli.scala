@@ -39,7 +39,7 @@ object ShaclCli {
     val fmt =
       if (args.contains("--ttl")) "turtle"
       else valueOf("-f").orElse(valueOf("--format")).getOrElse("human")
-    if (!Set("human", "turtle", "nt", "table").contains(fmt))
+    if (!Set("human", "turtle", "nt", "table", "json-ld").contains(fmt))
       throw new IllegalArgumentException(s"unsupported output format '$fmt'")
     (pos, opts, fmt)
   }
@@ -95,6 +95,7 @@ object ShaclCli {
         case "human" => println(out.reportText)
         case "turtle" => println(out.reportText); println(TurtleWriter.write(out.reportGraph))
         case "nt" => println(ntriples(out.reportGraph))
+        case "json-ld" => println(JsonLdWriter.write(out.reportGraph))
         case "table" => println(table(out))
       }
       spark.stop()

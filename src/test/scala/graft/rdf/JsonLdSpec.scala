@@ -4,6 +4,30 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class JsonLdSpec extends AnyFunSuite {
 
+  test("JsonLdWriter expanded form round-trips through the reader") {
+    val g = new MemGraph
+    val ex = "http://ex.org/"
+    g.add(Iri(ex + "a"), RDF.ty, Iri(ex + "Person"))
+    g.add(Iri(ex + "a"), Iri(ex + "name"), Lit("Al \"The\" Bee\n2"))
+    g.add(Iri(ex + "a"), Iri(ex + "age"), Lit("42", XSD.integer))
+    g.add(Iri(ex + "a"), Iri(ex + "label"), Lit("chat", "", "fr"))
+    g.add(Iri(ex + "a"), Iri(ex + "knows"), Iri(ex + "b"))
+    val back = JsonLd.parseGraph(JsonLdWriter.write(g), "rt")
+    assert(back.triples().toSet == g.triples().toSet)
+  }
+
+  test("JsonLdWriter preserves bnode structure (ids re-scoped by reader)") {
+    val g = new MemGraph
+    g.add(BNode("x"), Iri("http://ex/p"), Lit("v"))
+    g.add(Iri("http://ex/s"), Iri("http://ex/q"), BNode("x"))
+    val back = JsonLd.parseGraph(JsonLdWriter.write(g), "rt")
+    assert(back.triples().size == 2)
+    // the same bnode label resolves to ONE node on both mention sites
+    val bs = back.triples().toSeq.collect { case Triple(b: BNode, _, _) => b } ++
+      back.triples().toSeq.collect { case Triple(_, _, b: BNode) => b }
+    assert(bs.distinct.size == 1)
+  }
+
   test("@vocab, @type, plain values (issue 009 shape)") {
     val g = JsonLd.parseGraph(
       """{
