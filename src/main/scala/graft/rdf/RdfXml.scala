@@ -136,3 +136,70 @@ object RdfXml {
     g
   }
 }
+
+/** RDF/XML serializer — the sink counterpart of [[RdfXml]] (the reference's
+  * `-f xml` report format, cli.py:187). One rdf:Description per subject
+  * (rdf:about / rdf:nodeID), property elements with rdf:resource /
+  * rdf:nodeID / rdf:datatype / xml:lang; predicate namespaces are declared
+  * once on the rdf:RDF root. Deterministic (sorted subjects/predicates).
+  * Predicates whose IRI cannot split into a namespace + XML NCName local
+  * part are not expressible in RDF/XML and raise an error. */
+object RdfXmlWriter {
+  final class RdfXmlWriteError(msg: String) extends RuntimeException(msg)
+
+  private val ncName = "[A-Za-z_][A-Za-z0-9_.-]*"
+
+  private def split(iri: String): (String, String) = {
+    val i = math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/'))
+    if (i < 0 || i == iri.length - 1)
+      throw new RdfXmlWriteError(s"predicate IRI not QName-splittable: $iri")
+    val local = iri.substring(i + 1)
+    if (!local.matches(ncName))
+      throw new RdfXmlWriteError(s"predicate local name is not an XML NCName: $iri")
+    (iri.substring(0, i + 1), local)
+  }
+
+  private def esc(s: String, inAttr: Boolean): String = {
+    val b = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if (inAttr) b.replace("\"", "&quot;") else b
+  }
+
+  def write(g: MemGraph): String = {
+    val triples = g.triples().toSeq
+    val nss = triples.map(t => split(t.p.value)._1).distinct.sorted.zipWithIndex
+      .map { case (ns, i) => ns -> s"n$i" }.toMap
+    val sb = new StringBuilder("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
+    sb.append("<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\"")
+    for ((ns, p) <- nss.toSeq.sortBy(_._2))
+      sb.append(s"""\n    xmlns:$p="${esc(ns, inAttr = true)}"""")
+    sb.append(">\n")
+    for (s <- g.allSubjects.toSeq.sortBy(_.key)) {
+      val subjAttr = s match {
+        case Iri(v) => s"""rdf:about="${esc(v, inAttr = true)}""""
+        case BNode(id) => s"""rdf:nodeID="${esc(id, inAttr = true)}""""
+        case l: Lit => throw new RdfXmlWriteError(s"literal subject: $l")
+      }
+      sb.append(s"  <rdf:Description $subjAttr>\n")
+      for ((p, o) <- g.predicateObjects(s).toSeq.sortBy(x => (x._1.value, x._2.key))) {
+        val (ns, local) = split(p.value)
+        val tag = s"${nss(ns)}:$local"
+        o match {
+          case Iri(v) =>
+            sb.append(s"""    <$tag rdf:resource="${esc(v, inAttr = true)}"/>\n""")
+          case BNode(id) =>
+            sb.append(s"""    <$tag rdf:nodeID="${esc(id, inAttr = true)}"/>\n""")
+          case Lit(lex, dt, lang) =>
+            val attrs =
+              if (lang.nonEmpty) s""" xml:lang="${esc(lang, inAttr = true)}""""
+              else if (dt.nonEmpty && dt != XSD.string)
+                s""" rdf:datatype="${esc(dt, inAttr = true)}""""
+              else ""
+            sb.append(s"    <$tag$attrs>${esc(lex, inAttr = false)}</$tag>\n")
+        }
+      }
+      sb.append("  </rdf:Description>\n")
+    }
+    sb.append("</rdf:RDF>\n")
+    sb.toString
+  }
+}

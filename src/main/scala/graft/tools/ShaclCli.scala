@@ -39,7 +39,8 @@ object ShaclCli {
     val fmt =
       if (args.contains("--ttl")) "turtle"
       else valueOf("-f").orElse(valueOf("--format")).getOrElse("human")
-    if (!Set("human", "turtle", "nt", "table", "json-ld").contains(fmt))
+    // n3 renders as turtle like the reference effectively does for reports
+    if (!Set("human", "turtle", "n3", "nt", "table", "json-ld", "xml").contains(fmt))
       throw new IllegalArgumentException(s"unsupported output format '$fmt'")
     (pos, opts, fmt)
   }
@@ -94,8 +95,10 @@ object ShaclCli {
       fmt match {
         case "human" => println(out.reportText)
         case "turtle" => println(out.reportText); println(TurtleWriter.write(out.reportGraph))
+        case "n3" => println(TurtleWriter.write(out.reportGraph))
         case "nt" => println(ntriples(out.reportGraph))
         case "json-ld" => println(JsonLdWriter.write(out.reportGraph))
+        case "xml" => println(RdfXmlWriter.write(out.reportGraph))
         case "table" => println(table(out))
       }
       spark.stop()

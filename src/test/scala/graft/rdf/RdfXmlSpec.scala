@@ -3,6 +3,28 @@ package graft.rdf
 import org.scalatest.funsuite.AnyFunSuite
 
 class RdfXmlSpec extends AnyFunSuite {
+
+  test("RdfXmlWriter round-trips through the reader") {
+    val g = new MemGraph
+    val ex = "http://ex.org/"
+    g.add(Iri(ex + "a"), RDF.ty, Iri(ex + "Person"))
+    g.add(Iri(ex + "a"), Iri(ex + "name"), Lit("Al <&> \"Bee\""))
+    g.add(Iri(ex + "a"), Iri(ex + "age"), Lit("42", XSD.integer))
+    g.add(Iri(ex + "a"), Iri(ex + "label"), Lit("chat", "", "fr"))
+    g.add(Iri(ex + "a"), Iri(ex + "knows"), BNode("b1"))
+    g.add(BNode("b1"), Iri(ex + "name"), Lit("Cee"))
+    val xml = RdfXmlWriter.write(g)
+    val back = RdfXml.parseGraph(xml, "", "rt")
+    assert(back.triples().size == g.triples().size)
+    assert(back.contains(Iri(ex + "a"), Iri(ex + "name"), Lit("Al <&> \"Bee\"")))
+    assert(back.contains(Iri(ex + "a"), Iri(ex + "age"), Lit("42", XSD.integer)))
+    assert(back.contains(Iri(ex + "a"), Iri(ex + "label"), Lit("chat", "", "fr")))
+    // bnode link structure survives (ids may be re-scoped by the reader)
+    val linked = back.triples(Some(Iri(ex + "a")), Some(Iri(ex + "knows"))).toList
+    assert(linked.size == 1)
+    val bn = linked.head.o
+    assert(back.contains(bn, Iri(ex + "name"), Lit("Cee")))
+  }
   val ex = "http://ex.org/"
 
   test("typed nodes, rdf:about/resource, nested nodes, datatyped + lang literals") {

@@ -22,7 +22,7 @@ class ShaclCliSpec extends AnyFunSuite {
     assert(opts.useShapes.contains(Set(ex + "S1")))
     val (pos2, _, fmt2) = ShaclCli.parseArgs(Array("d.ttl", "-f", "table"))
     assert(pos2 == List("d.ttl") && fmt2 == "table")
-    intercept[IllegalArgumentException](ShaclCli.parseArgs(Array("d.ttl", "-f", "xml")))
+    intercept[IllegalArgumentException](ShaclCli.parseArgs(Array("d.ttl", "-f", "trix")))
   }
 
   test("nt and table report formats render") {
