@@ -166,13 +166,20 @@ object KgPipeline {
     val comps = lin.stage("components", ck)(canonicalize(spark, links))
     val triples = lin.stage("triples", ck) {
       // predicate-partitioned store: filters on p prune whole directories
-      materializeTriples(links, comps)
+      materializeTriples(links, comps, nLinksHint = lin.rowsOf("links"))
         .unionByName(mediaTriples(spark, spans))
     }
-    // Iceberg-shaped store: snapshot append, predicate partitioning;
-    // lineage-gated so resumed runs do not commit duplicate snapshots
+    // Iceberg-shaped store: the run's predicates are OVERWRITTEN (not
+    // appended), so re-running with different parameters replaces the
+    // previous graph instead of unioning with it — old snapshots stay
+    // time-travelable until vacuum. Lineage-gated so resumed runs with an
+    // identical checksum do not commit duplicate snapshots.
     val store = new TripleStore(spark, s"$outRoot/triple_store")
-    lin.marker("store", ck) { store.append(triples); triples.count() }
+    lin.marker("store", ck) {
+      val preds = triples.select(col("p")).distinct().collect().map(_.getString(0))
+      store.overwritePartitions(triples, preds.toSeq)
+      lin.rowsOf("triples").getOrElse(0L)
+    }
 
     // Validate the emitted graph AT SCALE: the (s,p,o) strings lift into
     // the engine's term-struct frame; no driver collect of the data.

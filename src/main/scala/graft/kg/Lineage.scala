@@ -43,6 +43,10 @@ final class Lineage(spark: SparkSession, root: String, runId: String) {
     readLineage().filter(e => e.stage == stage && e.status == "done")
       .sortBy(_.updatedAt).lastOption
 
+  /** Row count the lineage recorded for a completed stage — lets callers
+    * reuse an already-paid count instead of re-running the stage plan. */
+  def rowsOf(stage: String): Option[Long] = doneEntry(stage).map(_.rowsOut)
+
   /** Run a side-effecting step at most once per input checksum (e.g. a
     * store snapshot commit); replays are skipped on resume. */
   def marker(name: String, inputChecksum: String)(action: => Long): Unit =

@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   */
 final class TripleStore(spark: SparkSession, root: String) {
   import spark.implicits._
+  import TripleStore.partName
   private val dataPath = s"$root/data"
   private val snapPath = s"$root/_snapshots"
 
+  private def snapLogExists(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(snapPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Snapshot log. ONLY a missing log reads as empty — any other failure
+    * (throttling, transient IO) must surface, because treating it as "no
+    * snapshots" would reuse snapshot id 1 and corrupt history. */
   private def log(): Seq[(Long, String, Long, Long)] =
-    try spark.read.parquet(snapPath).as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
-    catch { case _: Throwable => Nil }
+    if (!snapLogExists()) Nil
+    else spark.read.parquet(snapPath).as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
 
   def snapshots(): Seq[Long] = log().map(_._1)
   def currentSnapshot(): Option[Long] = {
@@ -34,16 +43,24 @@ final class TripleStore(spark: SparkSession, root: String) {
       .toDF("snapshot_id", "op", "committed_at", "rows")
       .write.mode(SaveMode.Append).parquet(snapPath)
 
-  /** Partition value: predicate local name (bounded vocabulary). */
+  /** Partition value: predicate local name (bounded vocabulary). The
+    * column expression MUST agree with [[TripleStore.partName]] — a
+    * mismatch stores rows under one partition name and looks them up
+    * under another (silently unreadable data). */
   private def withPart(df: DataFrame): DataFrame =
-    df.withColumn("p_part", regexp_extract(col("p"), "[#/]([A-Za-z0-9_]+)$", 1))
+    df.withColumn("p_part", regexp_extract(col("p"), "([^#/]+)[#/]*$", 1))
+
+  /** Rows actually landed in snapshot `id` (partition-pruned scan of the
+    * fresh files — re-counting the input would re-run its whole plan). */
+  private def writtenRows(id: Long): Long =
+    spark.read.parquet(dataPath).filter(col("snap") === id).count()
 
   /** Append (s,p,o) rows as a new snapshot. */
   def append(df: DataFrame): Long = {
     val id = currentSnapshot().getOrElse(0L) + 1L
     val out = withPart(df).withColumn("snap", lit(id))
     out.write.mode(SaveMode.Append).partitionBy("p_part", "snap").parquet(dataPath)
-    appendLog(id, "append", df.count())
+    appendLog(id, "append", writtenRows(id))
     id
   }
 
@@ -55,13 +72,13 @@ final class TripleStore(spark: SparkSession, root: String) {
     * still scans intact inputs, and readAt time travel keeps working).
     * Physical deletion is a separate, explicit vacuum(). */
   def overwritePartitions(df: DataFrame, preds: Seq[String]): Long =
-    overwriteParts(df, preds.map(p => p.split("[#/]").last))
+    overwriteParts(df, preds.map(partName))
 
   private def overwriteParts(df: DataFrame, parts: Seq[String]): Long = {
     val id = currentSnapshot().getOrElse(0L) + 1L
     val out = withPart(df).filter(col("p_part").isin(parts: _*)).withColumn("snap", lit(id))
     out.write.mode(SaveMode.Append).partitionBy("p_part", "snap").parquet(dataPath)
-    appendLog(id, s"overwrite:${parts.mkString(",")}", out.count())
+    appendLog(id, s"overwrite:${parts.mkString(",")}", writtenRows(id))
     id
   }
 
@@ -119,6 +136,9 @@ final class TripleStore(spark: SparkSession, root: String) {
     }.groupBy(_._1).map { case (pp, xs) => pp -> xs.map(_._2).max }
 
   private def liveAt(atId: Long): DataFrame = {
+    if (log().isEmpty)
+      throw new IllegalStateException(
+        s"TripleStore at $root has no committed snapshots (probe with currentSnapshot())")
     val base = spark.read.parquet(dataPath).filter(col("snap") <= atId)
     overwrittenAt(atId).map { case (pp, oid) =>
       col("p_part") === pp && col("snap") < oid
@@ -140,7 +160,7 @@ final class TripleStore(spark: SparkSession, root: String) {
     * filter lands on the partition column, so only matching directories
     * are listed/read. */
   def scanPredicate(pred: String): DataFrame = {
-    val pp = pred.split("[#/]").last
+    val pp = partName(pred)
     liveAt(currentSnapshot().getOrElse(0L))
       .filter(col("p_part") === pp && col("p") === pred)
       .drop("snap", "p_part")
@@ -157,11 +177,9 @@ final class TripleStore(spark: SparkSession, root: String) {
     df.schema("s").dataType match {
       case _: StructType => graft.rdf.TriplesDF.writeNTriples(df, path)
       case _ =>
-        val esc = regexp_replace(regexp_replace(col("o"), "\\\\", "\\\\\\\\"),
-          "\"", "\\\\\"")
         val oTok = when(col("o").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
           concat(lit("<"), col("o"), lit(">")))
-          .otherwise(concat(lit("\""), esc, lit("\"")))
+          .otherwise(concat(lit("\""), graft.rdf.TriplesDF.ntEscape(col("o")), lit("\"")))
         df.select(concat(lit("<"), col("s"), lit("> <"), col("p"), lit("> "),
           oTok, lit(" .")).as("value")).write.mode(SaveMode.Overwrite).text(path)
     }
@@ -188,5 +206,18 @@ final class TripleStore(spark: SparkSession, root: String) {
         }
       }
     }
+  }
+}
+
+object TripleStore {
+  /** Predicate IRI -> partition local name: the segment after the last
+    * '#' or '/' (ignoring trailing separators); IRIs with neither (urn:)
+    * partition under their full form. Mirrors the withPart column
+    * expression `regexp_extract(p, "([^#/]+)[#/]*$", 1)` exactly — both
+    * sides of the store must derive partition names identically. */
+  def partName(pred: String): String = {
+    val t = pred.reverse.dropWhile(c => c == '#' || c == '/').reverse
+    val i = t.lastIndexWhere(c => c == '#' || c == '/')
+    if (i < 0) t else t.substring(i + 1)
   }
 }

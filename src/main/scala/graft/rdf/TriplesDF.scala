@@ -104,10 +104,14 @@ object TriplesDF {
   /** Term struct -> N-Triples token as a codegen'd Column (escaping via a
     * regexp chain): the distributed EXPORT path — at 100 TB a graph dump
     * is `df.select(ntLine).write.text(shards)`, never a driver serialize. */
-  def ntTermCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      t("v"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"),
+  /** N-Triples literal escaping as a Column (backslash, quote, \n \r \t). */
+  def ntEscape(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"),
       "\t", "\\\\t")
+
+  def ntTermCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val esc = ntEscape(t("v"))
     when(t("k") === 0, concat(lit("<"), t("v"), lit(">")))
       .when(t("k") === 1, concat(lit("_:"), t("v")))
       .otherwise(concat(lit("\""), esc, lit("\""),

@@ -22,7 +22,11 @@ object EventStream {
   }
 
   /** Run the streaming query against a parquet directory source and drain
-    * it into an in-memory table; returns the query for inspection. */
+    * it into an in-memory table; returns the query for inspection.
+    * Append mode emits only watermark-CLOSED windows: the trailing
+    * watermark-delay's worth of windows (and everything, if the data spans
+    * less than the delay) intentionally stays open and unemitted — exactly
+    * what a production run would hold back too. */
   def runFromParquet(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
     val schema = spark.read.parquet(dir).schema
     val src = spark.readStream.schema(schema).parquet(dir)
@@ -47,14 +51,25 @@ object EventStream {
       .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
     if (docs.isStreaming)
       fp.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(Seq("fp"))
-    else fp.dropDuplicates(Seq("fp"))
+    else {
+      // batch A/B side: keep the EARLIEST row per fingerprint so the
+      // survivor matches the streaming first-arrival semantics (a plain
+      // dropDuplicates keeps an arbitrary row per key)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("fp")).orderBy(col("ts"))
+      fp.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   final case class UserState(count: Long, lastTs: Long)
   final case class UserActivity(user_id: Long, events: Long)
 
-  /** Stateful custom operator: running per-user event counts with
-    * processing-time timeout (KeyValueGroupedDataset.mapGroupsWithState). */
+  /** Stateful custom operator: running per-user event counts
+    * (KeyValueGroupedDataset.mapGroupsWithState, no timeout — state is
+    * per-user and PERMANENT, so this surface fits bounded key spaces;
+    * an open-ended user id stream should evict via
+    * GroupStateTimeout.ProcessingTimeTimeout + state.setTimeoutDuration,
+    * trading exactness of long-idle users' counts for bounded state). */
   def userActivity(spark: SparkSession, events: DataFrame): Dataset[UserActivity] = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("ts").cast("timestamp").cast("long"))

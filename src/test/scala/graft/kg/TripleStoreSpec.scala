@@ -56,6 +56,28 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(st.read().as[(String, String, String)].collect().toSet == rows)
   }
 
+  test("partition names agree between write and lookup for non-word local names") {
+    val st = mkStore()
+    st.append(Seq(
+      ("e:a", "http://kg#has-part", "e:b"), // '-' broke the old regex
+      ("e:a", "urn:flat:pred", "X"), // no #/ separator at all
+      ("e:a", "http://kg/nested/p.x", "Y")).toDF("s", "p", "o"))
+    assert(st.scanPredicate("http://kg#has-part").count() == 1)
+    assert(st.scanPredicate("urn:flat:pred").count() == 1)
+    assert(st.scanPredicate("http://kg/nested/p.x").count() == 1)
+    st.overwritePartitions(Seq(("e:a", "http://kg#has-part", "e:c")).toDF("s", "p", "o"),
+      Seq("http://kg#has-part"))
+    assert(st.scanPredicate("http://kg#has-part")
+      .select($"o").as[String].collect().toSeq == Seq("e:c"))
+  }
+
+  test("read on an empty store raises a descriptive error, not a path failure") {
+    val st = mkStore()
+    assert(st.currentSnapshot().isEmpty)
+    val e = intercept[IllegalStateException](st.read())
+    assert(e.getMessage.contains("no committed snapshots"))
+  }
+
   test("predicate scan prunes to the partition") {
     val st = mkStore()
     st.append(Seq(
