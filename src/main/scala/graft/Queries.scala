@@ -317,6 +317,78 @@ object Queries {
     res.df.select(col("g")("v").as("g"), col("n")("v").cast("bigint").as("n"))
   }
 
+  /** ORDER BY pre-projection + expression keys + LIMIT (r4 frontend fix):
+    * the sort keys ?rname (non-projected) and STRLEN(?nname) are evaluated
+    * on the pre-projection solution per SPARQL 15.1; LIMIT makes the result
+    * SET order-dependent, so the DuckDB oracle proves the ordering. */
+  val qSparqlTopK: Q = (s, d) => {
+    import graft.shacl.{Sparql, SparqlFrame, PathEval}
+    val ex = "http://graft.dev/rel/"
+    def iriT(c: Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    def litT(c: Column) =
+      struct(c.as("v"), lit(2.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    val n = t(s, d, "nation"); val r = t(s, d, "region")
+    val nIri = concat(lit(ex + "nation/"), col("n_nationkey"))
+    val rIri = concat(lit(ex + "region/"), col("r_regionkey"))
+    val triples = n.select(iriT(nIri).as("s"), lit(ex + "name").as("p"), litT(col("n_name")).as("o"))
+      .unionByName(n.select(iriT(nIri).as("s"), lit(ex + "inRegion").as("p"),
+        iriT(concat(lit(ex + "region/"), col("n_regionkey"))).as("o")))
+      .unionByName(r.select(iriT(rIri).as("s"), lit(ex + "name").as("p"), litT(col("r_name")).as("o")))
+    val q = Sparql.parseQuery(
+      """SELECT ?nname WHERE { ?n ex:inRegion ?reg . ?n ex:name ?nname .
+        |  ?reg ex:name ?rname . }
+        |ORDER BY ?rname STRLEN(?nname) ?nname LIMIT 7""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
+    val frame = new SparqlFrame(s, triples, PathEval.step(triples, _, _), Map.empty, None)
+    val res = frame.evalSelect(q, frame.unitSeed)
+    res.df.select(col("nname")("v").as("nname"))
+  }
+
+  /** VALUES inline data (legal outside constraints, r4): segment triples
+    * join an inline (?seg ?tier) table with an UNDEF row. */
+  val qSparqlValues: Q = (s, d) => {
+    import graft.shacl.{Sparql, SparqlFrame, PathEval}
+    val ex = "http://graft.dev/rel/"
+    def iriT(c: Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    def litT(c: Column) =
+      struct(c.as("v"), lit(2.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    val c0 = t(s, d, "customer")
+    val triples = c0.select(
+      iriT(concat(lit(ex + "customer/"), col("c_custkey"))).as("s"),
+      lit(ex + "segment").as("p"), litT(col("c_mktsegment")).as("o"))
+    val q = Sparql.parseQuery(
+      """SELECT ?seg (COUNT(?c) AS ?n) WHERE { ?c ex:segment ?seg .
+        |  VALUES ?seg { "BUILDING" "MACHINERY" } } GROUP BY ?seg""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
+    val frame = new SparqlFrame(s, triples, PathEval.step(triples, _, _), Map.empty, None)
+    val res = frame.evalSelect(q, frame.unitSeed)
+    res.df.select(col("seg")("v").as("seg"), col("n")("v").cast("bigint").as("n"))
+  }
+
+  /** Negated property set !(ex:name) (r4): one scan excluding a predicate
+    * literal list — only the inRegion edges survive. */
+  val qSparqlNps: Q = (s, d) => {
+    import graft.shacl.{Sparql, SparqlFrame, PathEval}
+    val ex = "http://graft.dev/rel/"
+    def iriT(c: Column) =
+      struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    def litT(c: Column) =
+      struct(c.as("v"), lit(2.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+    val n = t(s, d, "nation")
+    val nIri = concat(lit(ex + "nation/"), col("n_nationkey"))
+    val triples = n.select(iriT(nIri).as("s"), lit(ex + "name").as("p"), litT(col("n_name")).as("o"))
+      .unionByName(n.select(iriT(nIri).as("s"), lit(ex + "inRegion").as("p"),
+        iriT(concat(lit(ex + "region/"), col("n_regionkey"))).as("o")))
+    val q = Sparql.parseQuery(
+      """SELECT ?s ?o WHERE { ?s !(ex:name) ?o . }""",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect]
+    val frame = new SparqlFrame(s, triples, PathEval.step(triples, _, _), Map.empty, None)
+    val res = frame.evalSelect(q, frame.unitSeed)
+    res.df.select(col("s")("v").as("s"), col("o")("v").as("o"))
+  }
+
   /** SPARQL aggregation end-to-end: orders lift to (order ex:by customer)
     * triples, GROUP BY ?cust HAVING(COUNT > 20) compiles through the
     * frontend, result equals the relational GROUP BY (DuckDB oracle). */
@@ -471,7 +543,16 @@ object Queries {
         |GROUP BY r_name""".stripMargin,
     "q_sparql_graph" ->
       """SELECT concat('http://graft.dev/rel/g/', replace(o_orderpriority, ' ', '_')) AS g,
-        |COUNT(*) AS n FROM orders GROUP BY 1""".stripMargin
+        |COUNT(*) AS n FROM orders GROUP BY 1""".stripMargin,
+    "q_sparql_topk" ->
+      """SELECT n_name AS nname FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name, length(n_name), n_name LIMIT 7""".stripMargin,
+    "q_sparql_values" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') GROUP BY 1""".stripMargin,
+    "q_sparql_nps" ->
+      """SELECT concat('http://graft.dev/rel/nation/', n_nationkey) AS s,
+        |concat('http://graft.dev/rel/region/', n_regionkey) AS o FROM nation""".stripMargin
     // q_minhash_lsh / q_simhash / q_ngram_jaccard / q_ann_* are hash-kernel
     // based (xxhash64) — not DuckDB-expressible; driver rows-only check.
   )
@@ -509,6 +590,9 @@ object Queries {
     "q_sparql_agg" -> qSparqlAgg,
     "q_sparql_strfuncs" -> qSparqlStr,
     "q_sparql_group_concat" -> qSparqlGroupConcat,
-    "q_sparql_graph" -> qSparqlGraph
+    "q_sparql_graph" -> qSparqlGraph,
+    "q_sparql_topk" -> qSparqlTopK,
+    "q_sparql_values" -> qSparqlValues,
+    "q_sparql_nps" -> qSparqlNps
   )
 }

@@ -19,10 +19,40 @@ final class TripleStore(spark: SparkSession, root: String) {
   import TripleStore.partName
   private val dataPath = s"$root/data"
   private val snapPath = s"$root/_snapshots"
+  // partition-name format marker: v2 = the "([^#/]+)[#/]*$" extraction
+  // (predicates with '-' or urn: IRIs partition under their local form).
+  // Stores written before this marker existed used a narrower regex whose
+  // names disagree for those predicates — reading them with v2 lookups
+  // would silently miss data, so open fails loudly instead.
+  private val formatMarker = s"$root/_format_v${TripleStore.FormatVersion}"
+
+  private def hfs(path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
 
   private def snapLogExists(): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(snapPath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val (p, fs) = hfs(snapPath)
+    fs.exists(p)
+  }
+
+  private def ensureFormatMarker(): Unit = {
+    val (p, fs) = hfs(formatMarker)
+    if (!fs.exists(p)) fs.create(p, true).close()
+  }
+
+  /** Refuse to touch a store written under a different partition-name
+    * format (no marker, or a marker from another version). */
+  private def checkFormat(): Unit = {
+    if (!snapLogExists()) return // empty/new store: nothing to disagree with
+    val (p, fs) = hfs(formatMarker)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"TripleStore at $root has snapshots but no _format_v${TripleStore.FormatVersion} " +
+          "marker: it was written under an older partition-name scheme and its " +
+          "p_part values may not match current lookups. Re-export and rewrite the " +
+          "store (read old data via spark.read.parquet + exportNTriples, then " +
+          "append into a fresh store).")
   }
 
   /** Snapshot log. ONLY a missing log reads as empty — any other failure
@@ -57,6 +87,7 @@ final class TripleStore(spark: SparkSession, root: String) {
 
   /** Append (s,p,o) rows as a new snapshot. */
   def append(df: DataFrame): Long = {
+    checkFormat(); ensureFormatMarker()
     val id = currentSnapshot().getOrElse(0L) + 1L
     val out = withPart(df).withColumn("snap", lit(id))
     out.write.mode(SaveMode.Append).partitionBy("p_part", "snap").parquet(dataPath)
@@ -75,6 +106,7 @@ final class TripleStore(spark: SparkSession, root: String) {
     overwriteParts(df, preds.map(partName))
 
   private def overwriteParts(df: DataFrame, parts: Seq[String]): Long = {
+    checkFormat(); ensureFormatMarker()
     val id = currentSnapshot().getOrElse(0L) + 1L
     val out = withPart(df).filter(col("p_part").isin(parts: _*)).withColumn("snap", lit(id))
     out.write.mode(SaveMode.Append).partitionBy("p_part", "snap").parquet(dataPath)
@@ -136,6 +168,7 @@ final class TripleStore(spark: SparkSession, root: String) {
     }.groupBy(_._1).map { case (pp, xs) => pp -> xs.map(_._2).max }
 
   private def liveAt(atId: Long): DataFrame = {
+    checkFormat()
     if (log().isEmpty)
       throw new IllegalStateException(
         s"TripleStore at $root has no committed snapshots (probe with currentSnapshot())")
@@ -210,6 +243,10 @@ final class TripleStore(spark: SparkSession, root: String) {
 }
 
 object TripleStore {
+  /** Partition-name scheme version; bumped whenever partName/withPart
+    * change how p_part values are derived. */
+  val FormatVersion = 2
+
   /** Predicate IRI -> partition local name: the segment after the last
     * '#' or '/' (ignoring trailing separators); IRIs with neither (urn:)
     * partition under their full form. Mirrors the withPart column

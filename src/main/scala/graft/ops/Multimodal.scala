@@ -6,51 +6,187 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, batch-decoded per partition.
   *
-  * The decode kernels are STUBBED (deterministic fakes — the image/audio
-  * codecs aren't in this container); the Spark-side contract is real:
-  * schema, partition-level batching (decoder context built once per
-  * partition, the Scala analogue of a mapInPandas batch), and the
-  * feature-struct output shape downstream ops consume.
+  * The decode path is REAL for the three container formats the pipeline
+  * emits — BMP (image), RIFF/WAVE (audio), RIFF/AVI (video): media type,
+  * dimensions, sample/frame counts and the feature histogram all derive
+  * from the actual payload bytes (magic numbers, BITMAPINFOHEADER, RIFF
+  * chunk walk). No external codec libraries are needed for headers + raw
+  * PCM/pixel data, so this runs in any executor JVM. Pixel-level image
+  * decode of compressed formats (JPEG/H.264...) would slot into the same
+  * per-partition batched kernel.
   */
 object Multimodal {
 
   final case class MediaRow(media_ref: String, media_type: String, payload: Array[Byte])
+
+  /** Decoded features. Field meaning per type:
+    *  - image: width/height = pixel dims, n_frames = 1
+    *  - audio: width = sample rate (Hz), height = channels, n_frames =
+    *    PCM sample frames in the data chunk
+    *  - video: width/height = frame dims, n_frames = total frames
+    * feature = 8-bin normalized byte histogram over the payload body
+    * (pixel / PCM / movi data) — a deterministic content fingerprint. */
   final case class MediaFeatures(media_ref: String, media_type: String,
                                  width: Int, height: Int, n_frames: Int,
                                  feature: Array[Float])
 
-  /** Deterministic fake payloads for media refs (stands in for a blob-store
-    * fetch; payload bytes derive from the ref hash). */
+  // ------------------------------------------------------------ synthesis
+  /** Deterministic payloads for media refs (stands in for a blob-store
+    * fetch): REAL container bytes — a 24bpp BMP, a PCM16 WAV, or a minimal
+    * AVI — whose headers encode dimensions derived from the ref hash, so
+    * the decoder's output is verifiable against the synthesis parameters. */
   def synthPayloads(spark: SparkSession, refs: DataFrame, refCol: String): Dataset[MediaRow] = {
     import spark.implicits._
     refs.select(col(refCol).cast("string")).as[String].map { ref =>
       val h = ref.hashCode
-      val mt = math.abs(h) % 3 match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-      val bytes = Array.tabulate(64 + math.abs(h % 64))(i => ((h >> (i % 24)) & 0xff).toByte)
-      MediaRow(ref, mt, bytes)
+      math.abs(h) % 3 match {
+        case 0 =>
+          val w = 2 + math.abs(h >> 3) % 6
+          val ht = 2 + math.abs(h >> 7) % 6
+          MediaRow(ref, "image", synthBmp(w, ht, h))
+        case 1 =>
+          val channels = 1 + math.abs(h >> 3) % 2
+          val samples = 16 + math.abs(h >> 5) % 32
+          MediaRow(ref, "audio", synthWav(channels, 8000, samples, h))
+        case _ =>
+          val w = 16 + math.abs(h >> 3) % 64
+          val ht = 16 + math.abs(h >> 9) % 64
+          val frames = 10 + math.abs(h >> 5) % 50
+          MediaRow(ref, "video", synthAvi(w, ht, frames, h))
+      }
     }
   }
 
-  /** STUB decode kernel — a real deployment swaps `FakeCodec` for an actual
-    * codec; everything around it (batching, schema, determinism) stays. */
-  final class FakeCodec extends Serializable {
+  private def le16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+    b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def tag(b: Array[Byte], i: Int, t: String): Unit =
+    t.getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => b(i + j) = c }
+
+  /** 24bpp bottom-up BMP with BITMAPINFOHEADER; rows padded to 4 bytes. */
+  def synthBmp(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val b = new Array[Byte](54 + dataSize)
+    tag(b, 0, "BM"); le32(b, 2, b.length.toLong); le32(b, 10, 54)
+    le32(b, 14, 40); le32(b, 18, w.toLong); le32(b, 22, h.toLong)
+    le16(b, 26, 1); le16(b, 28, 24); le32(b, 34, dataSize.toLong)
+    var i = 0
+    while (i < dataSize) { b(54 + i) = ((seed >> (i % 24)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  /** Canonical PCM16 WAV: RIFF/WAVE + fmt(16) + data. */
+  def synthWav(channels: Int, rate: Int, samples: Int, seed: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = samples * blockAlign
+    val b = new Array[Byte](44 + dataSize)
+    tag(b, 0, "RIFF"); le32(b, 4, (36 + dataSize).toLong); tag(b, 8, "WAVE")
+    tag(b, 12, "fmt "); le32(b, 16, 16); le16(b, 20, 1); le16(b, 22, channels)
+    le32(b, 24, rate.toLong); le32(b, 28, (rate * blockAlign).toLong)
+    le16(b, 32, blockAlign); le16(b, 34, 16)
+    tag(b, 36, "data"); le32(b, 40, dataSize.toLong)
+    var i = 0
+    while (i < dataSize) { b(44 + i) = ((seed >> (i % 16)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  /** Minimal RIFF/AVI: LIST hdrl { avih } + empty LIST movi. */
+  def synthAvi(w: Int, h: Int, frames: Int, seed: Int): Array[Byte] = {
+    val avihSize = 56
+    val hdrlSize = 4 + 8 + avihSize // "hdrl" + avih chunk
+    val moviSize = 4 + 32 // "movi" + fake payload
+    val b = new Array[Byte](12 + 8 + hdrlSize + 8 + moviSize)
+    tag(b, 0, "RIFF"); le32(b, 4, (b.length - 8).toLong); tag(b, 8, "AVI ")
+    tag(b, 12, "LIST"); le32(b, 16, hdrlSize.toLong); tag(b, 20, "hdrl")
+    tag(b, 24, "avih"); le32(b, 28, avihSize.toLong)
+    val a = 32 // avih data start
+    le32(b, a, 33333); le32(b, a + 16, frames.toLong)
+    le32(b, a + 32, w.toLong); le32(b, a + 36, h.toLong)
+    val m = a + avihSize
+    tag(b, m, "LIST"); le32(b, m + 4, moviSize.toLong); tag(b, m + 8, "movi")
+    var i = m + 12
+    while (i < b.length) { b(i) = ((seed >> (i % 24)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  // ------------------------------------------------------------- decoding
+  /** Header codec: derives type + metadata from the payload BYTES (the
+    * claimed media_type on MediaRow is ignored — decode is the source of
+    * truth). Malformed payloads raise; silent misclassification would
+    * poison every downstream triple. */
+  final class HeaderCodec extends Serializable {
+    private def u16(b: Array[Byte], i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 3) & 0xffL) << 24)
+    private def tagAt(b: Array[Byte], i: Int, t: String) =
+      b.length >= i + 4 && t.getBytes("US-ASCII").zipWithIndex.forall { case (c, j) => b(i + j) == c }
+
+    /** 8-bin normalized byte histogram over b[from, b.length). */
+    private def histogram(b: Array[Byte], from: Int): Array[Float] = {
+      val bins = new Array[Int](8)
+      var i = math.max(0, from)
+      while (i < b.length) { bins((b(i) & 0xff) >> 5) += 1; i += 1 }
+      val n = math.max(1, b.length - math.max(0, from))
+      bins.map(_.toFloat / n)
+    }
+
     def decode(r: MediaRow): MediaFeatures = {
-      val h = java.util.Arrays.hashCode(r.payload)
-      val w = 16 + math.abs(h % 1024)
-      MediaFeatures(r.media_ref, r.media_type,
-        width = w, height = 16 + math.abs((h >> 10) % 1024),
-        n_frames = if (r.media_type == "video") 1 + math.abs(h % 300) else 1,
-        feature = Array.tabulate(8)(i => ((h >> i) % 97) / 97.0f))
+      val b = r.payload
+      if (tagAt(b, 0, "BM") && b.length >= 54) {
+        val w = u32(b, 18).toInt
+        val h = u32(b, 22).toInt // negative = top-down; dims are |h|
+        val dataOff = u32(b, 10).toInt
+        MediaFeatures(r.media_ref, "image", w, math.abs(h), 1, histogram(b, dataOff))
+      } else if (tagAt(b, 0, "RIFF") && tagAt(b, 8, "WAVE")) {
+        // RIFF chunk walk: fmt (rate/channels/blockAlign) + data (size)
+        var i = 12
+        var rate = 0; var channels = 0; var blockAlign = 1
+        var frames = 0; var dataOff = b.length
+        while (i + 8 <= b.length) {
+          val size = u32(b, i + 4).toInt
+          if (tagAt(b, i, "fmt ") && i + 8 + 16 <= b.length) {
+            channels = u16(b, i + 10); rate = u32(b, i + 12).toInt
+            blockAlign = math.max(1, u16(b, i + 20))
+          } else if (tagAt(b, i, "data")) {
+            frames = size / blockAlign; dataOff = i + 8
+          }
+          i += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        MediaFeatures(r.media_ref, "audio", rate, channels, frames, histogram(b, dataOff))
+      } else if (tagAt(b, 0, "RIFF") && tagAt(b, 8, "AVI ")) {
+        // walk top-level LISTs; read avih out of hdrl
+        var i = 12
+        var w = 0; var h = 0; var frames = 0; var moviOff = b.length
+        while (i + 8 <= b.length) {
+          val size = u32(b, i + 4).toInt
+          if (tagAt(b, i, "LIST") && tagAt(b, i + 8, "hdrl") &&
+              tagAt(b, i + 12, "avih")) {
+            val a = i + 20 // avih data
+            frames = u32(b, a + 16).toInt; w = u32(b, a + 32).toInt; h = u32(b, a + 36).toInt
+          } else if (tagAt(b, i, "LIST") && tagAt(b, i + 8, "movi")) moviOff = i + 12
+          i += 8 + size + (size & 1)
+        }
+        MediaFeatures(r.media_ref, "video", w, h, frames, histogram(b, moviOff))
+      } else
+        throw new IllegalArgumentException(
+          s"unrecognized media container for ${r.media_ref} " +
+            s"(${b.take(4).map(x => f"${x & 0xff}%02x").mkString(" ")}…)")
     }
   }
 
   /** Batched decode/feature-extract: one codec instance per partition
-    * (model/codec init cost amortized over the partition, like mapInPandas
-    * batches). */
+    * (codec init cost amortized over the partition, the Scala analogue of a
+    * mapInPandas batch). */
   def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      val codec = new FakeCodec // per-partition init
+      val codec = new HeaderCodec // per-partition init
       it.map(codec.decode)
     }
   }

@@ -57,6 +57,37 @@ final class ValidationEngine(
   /** The triples frame this engine validates (rules engine reuse). */
   def triplesDF: DataFrame = T
 
+  // ------------------------------------------------- checkpoint lifecycle
+  /** Every localCheckpoint this engine mints (memoized sub-shape results,
+    * value-node frames, path-closure frontiers) pins RDD blocks until the
+    * JVM exits; a long session validating many graphs accumulates them.
+    * close() frees all of them once the outputs are materialized. */
+  private val trackedCheckpoints =
+    scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+
+  /** Register the checkpoint RDD backing `df` (df must be the result of an
+    * eager .localCheckpoint()) so close() can unpersist it. */
+  private def trackCp(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(r => trackedCheckpoints.synchronized { trackedCheckpoints += r })
+    df
+  }
+
+  /** Unpersist every checkpoint this engine created and drop the memo
+    * cache. A localCheckpoint's lineage is truncated, so frames derived
+    * from this engine must be fully materialized (collected / written)
+    * before closing — do not run further queries on them afterwards. */
+  def close(): Unit = {
+    trackedCheckpoints.synchronized {
+      trackedCheckpoints.foreach { r =>
+        try r.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+      trackedCheckpoints.clear()
+    }
+    vioCache.synchronized(vioCache.clear())
+  }
+
   /** Violation row: focus, value (nullable), result path key (nullable),
     * component IRI, source shape key. Severity/messages resolved from the
     * shape IR at report-build time. */
@@ -205,19 +236,34 @@ final class ValidationEngine(
     case PZeroOrOne(inner) => frontier.unionByName(step(frontier, inner)).distinct()
     case PZeroOrMore(inner) => kleene(frontier, inner)
     case POneOrMore(inner) => kleene(step(frontier, inner).distinct(), inner)
+    case PNegSet(fwd, inv) =>
+      // one step over every triple whose predicate is NOT excluded:
+      // forward edges for the non-^ members, inverse edges for ^ members
+      // (SPARQL 1.1 §9.1). The exclusion list is a plan-time literal set —
+      // the scan filter still pushes down.
+      def notIn(ex: List[String]) =
+        if (ex.isEmpty) T else T.filter(!$"p".isin(ex: _*))
+      val legs = fwd.map { ex =>
+        val t = notIn(ex).select($"s".as("_s"), $"o".as("_o"))
+        frontier.join(t, frontier("v") === t("_s")).select(frontier("f"), t("_o").as("v"))
+      }.toSeq ++ inv.map { ex =>
+        val t = notIn(ex).select($"s".as("_s"), $"o".as("_o"))
+        frontier.join(t, frontier("v") === t("_o")).select(frontier("f"), t("_s").as("v"))
+      }.toSeq
+      if (legs.isEmpty) frontier.limit(0) else legs.reduce(_ unionByName _).distinct()
   }
 
   /** Reflexive-transitive closure from `seed`: iterative frontier joins with
     * lineage truncation — the GraphFrames-style fixpoint (SURVEY §4.2). */
   private def kleene(seed: DataFrame, inner: PathIR): DataFrame = {
-    var all = seed.distinct().localCheckpoint()
+    var all = trackCp(seed.distinct().localCheckpoint())
     var frontier = all
     var n = all.count()
     var iter = 0
     while (n > 0 && iter < opts.maxPathDepth) {
-      val next = step(frontier, inner).distinct().except(all).localCheckpoint()
+      val next = trackCp(step(frontier, inner).distinct().except(all).localCheckpoint())
       n = next.count()
-      if (n > 0) all = all.unionByName(next).localCheckpoint()
+      if (n > 0) all = trackCp(all.unionByName(next).localCheckpoint())
       frontier = next
       iter += 1
     }
@@ -355,7 +401,7 @@ final class ValidationEngine(
       } match {
         case Some((_, cached)) => return cached
         case None =>
-          val computed = computeViolations(shape, focus, stack).localCheckpoint()
+          val computed = trackCp(computeViolations(shape, focus, stack).localCheckpoint())
           vioCache.synchronized {
             vioCache(key) = (plan, computed) :: vioCache.getOrElse(key, Nil)
           }
@@ -367,7 +413,7 @@ final class ValidationEngine(
 
   private def computeViolations(shape: ShapeIR, focus: DataFrame,
                                 stack: List[(String, String)]): DataFrame = {
-    val V = valueNodes(shape, focus).localCheckpoint() // reused by most constraints
+    val V = trackCp(valueNodes(shape, focus).localCheckpoint()) // reused by most constraints
     val parts = shape.constraints.map(evalConstraint(shape, focus, V, _, stack))
     if (parts.isEmpty) emptyViol else parts.reduce(_ unionByName _)
   }
@@ -853,14 +899,14 @@ final class ValidationEngine(
         val shape = it.next()
         if (!shape.deactivated)
           targetsDF(shape).map(focusFilter).foreach { t =>
-            buf ++= violations(shape, t.localCheckpoint()).limit(1).collect()
+            buf ++= violations(shape, trackCp(t.localCheckpoint())).limit(1).collect()
           }
       }
       return buf.toSeq.map(rowToResult)
     }
     val parts = selectedShapes.flatMap { shape =>
       if (shape.deactivated) None
-      else targetsDF(shape).map(t => violations(shape, focusFilter(t).localCheckpoint()))
+      else targetsDF(shape).map(t => violations(shape, trackCp(focusFilter(t).localCheckpoint())))
     }
     if (parts.isEmpty) return Nil
     val all = parts.reduce(_ unionByName _)

@@ -261,8 +261,11 @@ object OwlRlInference {
       }
       heads.distinct.map { h =>
         val items = scala.collection.mutable.ListBuffer.empty[Node]
+        val visited = scala.collection.mutable.Set.empty[String]
         var cur = h.key
-        while (cur != RDF.nil.key && cells.contains(cur)) {
+        // a malformed list whose rdf:rest chain is cyclic must not hang the
+        // driver: stop at the first repeated cell
+        while (cur != RDF.nil.key && cells.contains(cur) && visited.add(cur)) {
           val (f, r) = cells(cur); items += f; cur = r.key
         }
         h -> items.toList
@@ -279,8 +282,10 @@ object OwlRlInference {
 
     // bounded fixpoint: classification, chains and functional-property
     // sameAs feed each other (owlrl materializes to fixpoint)
-    if (svf.nonEmpty || avf.nonEmpty || hv.nonEmpty || chains.nonEmpty ||
-        fps.nonEmpty || ifps.nonEmpty) {
+    val hasRules = svf.nonEmpty || avf.nonEmpty || hv.nonEmpty || chains.nonEmpty ||
+      fps.nonEmpty || ifps.nonEmpty
+
+    def classifyFixpoint(): Unit = if (hasRules) {
       var grew = true
       var round = 0
       val maxRounds = 50 // same bound as prp-trp; deep chain/classification
@@ -352,6 +357,7 @@ object OwlRlInference {
     // Small alias sets (the corpora) come from a driver BFS + broadcast;
     // past DriverSameAsLimit edges, components run distributed through the
     // ConnectedComponents operator and the pair table stays a join.
+    def eqRep(): Unit = {
     val sameAsEdges = out.filter($"p" === O("sameAs"))
       .select(termKey($"s").as("_src"), termKey($"o").as("_dst"))
       .filter($"_src" =!= $"_dst").distinct()
@@ -398,6 +404,30 @@ object OwlRlInference {
           when($"_oto".isNull, $"o")
             .otherwise(RdfsInference.termKeyToTermCol(spark, $"_oto")).as("o"))
         .distinct()
+    }
+    }
+
+    // {classify → eq-rep} to OUTER fixpoint: sameAs-replicated triples must
+    // re-fire chains/classification, and fp/ifp over replicated triples can
+    // mint new sameAs pairs (the reference's owlrl library materializes to
+    // the full fixpoint, run_type.py:21-85). Without rules one eq-rep pass
+    // is already complete — the loop (and its counting jobs) is skipped, so
+    // the identity-heavy path (e.g. the 1M-pair closure) pays no extra cost.
+    classifyFixpoint()
+    eqRep()
+    if (hasRules) {
+      out = out.localCheckpoint()
+      var prev = -1L
+      var cur = out.count()
+      var outer = 0
+      while (cur != prev && outer < 10) {
+        outer += 1
+        prev = cur
+        classifyFixpoint()
+        eqRep()
+        out = out.localCheckpoint()
+        cur = out.count()
+      }
     }
     // RDFS closure over the enriched graph (covers rdfs2/3/5/7/9/11 with
     // the equivalence-derived schema in place)

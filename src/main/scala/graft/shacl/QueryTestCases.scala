@@ -123,6 +123,19 @@ object PathEval {
     case PZeroOrOne(inner) => frontier.unionByName(step(T, frontier, inner)).distinct()
     case PZeroOrMore(inner) => kleene(T, frontier, inner)
     case POneOrMore(inner) => kleene(T, step(T, frontier, inner).distinct(), inner)
+    case PNegSet(fwd, inv) =>
+      // negated property set (SPARQL §9.1): forward edges excluding the
+      // non-^ members, inverse edges excluding the ^ members
+      def notIn(ex: List[String]) =
+        if (ex.isEmpty) T else T.filter(!col("p").isin(ex: _*))
+      val legs = fwd.map { ex =>
+        val t = notIn(ex).select(col("s").as("_s"), col("o").as("_o"))
+        frontier.join(t, frontier("v") === t("_s")).select(frontier("f"), t("_o").as("v"))
+      }.toSeq ++ inv.map { ex =>
+        val t = notIn(ex).select(col("s").as("_s"), col("o").as("_o"))
+        frontier.join(t, frontier("v") === t("_o")).select(frontier("f"), t("_s").as("v"))
+      }.toSeq
+      if (legs.isEmpty) frontier.limit(0) else legs.reduce(_ unionByName _).distinct()
   }
 
   private def kleene(T: DataFrame, seed: DataFrame, inner: PathIR): DataFrame = {

@@ -187,6 +187,9 @@ object RulesEngine {
         var added = 0L
         for (r <- sorted if !r.deactivated) {
           if (engineStale) {
+            // the stale engine's memo checkpoints were already materialized
+            // into `fresh` frames below; free its blocks before rebuilding
+            engine.close()
             engine = new ValidationEngine(spark, triples, shapes, sg)
             engineStale = false
           }
@@ -228,6 +231,9 @@ object RulesEngine {
         keepGoing = added > 0 && iterateRules
       }
     }
+    // the returned frame depends only on its own (rule-product) checkpoints,
+    // never on the engine's internals
+    engine.close()
     triples
   }
 

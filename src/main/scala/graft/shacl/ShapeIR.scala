@@ -16,6 +16,12 @@ object PathIR {
   final case class PZeroOrMore(inner: PathIR) extends PathIR
   final case class POneOrMore(inner: PathIR) extends PathIR
   final case class PZeroOrOne(inner: PathIR) extends PathIR
+  /** SPARQL negated property set `!(p1|…|^q1|…)` (SPARQL 1.1 §9.1; not part
+    * of SHACL's path vocabulary — reachable only from query text). `fwd` =
+    * Some(excluded forward predicates) when the set had any non-inverse
+    * member (or was empty: `!()` matches every forward edge); `inv`
+    * likewise for `^`-members. */
+  final case class PNegSet(fwd: Option[List[String]], inv: Option[List[String]]) extends PathIR
 
   /** Push inversion down to predicates (inverse of inverse cancels —
     * /root/reference/pyshacl/helper/expression_helper.py:76-81). */
@@ -27,6 +33,7 @@ object PathIR {
     case PZeroOrMore(i) => PZeroOrMore(invert(i))
     case POneOrMore(i) => POneOrMore(invert(i))
     case PZeroOrOne(i) => PZeroOrOne(invert(i))
+    case PNegSet(f, i) => PNegSet(i, f) // ^!(p|^q) ≡ !(q|^p)
   }
 
   /** SPARQL-ish rendering for messages/debugging
@@ -39,6 +46,9 @@ object PathIR {
     case PZeroOrMore(i) => s"${render(i)}*"
     case POneOrMore(i) => s"${render(i)}+"
     case PZeroOrOne(i) => s"${render(i)}?"
+    case PNegSet(f, i) =>
+      "!(" + (f.getOrElse(Nil).map(x => s"<$x>") ++
+        i.getOrElse(Nil).map(x => s"^<$x>")).mkString("|") + ")"
   }
 }
 

@@ -61,6 +61,11 @@ object Sparql {
   final case class SqUnion(branches: List[SqGroup]) extends SqElem
   final case class SqSubSelect(sel: SqSelect) extends SqElem
   final case class SqGraphPat(name: SqTerm, g: SqGroup) extends SqElem
+  /** Inline data block: `VALUES (?x ?y) { (v1 v2) (UNDEF v3) }`; None =
+    * UNDEF. Legal in targets / dash:QueryTestCase queries — constraint
+    * queries reject VALUES earlier via [[checkPreBinding]], matching the
+    * reference's pre-binding rules (sparql_query_helper.py:227-320). */
+  final case class SqValues(vs: List[String], rows: List[List[Option[Node]]]) extends SqElem
 
   final case class SqGroup(elems: List[SqElem])
 
@@ -71,7 +76,7 @@ object Sparql {
 
   sealed trait SqQuery
   final case class SqSelect(distinct: Boolean, proj: List[SqProj], where: SqGroup,
-                            orderBy: List[(String, Boolean)], limit: Option[Int],
+                            orderBy: List[(SqExpr, Boolean)], limit: Option[Int],
                             groupBy: List[String] = Nil,
                             having: Option[SqExpr] = None,
                             offset: Option[Int] = None) extends SqQuery
@@ -166,7 +171,13 @@ object Sparql {
         if (i + 2 < s.length && s.charAt(i + 1) == c && s.charAt(i + 2) == c) {
           quote = c; triple = true; sb.append(c).append(c).append(c); i += 3
         } else { quote = c; triple = false; sb.append(c); i += 1 }
-      } else if (c == '<') { inIri = true; sb.append(c); i += 1 }
+      } else if (c == '<' && i + 1 < s.length && !s.charAt(i + 1).isWhitespace &&
+                 s.charAt(i + 1) != '=') {
+        // '<' only opens an IRIREF when immediately followed by IRI content
+        // (IRIREF cannot contain spaces); `FILTER(?x < 5) # note` keeps its
+        // comment stripped instead of treating "< 5) # note" as IRI text
+        inIri = true; sb.append(c); i += 1
+      }
       else if (c == '>') { inIri = false; sb.append(c); i += 1 }
       else if (c == '\n') { inIri = false; sb.append(c); i += 1 }
       else if (c == '#' && !inIri) { while (i < s.length && s.charAt(i) != '\n') i += 1 }
@@ -255,7 +266,10 @@ object Sparql {
         having = Some(expr())
         ws(); expect(')')
       }
-      val ob = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+      // OrderCondition ::= (ASC|DESC) BrackettedExpression
+      //                  | Constraint (BrackettedExpression|BuiltInCall|FunctionCall)
+      //                  | Var            — SPARQL 1.1 §18.2.4.4 / rdflib
+      val ob = scala.collection.mutable.ListBuffer.empty[(SqExpr, Boolean)]
       ws()
       if (takeKw("ORDER")) {
         ws()
@@ -263,11 +277,18 @@ object Sparql {
         var more = true
         while (more) {
           ws()
-          if (peek == '?' || peek == '$') ob += ((varName(), true))
-          else if (takeKw("ASC")) { ws(); expect('('); ws(); val v = varName(); ws(); expect(')'); ob += ((v, true)) }
-          else if (takeKw("DESC")) { ws(); expect('('); ws(); val v = varName(); ws(); expect(')'); ob += ((v, false)) }
+          if (kwAt("LIMIT") || kwAt("OFFSET")) more = false
+          else if (peek == '?' || peek == '$') ob += ((EVar(varName()), true))
+          else if (takeKw("ASC")) { ws(); expect('('); val e = expr(); ws(); expect(')'); ob += ((e, true)) }
+          else if (takeKw("DESC")) { ws(); expect('('); val e = expr(); ws(); expect(')'); ob += ((e, false)) }
+          else if (peek == '(') { pos += 1; val e = expr(); ws(); expect(')'); ob += ((e, true)) }
+          else if (pos < s.length && (isPnChar(peek) || peek == '<'))
+            // builtin/function call key (e.g. STRLEN(?x), ex:fn(?x)); anything
+            // unparseable here is a loud ParseError, never a silent loop exit
+            ob += ((primary(), true))
           else more = false
         }
+        if (ob.isEmpty) fail("empty ORDER BY")
       }
       // LIMIT/OFFSET may appear in either order (SPARQL LimitOffsetClauses)
       var lim: Option[Int] = None
@@ -351,7 +372,7 @@ object Sparql {
         } else if (takeKw("MINUS")) {
           throw new ValidationFailure("A SPARQL Constraint must not contain a MINUS clause.")
         } else if (takeKw("VALUES")) {
-          throw new ValidationFailure("A SPARQL Constraint must not contain a VALUES clause.")
+          elems += valuesBlock()
         } else if (takeKw("SERVICE")) {
           throw new ValidationFailure("A SPARQL Constraint must not contain a federated query (SERVICE).")
         } else {
@@ -361,6 +382,47 @@ object Sparql {
         if (go && peek == '.') { pos += 1 }
       }
       SqGroup(elems.toList)
+    }
+
+    /** DataBlock after VALUES (SPARQL grammar [62]-[65]): single-var or
+      * full-row form; UNDEF leaves the position unbound. */
+    private def valuesBlock(): SqValues = {
+      ws()
+      val vars = scala.collection.mutable.ListBuffer.empty[String]
+      val multi = peek == '('
+      if (multi) {
+        pos += 1; ws()
+        while (peek == '?' || peek == '$') { vars += varName(); ws() }
+        expect(')')
+      } else vars += varName()
+      if (vars.isEmpty) fail("empty VALUES variable list")
+      ws(); expect('{')
+      val rows = scala.collection.mutable.ListBuffer.empty[List[Option[Node]]]
+      ws()
+      while (peek != '}' && pos < s.length) {
+        if (multi) {
+          expect('(')
+          val row = scala.collection.mutable.ListBuffer.empty[Option[Node]]
+          ws()
+          while (peek != ')' && pos < s.length) { row += dataBlockValue(); ws() }
+          expect(')')
+          if (row.size != vars.size)
+            fail(s"VALUES row arity ${row.size} != variable count ${vars.size}")
+          rows += row.toList
+        } else rows += List(dataBlockValue())
+        ws()
+      }
+      expect('}')
+      SqValues(vars.toList, rows.toList)
+    }
+
+    private def dataBlockValue(): Option[Node] = {
+      ws()
+      if (takeKw("UNDEF")) None
+      else termOrVar("VALUES data") match {
+        case TConst(n) => Some(n)
+        case TVar(v) => fail(s"variable ?$v is not allowed in VALUES data")
+      }
     }
 
     private def groupAsGroup(): Either[SqGroup, SqSelect] = groupOrSubSelect()
@@ -437,12 +499,49 @@ object Sparql {
       while (peek == '/') { pos += 1; parts += pathElt(); ws() }
       if (parts.size == 1) parts.head else PathIR.PSeq(parts.toList)
     }
+    /** PathOneInPropertySet ::= iri | 'a' | '^' ( iri | 'a' ) */
+    private def pathOneInSet(): (String, Boolean) = {
+      ws()
+      val inv = peek == '^'
+      if (inv) pos += 1
+      ws()
+      val iri =
+        if (peek == 'a' && (pos + 1 >= s.length ||
+            (!isPnChar(s.charAt(pos + 1)) && s.charAt(pos + 1) != ':'))) {
+          pos += 1; RDF.ty.value
+        } else iriOrPname()
+      (iri, inv)
+    }
+
+    /** '!' PathNegatedPropertySet (SPARQL 1.1 grammar [89]-[91]). */
+    private def pathNegated(): PathIR = {
+      ws()
+      val items = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+      if (peek == '(') {
+        pos += 1; ws()
+        if (peek != ')') {
+          items += pathOneInSet(); ws()
+          while (peek == '|') { pos += 1; items += pathOneInSet(); ws() }
+        }
+        expect(')')
+      } else items += pathOneInSet()
+      val fwd = items.toList.filterNot(_._2).map(_._1)
+      val inv = items.toList.filter(_._2).map(_._1)
+      // no forward member at all (e.g. !^ex:p) means no forward matching;
+      // `!()` excludes nothing, i.e. matches every forward edge
+      PathIR.PNegSet(
+        if (fwd.nonEmpty || items.isEmpty) Some(fwd) else None,
+        if (inv.nonEmpty) Some(inv) else None)
+    }
+
     private def pathElt(): PathIR = {
       ws()
       val inverted = peek == '^'
       if (inverted) pos += 1
+      ws()
       val prim: PathIR =
-        if (peek == '(') { pos += 1; val p = pathAlt(); ws(); expect(')'); p }
+        if (peek == '!') { pos += 1; pathNegated() }
+        else if (peek == '(') { pos += 1; val p = pathAlt(); ws(); expect(')'); p }
         else if (peek == 'a' && (pos + 1 >= s.length ||
                  (!isPnChar(s.charAt(pos + 1)) && s.charAt(pos + 1) != ':'))) {
           pos += 1; PathIR.PPred(RDF.ty.value)

@@ -102,28 +102,38 @@ final class SparqlFrame(
         projVars += as
     }
     val all = (projVars.toSeq ++ keep.filter(g.vars.contains).filterNot(projVars.contains)).distinct
-    df = df.select(all.map(col): _*)
-    if (q.distinct) df = df.distinct()
-    if (q.orderBy.nonEmpty) {
-      val keys = q.orderBy.flatMap { case (v, asc) =>
-        if (!all.contains(v)) Nil
-        // SPARQL order: by kind (bnode < IRI < literal), then BY VALUE for
-        // numeric literals (rdflib orders 2 < 10, not "10" < "2") and for
-        // temporal literals (timezone-normalized instant), then lexically —
-        // the family flags keep mixed columns deterministic
-        else {
-          val c = col(v)
-          val n = num(c)
-          val ts = when(c("dt").isin(XSD.dateTime, XSD.dateTimeStamp, XSD.date),
-            try_to_timestamp(c("v"))).otherwise(lit(null).cast(TimestampType))
-          val ks = Seq(c("k"), n.isNull, n, ts.isNull, ts, c("v"))
-          if (asc) ks.map(_.asc) else ks.map(_.desc)
-        }
+    // SPARQL 15.1: ORDER BY is evaluated over the PRE-projection solution
+    // (extended with SELECT-expression aliases), so keys may reference
+    // non-projected variables or arbitrary expressions (rdflib sorts the full
+    // solution sequence before Project). Compute each key as a hidden term
+    // column now, carry it through projection + DISTINCT, sort, then drop.
+    val ordSol = Sol(df, g.vars ++ projVars, g.maybeNull)
+    val ordCols = q.orderBy.zipWithIndex.map { case ((e, asc), i) =>
+      val name = s"__ord_$i"
+      df = df.withColumn(name, compileT(rewriteAggs(e, ordSol), ordSol))
+      (name, asc)
+    }
+    df = df.select((all ++ ordCols.map(_._1)).map(col): _*)
+    if (q.distinct) df = df.dropDuplicates(all)
+    if (ordCols.nonEmpty) {
+      // SPARQL order: by kind (bnode < IRI < literal), then BY VALUE for
+      // numeric literals (rdflib orders 2 < 10, not "10" < "2") and for
+      // temporal literals (timezone-normalized instant), then lexically —
+      // the family flags keep mixed columns deterministic; an unbound key
+      // (null struct) sorts lowest ascending, matching rdflib
+      val keys = ordCols.flatMap { case (name, asc) =>
+        val c = col(name)
+        val n = num(c)
+        val ts = when(c("dt").isin(XSD.dateTime, XSD.dateTimeStamp, XSD.date),
+          try_to_timestamp(c("v"))).otherwise(lit(null).cast(TimestampType))
+        val ks = Seq(c("k"), n.isNull, n, ts.isNull, ts, c("v"))
+        if (asc) ks.map(_.asc) else ks.map(_.desc)
       }
-      if (keys.nonEmpty) df = df.orderBy(keys: _*)
+      df = df.orderBy(keys: _*)
     }
     q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
+    if (ordCols.nonEmpty) df = df.select(all.map(col): _*)
     Sol(df, all.toSet, g.maybeNull.intersect(all.toSet))
   }
 
@@ -160,6 +170,7 @@ final class SparqlFrame(
     val found = scala.collection.mutable.ListBuffer.empty[EAgg]
     q.proj.foreach { case PExpr(e, _) => collectAggs(e, found); case _ => }
     q.having.foreach(collectAggs(_, found))
+    q.orderBy.foreach { case (e, _) => collectAggs(e, found) }
     if (found.isEmpty && q.groupBy.isEmpty) return g
     val groupCols = (q.groupBy ++ keep.toSeq.sorted).distinct.filter(g.vars.contains)
     val aggExprs = found.toList.distinct.zipWithIndex.map { case (a, i) =>
@@ -252,10 +263,32 @@ final class SparqlFrame(
       val saved = activeT
       activeT = QuadsDF.graph(quads.get, Some(name))
       try evalGroup(g, cur) finally activeT = saved
+    case SqValues(vs, rows) =>
+      // inline data: a literal solution frame joined in like any other
+      // group element (UNDEF = NULL = maybe-null join semantics)
+      val schema = StructType(vs.map(v => StructField(v, termType, nullable = true)))
+      val data = rows.map(r => Row(r.map(_.map(TriplesDF.rowOf).orNull): _*))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+        schema)
+      val mn = vs.zipWithIndex.collect {
+        case (v, i) if rows.exists(_(i).isEmpty) => v
+      }.toSet
+      joinSols(cur, Sol(df, vs.toSet, mn))
+    case SqGraphPat(TVar(x), g) if quads.isDefined && bgpOnly(g) =>
+      // BGP-only block: ONE pass over the named-graphs slice of the quads
+      // frame with ?g bound from the g column — per-graph scoping falls out
+      // of the shared-variable join (every pattern binds the same ?g). No
+      // driver loop, no per-graph plan branch: a catalog of millions of
+      // per-document graphs compiles to the same fixed-size plan.
+      val base = quads.get.filter(col("g") =!= "")
+      g.elems.foldLeft(cur) { (acc, e) =>
+        joinSols(acc, quadPattern(e.asInstanceOf[SqTriple], x, base))
+      }
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
-      // GRAPH ?g: the block evaluates once per named graph with ?g bound to
-      // the graph IRI; the graph catalog is driver-scale even when the
-      // graphs themselves are not
+      // non-BGP block (paths, filters, nested groups need per-graph
+      // scoping): evaluates once per named graph with ?g bound to the graph
+      // IRI; the graph catalog for such blocks is vocab-scale
       val names = QuadsDF.graphNames(quads.get)
       val sols = names.map { nm =>
         val saved = activeT
@@ -375,6 +408,47 @@ final class SparqlFrame(
   }
 
   // ---------------------------------------------------------- BGP joins
+  /** Is the group a plain BGP (triple patterns with non-path predicates
+    * only)? Those can evaluate against the quads frame in one join. */
+  private def bgpOnly(g: SqGroup): Boolean =
+    g.elems.nonEmpty && g.elems.forall {
+      case t: SqTriple => t.p match {
+        case PredIri(_) | PredVar(_) => true
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** One triple pattern against the quads frame, additionally binding
+    * `gVar` from the `g` column — the GRAPH ?g fast path. */
+  private def quadPattern(t: SqTriple, gVar: String, base0: DataFrame): Sol = {
+    var base = base0
+    val sources = scala.collection.mutable.ListBuffer.empty[(String, Column)]
+    sources += gVar -> struct(col("g").as("v"), lit(0.toByte).as("k"),
+      lit("").as("dt"), lit("").as("lang"))
+    t.s match {
+      case TVar(x) => sources += x -> col("s")
+      case TConst(n) => base = base.filter(col("s") === termLit(n))
+    }
+    t.p match {
+      case PredIri(i) => base = base.filter(col("p") === i)
+      case PredVar(x) =>
+        sources += x -> struct(col("p").as("v"), lit(0.toByte).as("k"),
+          lit("").as("dt"), lit("").as("lang"))
+      case other => throw new IllegalStateException(s"quadPattern: $other") // bgpOnly guards
+    }
+    t.o match {
+      case TVar(x) => sources += x -> col("o")
+      case TConst(n) => base = base.filter(col("o") === termLit(n))
+    }
+    val grouped = sources.toList.groupBy(_._1)
+    for ((_, cols) <- grouped if cols.size > 1)
+      base = base.filter(
+        cols.map(_._2).sliding(2).map(p => p.head === p(1)).reduce(_ && _))
+    val out = grouped.map { case (x, cols) => cols.head._2.as(x) }.toSeq
+    Sol(base.select(out: _*), grouped.keySet, Set.empty)
+  }
+
   private def triplePattern(t: SqTriple, cur: Sol): Sol = {
     t.p match {
       case PredShapePath =>
@@ -433,6 +507,16 @@ final class SparqlFrame(
       val ps = alts.map(pathPairs)
       if (ps.forall(_.isDefined)) Some(ps.flatten.reduce(_ unionByName _).distinct())
       else None
+    case PathIR.PNegSet(fwd, inv) =>
+      // negated property set: every triple whose predicate is NOT excluded,
+      // forward for non-^ members and inverted for ^ members (SPARQL §9.1)
+      def notIn(ex: List[String]) =
+        if (ex.isEmpty) activeT else activeT.filter(!col("p").isin(ex: _*))
+      val legs = fwd.map(ex =>
+        notIn(ex).select(col("s").as("f"), col("o").as("v"))).toSeq ++
+        inv.map(ex =>
+          notIn(ex).select(col("o").as("f"), col("s").as("v"))).toSeq
+      legs.reduceOption(_ unionByName _).map(_.distinct())
     case _ => None // closure operators need an anchor
   }
 
@@ -735,13 +819,19 @@ final class SparqlFrame(
             lit("").as("dt"), lit("").as("lang")))
       case "BNODE" =>
         // BNODE(str): same bnode for the same argument WITHIN one solution
-        // row, distinct across rows (SPARQL 17.4.2.9) — the row component
-        // comes from monotonically_increasing_id, which is stable across
-        // expressions of the same row
+        // row, distinct across rows (SPARQL 17.4.2.9). The row component is
+        // a hash of the full visible binding tuple — deterministic across
+        // task retries and repeated runs of the same query (a recomputed
+        // partition mints the same labels), unlike
+        // monotonically_increasing_id. Duplicate solution rows share a
+        // label; SPARQL permits any fresh-bnode choice, and duplicates
+        // carry identical bindings anyway.
         val v =
           if (args.isEmpty) concat(lit("genid-sparql-"), expr("uuid()"))
-          else concat(lit("genid-sparql-"),
-            md5(concat(a(0)("v"), lit("@"), monotonically_increasing_id().cast("string"))))
+          else {
+            val rowKey = xxhash64(cur.vars.toSeq.sorted.map(col): _*).cast("string")
+            concat(lit("genid-sparql-"), md5(concat(a(0)("v"), lit("@"), rowKey)))
+          }
         struct(v.as("v"), lit(1.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
       case "STRDT" =>
         val t = a(0); val dt = a(1)

@@ -18,7 +18,10 @@ object Validator {
     reportGraph: MemGraph,
     reportNode: Node,
     reportText: String,
-    results: Seq[ResultRow])
+    results: Seq[ResultRow],
+    /** shapeKey → sh:severity of the source shape, for renderers that only
+      * see result rows (the CLI table); defaults keep old call sites green. */
+    sevByShape: Map[String, Iri] = Map.empty)
 
   /** Validate a driver-side data graph (tests / small graphs): the data is
     * shipped through the same DataFrame engine; CBDs for report cloning
@@ -69,9 +72,15 @@ object Validator {
     val conformsV = blocking.isEmpty
     val (conforms, g, rep) = ReportBuilder.build(rows, shapes, shapesGraph, dataCbd,
       conformsOverride = Some(conformsV))
-    Outcome(conforms, g, rep,
+    val out = Outcome(conforms, g, rep,
       ReportBuilder.text(conforms, rows.filterNot(_.isDetail), shapes,
-        if (prefixes.nonEmpty) prefixes else shapesGraph.nsPrefixes), rows)
+        if (prefixes.nonEmpty) prefixes else shapesGraph.nsPrefixes), rows,
+      shapesByKey.map { case (k, s) => k -> s.severity })
+    // all results are collected into `rows` above; free the engine's
+    // localCheckpoint blocks (memo cache, value-node frames) so long
+    // sessions validating many graphs don't pin RDDs for the JVM lifetime
+    engine.close()
+    out
   }
 
   /** At-scale validation outcome: nothing driver-bound except bounded
@@ -84,7 +93,10 @@ object Validator {
     countsBySeverity: Map[String, Long],
     sample: Seq[ResultRow],
     sampleText: String,
-    violations: DataFrame)
+    violations: DataFrame,
+    /** frees the engine's checkpointed RDDs; call AFTER `violations` has
+      * been written/collected — the frame is lazy and unusable afterwards */
+    release: () => Unit = () => ())
 
   /** Validate an arbitrarily large triples DataFrame without collecting
     * the violations to the driver (the reference materializes every result
@@ -129,7 +141,8 @@ object Validator {
       (if (total > sampleRows.size)
          s"... (${total - sampleRows.size} more results not shown; see the violations frame)\n"
        else "")
-    ScaleOutcome(blocking == 0, total, byComp, bySev, sampleRows, text, viol)
+    ScaleOutcome(blocking == 0, total, byComp, bySev, sampleRows, text, viol,
+      release = () => engine.close())
   }
 
   /** Violations frame → validation-report TRIPLES frame, fully

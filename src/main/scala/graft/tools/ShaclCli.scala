@@ -66,7 +66,12 @@ object ShaclCli {
       val sh = "http://www.w3.org/ns/shacl#"
       def clip(s: String) = if (s.length > 25) s.take(25) + "..." else s
       val rows = out.results.filterNot(_.isDetail).zipWithIndex.map { case (r, i) =>
-        Seq((i + 1).toString, "Violation", clip(r.focus.toString),
+        // actual sh:resultSeverity local name (cli.py write_validation_output
+        // prints the real severity; sh:Warning/sh:Info rows appear under
+        // --allow-warnings/--allow-infos and must not be mislabeled)
+        val sev = out.sevByShape.getOrElse(r.shapeKey, SH.Violation)
+          .value.stripPrefix(sh)
+        Seq((i + 1).toString, sev, clip(r.focus.toString),
           r.pathKey.map(clip).getOrElse("-"),
           r.messages.headOption.map(m => clip(m.lex)).getOrElse("-"),
           clip(r.component.value.stripPrefix(sh)), clip(r.shapeKey),
@@ -94,7 +99,9 @@ object ShaclCli {
       val out = Validator.validateGraph(spark, dataG, shapesG, opts)
       fmt match {
         case "human" => println(out.reportText)
-        case "turtle" => println(out.reportText); println(TurtleWriter.write(out.reportGraph))
+        // pySHACL -f turtle emits ONLY the serialized report graph (pipeable
+        // into a Turtle parser), same as the nt/json-ld/xml branches
+        case "turtle" => println(TurtleWriter.write(out.reportGraph))
         case "n3" => println(TurtleWriter.write(out.reportGraph))
         case "nt" => println(ntriples(out.reportGraph))
         case "json-ld" => println(JsonLdWriter.write(out.reportGraph))

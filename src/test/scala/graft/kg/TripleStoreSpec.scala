@@ -130,4 +130,21 @@ class TripleStoreSpec extends AnyFunSuite {
       .select($"k", $"payload", $"v").as[(Long, Long, String)].collect().toSet
     assert(salted == plain)
   }
+
+  test("format marker: a pre-v2 store (snapshots, no marker) refuses to open") {
+    val root = java.nio.file.Files.createTempDirectory("tstore").toString
+    val st = new TripleStore(spark, root)
+    st.append(Seq(("e:a", "http://kg#label", "A")).toDF("s", "p", "o"))
+    // fresh stores get the marker and keep working
+    assert(st.read().count() == 1)
+    // simulate a store written before the partition-name scheme change
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      root, s"_format_v${TripleStore.FormatVersion}"))
+    val reopened = new TripleStore(spark, root)
+    val e1 = intercept[IllegalStateException](reopened.read())
+    assert(e1.getMessage.contains("partition-name"))
+    val e2 = intercept[IllegalStateException](
+      reopened.append(Seq(("e:b", "http://kg#label", "B")).toDF("s", "p", "o")))
+    assert(e2.getMessage.contains("partition-name"))
+  }
 }

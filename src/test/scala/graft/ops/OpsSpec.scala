@@ -131,7 +131,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("multimodal: per-partition batched decode is deterministic + frame sampling works") {
-    val refs = Seq("media://a", "media://b", "media://c").toDF("media_ref")
+    val refs = (1 to 12).map(i => s"media://r$i").toDF("media_ref")
     val media = Multimodal.synthPayloads(spark, refs, "media_ref")
     def canon(xs: Array[Multimodal.MediaFeatures]) =
       xs.sortBy(_.media_ref).map(f =>
@@ -140,7 +140,29 @@ class OpsSpec extends AnyFunSuite {
     val f2 = Multimodal.decodeFeatures(spark, media.repartition(3)).collect()
     assert(canon(f1) == canon(f2)) // partitioning must not change results
     assert(f1.forall(_.feature.length == 8))
+    // the decoder derives media_type from the container magic; it must
+    // agree with the synthesized claim for every row
+    val claimed = media.collect().map(r => r.media_ref -> r.media_type).toMap
+    assert(f1.forall(f => claimed(f.media_ref) == f.media_type))
     val frames = Multimodal.sampleFrames(Multimodal.decodeFeatures(spark, media).toDF())
-    frames.collect() // videos only; may be empty at n=3 — plumbing must run
+    frames.collect() // videos only; may be empty — plumbing must run
+  }
+
+  test("multimodal: decoded dimensions come from the actual container bytes") {
+    val bmp = Multimodal.MediaRow("m:bmp", "image", Multimodal.synthBmp(5, 3, 42))
+    val wav = Multimodal.MediaRow("m:wav", "audio", Multimodal.synthWav(2, 8000, 20, 7))
+    val avi = Multimodal.MediaRow("m:avi", "video", Multimodal.synthAvi(32, 24, 17, 9))
+    val codec = new Multimodal.HeaderCodec
+    val db = codec.decode(bmp)
+    assert(db.media_type == "image" && db.width == 5 && db.height == 3 && db.n_frames == 1)
+    val dw = codec.decode(wav)
+    assert(dw.media_type == "audio" && dw.width == 8000 && dw.height == 2 && dw.n_frames == 20)
+    val da = codec.decode(avi)
+    assert(da.media_type == "video" && da.width == 32 && da.height == 24 && da.n_frames == 17)
+    // feature histogram sums to ~1 (normalized over payload body)
+    assert(math.abs(db.feature.sum - 1.0f) < 1e-3)
+    // malformed payloads fail loudly, not as a silent wrong type
+    intercept[IllegalArgumentException](
+      codec.decode(Multimodal.MediaRow("m:x", "image", Array[Byte](1, 2, 3, 4))))
   }
 }

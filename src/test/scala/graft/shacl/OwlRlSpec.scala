@@ -36,6 +36,45 @@ class OwlRlSpec extends AnyFunSuite {
     assert(g.contains(I("p"), I("ancestorOf"), I("s")))
   }
 
+  test("a chain that fires only through a sameAs alias materializes (outer fixpoint)") {
+    val g = expandTtl(prefixes +
+      """ex:grand owl:propertyChainAxiom (ex:parentOf ex:parentOf) .
+        |ex:a ex:parentOf ex:b1 .
+        |ex:b2 ex:parentOf ex:c .
+        |ex:b1 owl:sameAs ex:b2 .
+        |""".stripMargin)
+    // the chain has no b-join until eq-rep replicates parentOf onto the
+    // b1/b2 alias pair; the second classify round must then fire it
+    def I(l: String) = Iri("http://ex.org/" + l)
+    assert(g.contains(I("a"), I("grand"), I("c")))
+  }
+
+  test("fp-derived sameAs replicates and re-fires classification") {
+    val g = expandTtl(prefixes +
+      """ex:ssn a owl:FunctionalProperty .
+        |ex:a ex:ssn ex:k1 .
+        |ex:a ex:ssn ex:k2 .
+        |ex:k1 ex:label "K" .
+        |""".stripMargin)
+    // fp → k1 sameAs k2 → replication copies the label onto k2
+    def I(l: String) = Iri("http://ex.org/" + l)
+    assert(g.contains(I("k2"), I("label"), Lit("K")))
+  }
+
+  test("malformed cyclic rdf:rest chain terminates instead of hanging") {
+    val g = expandTtl(prefixes +
+      """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        |ex:grand owl:propertyChainAxiom _:l1 .
+        |_:l1 rdf:first ex:parentOf ; rdf:rest _:l2 .
+        |_:l2 rdf:first ex:parentOf ; rdf:rest _:l1 .
+        |ex:a ex:parentOf ex:b . ex:b ex:parentOf ex:c .
+        |""".stripMargin)
+    // the cycle guard truncates the walk at the first repeated cell; the
+    // (two-element) prefix still fires as a chain
+    def I(l: String) = Iri("http://ex.org/" + l)
+    assert(g.contains(I("a"), I("grand"), I("c")))
+  }
+
   test("equivalentClass/equivalentProperty and sameAs replicate assertions") {
     val g = expandTtl(prefixes +
       """ex:Human owl:equivalentClass ex:Person .

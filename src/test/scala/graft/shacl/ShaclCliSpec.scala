@@ -53,6 +53,20 @@ class ShaclCliSpec extends AnyFunSuite {
        |  sh:property [ sh:path ex:age ; sh:datatype xsd:integer ] .
        |""".stripMargin, "http://t/s")
 
+  test("table renders the shape's actual severity, not a hardcoded Violation") {
+    val warnShapes = TurtleParser.parseGraph(
+      s"""@prefix ex: <$ex> .
+         |@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |ex:W a sh:NodeShape ; sh:targetClass ex:Person ; sh:severity sh:Warning ;
+         |  sh:property [ sh:path ex:name ; sh:minCount 1 ; sh:severity sh:Warning ] .
+         |""".stripMargin, "http://t/w")
+    val out = Validator.validateGraph(spark, data, Some(warnShapes))
+    assert(!out.conforms && out.results.nonEmpty)
+    val tbl = ShaclCli.table(out)
+    assert(tbl.contains("Warning"))
+    assert(!tbl.contains("| Violation"))
+  }
+
   test("focus filter restricts validation to the named focus nodes") {
     val all = Validator.validateGraph(spark, data, Some(shapes))
     assert(all.results.map(_.focus).toSet ==
@@ -62,6 +76,17 @@ class ShaclCliSpec extends AnyFunSuite {
       ValidationOptions(focusNodes = Some(Set(ex + "b"))))
     assert(!focused.conforms)
     assert(focused.results.map(_.focus).toSet == Set(Iri(ex + "b")))
+  }
+
+  test("validateGraph frees its checkpointed RDDs (engine close)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Validator.validateGraph(spark, data, Some(shapes))
+    assert(out.results.nonEmpty)
+    // the engine localCheckpoints value-node frames + memoized sub-shapes;
+    // close() (called by validateGraph) must return the session to baseline
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"validation leaked ${after - before} persistent RDDs")
   }
 
   test("use_shapes selects only the named shapes") {

@@ -86,6 +86,92 @@ class SparqlFrameSpec extends AnyFunSuite {
       Seq(Lit("b"), Lit("10", XSD.integer), Lit("3.5", XSD.decimal), Lit("2", XSD.integer)))
   }
 
+  val peopleData =
+    s"""@prefix ex: <$ex> .
+       |ex:p1 ex:name "Ann" ; ex:age 31 .
+       |ex:p2 ex:name "Bo" ; ex:age 7 .
+       |ex:p3 ex:name "Celeste" ; ex:age 19 .
+       |""".stripMargin
+
+  test("ORDER BY a non-projected variable sorts pre-projection (SPARQL 15.1)") {
+    val rows = runOn(peopleData,
+      "SELECT ?name WHERE { ?s ex:name ?name ; ex:age ?age . } ORDER BY ?age")
+    assert(rows.map(_("name")) == Seq(Lit("Bo"), Lit("Celeste"), Lit("Ann")))
+    val desc = runOn(peopleData,
+      "SELECT ?name WHERE { ?s ex:name ?name ; ex:age ?age . } ORDER BY DESC(?age)")
+    assert(desc.map(_("name")) == Seq(Lit("Ann"), Lit("Celeste"), Lit("Bo")))
+  }
+
+  test("ORDER BY expression keys: STRLEN and arithmetic") {
+    val rows = runOn(peopleData,
+      "SELECT ?name WHERE { ?s ex:name ?name . } ORDER BY STRLEN(?name)")
+    assert(rows.map(_("name")) == Seq(Lit("Bo"), Lit("Ann"), Lit("Celeste")))
+    val neg = runOn(peopleData,
+      "SELECT ?name WHERE { ?s ex:name ?name ; ex:age ?age . } ORDER BY (0 - ?age)")
+    assert(neg.map(_("name")) == Seq(Lit("Ann"), Lit("Celeste"), Lit("Bo")))
+  }
+
+  test("ORDER BY DISTINCT still dedups while sorting on a hidden key") {
+    // Ann yields two (name, age) solutions; DISTINCT ?name must collapse
+    // them while the hidden ?age sort key still orders Bo first
+    val dup =
+      s"""@prefix ex: <$ex> .
+         |ex:p1 ex:name "Ann" ; ex:age 31 , 32 .
+         |ex:p2 ex:name "Bo" ; ex:age 7 .
+         |""".stripMargin
+    val rows = runOn(dup,
+      "SELECT DISTINCT ?name WHERE { ?s ex:name ?name ; ex:age ?age . } ORDER BY ?age")
+    assert(rows.map(_("name")) == Seq(Lit("Bo"), Lit("Ann")))
+  }
+
+  test("unparseable ORDER BY argument is a loud ParseError") {
+    intercept[Sparql.ParseError] {
+      runOn(peopleData, "SELECT ?name WHERE { ?s ex:name ?name . } ORDER BY bogus")
+    }
+  }
+
+  test("VALUES single-var and row forms join in; UNDEF leaves unbound") {
+    val rows = runOn(peopleData,
+      """SELECT ?s ?name WHERE { ?s ex:name ?name .
+        |  VALUES ?name { "Ann" "Bo" } } ORDER BY ?name""".stripMargin)
+    assert(rows.map(_("name")) == Seq(Lit("Ann"), Lit("Bo")))
+    val multi = runOn(peopleData,
+      """SELECT ?name ?tag WHERE { ?s ex:name ?name .
+        |  VALUES (?name ?tag) { ("Ann" "boss") (UNDEF "any") } } ORDER BY ?name""".stripMargin)
+    // ("Ann","boss") matches only Ann; (UNDEF,"any") joins every name
+    assert(multi.size == 4)
+    assert(multi.count(_("tag") == Lit("boss")) == 1)
+    assert(multi.count(_("tag") == Lit("any")) == 3)
+  }
+
+  test("negated property sets: !ex:p, !(^ex:p), closure over !(...)") {
+    val rows = runOn(peopleData,
+      "SELECT ?o WHERE { ex:p1 !ex:age ?o . }")
+    assert(rows.map(_("o")) == Seq(Lit("Ann"))) // only ex:name survives
+    // inverse-only NPS: x !(^name) y iff triple(y, p, x) with p ∉ {name};
+    // anchored to y = ex:p2 the only such x is the age literal 7
+    val inv = runOn(peopleData,
+      "SELECT ?v WHERE { ?v !(^ex:name) ?who . FILTER(?who = ex:p2) }")
+    assert(inv.map(_("v")) == Seq(Lit("7", XSD.integer)))
+    val mixed = runOn(peopleData,
+      "SELECT ?x WHERE { ex:p2 !(ex:nope|^ex:nothing) ?x . } ORDER BY ?x")
+    assert(mixed.map(_("x")).toSet == Set(Lit("Bo"), Lit("7", XSD.integer)))
+  }
+
+  test("BNODE(str) labels are deterministic across reruns of the same query") {
+    val q = """SELECT ?s (BNODE("x") AS ?b) WHERE { ?s ex:v ?n . }"""
+    val a = runOn(numData, q).map(r => r("s") -> r("b")).toMap
+    val b = runOn(numData, q).map(r => r("s") -> r("b")).toMap
+    assert(a == b)
+    assert(a.values.toSeq.distinct.size == 4)
+  }
+
+  test("comment after a less-than comparison strips (< only opens IRIs)") {
+    val rows = runOn(peopleData,
+      "SELECT ?s WHERE { ?s ex:age ?a . FILTER(?a < 20) # keep the kids\n } ORDER BY ?s")
+    assert(rows.map(_("s")) == Seq(Iri(ex + "p2"), Iri(ex + "p3")))
+  }
+
   // ----------------------------------------------------- builtin functions
   test("string tests: STRSTARTS / STRENDS / CONTAINS / isNumeric") {
     assert(eval1("""STRSTARTS(?al, "C-")""").contains(Lit("true", XSD.boolean)))
@@ -211,6 +297,41 @@ class SparqlFrameSpec extends AnyFunSuite {
       (Iri(ex + "g1"), Lit("A1")), (Iri(ex + "g2"), Lit("A2")), (Iri(ex + "g2"), Lit("B2"))))
     // default-graph triples are NOT visible inside GRAPH ?g
     assert(!byVar.exists(_("n") == Lit("D")))
+  }
+
+  test("GRAPH ?g BGP joins stay per-graph scoped; 10k graphs = one fixed plan") {
+    // per-graph scoping: name+tag co-located only in g1
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:name "A" . ex:a ex:tag "T" . }
+         |GRAPH ex:g2 { ex:b ex:name "B" . }
+         |GRAPH ex:g3 { ex:b ex:tag "T3" . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    def sel(txt: String) =
+      frame.evalSelect(Sparql.parseQuery(txt, Map("ex" -> ex))
+        .asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val res = sel("SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:name ?n . ?s ex:tag ?t . } }")
+    val rows = frame.collect(res, Seq("g", "s"))
+    // ex:b has name in g2 but tag in g3 — must NOT match across graphs
+    assert(rows == Seq(Map("g" -> Iri(ex + "g1"), "s" -> Iri(ex + "a"))))
+
+    // scale shape: 10k named graphs must not produce a 10k-branch union
+    val many = QuadsDF.fromQuads(spark, (1 to 10000).map(i =>
+      Quad(Iri(s"$ex/s$i"), Iri(ex + "name"), Lit(s"n$i"), Some(Iri(s"$ex/g$i")))))
+    val frame2 = new SparqlFrame(spark, QuadsDF.defaultUnion(many),
+      PathEval.step(QuadsDF.defaultUnion(many), _, _), Map.empty, None, None, Some(many))
+    val res2 = frame2.evalSelect(
+      Sparql.parseQuery("SELECT ?g ?s ?n WHERE { GRAPH ?g { ?s ex:name ?n . } }",
+        Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame2.unitSeed)
+    val unions = res2.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.isEmpty, "GRAPH ?g over a BGP must not union per-graph branches")
+    assert(res2.df.count() == 10000)
   }
 
   test("SUBSTR clips zero/negative starts like fn:substring; REPLACE honors q flag") {
