@@ -416,6 +416,14 @@ object Queries {
     t(s, d, "embeddings").select(col("vec_id"),
       round(Similarity.norm(col("embedding")), 4).as("nrm"))
 
+  /** Embedding-cosine near-dup, exact baseline (threshold picked inside a
+    * clean gap of this table's cosine distribution: nearest values are
+    * 0.4516 above / 0.4494 below, so the rounded-compare boundary is
+    * deterministic). The LSH scale path is recall-tested in OpsSpec. */
+  val qEmbedNearDup: Q = (s, d) =>
+    Dedup.embeddingNearDupExact(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+      .select(col("a_id"), col("b_id"), col("cos"))
+
   /** Windowed aggregation over the events stream table (same transform the
     * streaming path uses; exact int aggregates). */
   val qWindowAgg: Q = (s, d) =>
@@ -552,7 +560,17 @@ object Queries {
         |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') GROUP BY 1""".stripMargin,
     "q_sparql_nps" ->
       """SELECT concat('http://graft.dev/rel/nation/', n_nationkey) AS s,
-        |concat('http://graft.dev/rel/region/', n_regionkey) AS o FROM nation""".stripMargin
+        |concat('http://graft.dev/rel/region/', n_regionkey) AS o FROM nation""".stripMargin,
+    // mirrors Similarity.cosine exactly: 6-digit round of the ratio, then
+    // the 4-digit threshold compare
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |round(round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE cos >= 0.45""".stripMargin
     // q_minhash_lsh / q_simhash / q_ngram_jaccard / q_ann_* are hash-kernel
     // based (xxhash64) — not DuckDB-expressible; driver rows-only check.
   )
@@ -593,6 +611,7 @@ object Queries {
     "q_sparql_graph" -> qSparqlGraph,
     "q_sparql_topk" -> qSparqlTopK,
     "q_sparql_values" -> qSparqlValues,
-    "q_sparql_nps" -> qSparqlNps
+    "q_sparql_nps" -> qSparqlNps,
+    "q_embed_neardup" -> qEmbedNearDup
   )
 }

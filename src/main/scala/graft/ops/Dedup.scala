@@ -133,6 +133,42 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Embedding-cosine near-duplicate pairs, EXACT baseline: every (a < b)
+    * pair with round(cosine, 4) >= threshold. Quadratic by design — the
+    * correctness oracle for [[embeddingNearDupLsh]]; rounding before the
+    * threshold keeps the boundary deterministic across engines. */
+  def embeddingNearDupExact(docs: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = docs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = docs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("a_vec"), col("b_vec")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup, scale path: random-hyperplane LSH bucket
+    * join bounds the candidate pairs (never all-pairs); exact cosine
+    * verifies only inside candidates. Defaults tuned for the NEAR-DUP
+    * regime (cos >= ~0.9): per-bit collision p = 1 - θ/π ≈ 0.86, so
+    * 8-bit/8-table banding gives recall ≈ 0.94 at cos 0.9 and ≈ 0.999 at
+    * cos 0.98; it is NOT a low-threshold similarity join (RHP recall
+    * collapses below ~0.8 — use a coarser quantizer there). */
+  def embeddingNearDupLsh(docs: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, bits: Int = 8, tables: Int = 8): DataFrame = {
+    val sig = Similarity.rhpSigTable(docs, idCol, vecCol, bits, tables)
+    val a = sig.select(col("id").as("a_id"), col("tbl"), col("sig"))
+    val b = sig.select(col("id").as("b_id"), col("tbl"), col("sig"))
+    val cand = a.join(b, Seq("tbl", "sig")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct() // pairs collide in many tables
+    val va = docs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val vb = docs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("a_vec"), col("b_vec")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (verify step
     * after LSH): explode-join-count, set semantics. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,

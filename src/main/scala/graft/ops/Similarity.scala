@@ -15,7 +15,11 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    // cast BEFORE multiplying: float*float rounds each product to 24-bit
+    // mantissa, double*double keeps full precision (and matches how any
+    // SQL engine with a double list type computes the same product)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x), lit(0.0d), (acc, v) => acc + v))

@@ -132,13 +132,18 @@ object RdfsInference {
   *   cls-oo     c owl:oneOf (n1..nk)                 -> (ni,a,c)
   *   eq-sym/trans/rep  owl:sameAs closure + full alias-product replication
   *
-  * The classification/chain/functional rules run in one bounded fixpoint
-  * (they feed each other); restriction and chain schema is collected
-  * driver-side (schema-scale), instance work is joins. Residual gaps
-  * (documented): someValuesFrom with owl:Thing shortcut, second-order
-  * interactions where sameAs-replicated triples would re-fire chains, and
-  * cardinality-restriction classification — none occur in the graded
-  * corpora.
+  *   cls-svf2   someValuesFrom owl:Thing                -> (x,a,R) for any value
+  *   cls-maxc2  maxCardinality/cardinality 1            -> values pairwise sameAs
+  *   cls-maxqc3/4  maxQualifiedCardinality 1 (+onClass) -> qualified sameAs
+  *
+  * The classification/chain/functional/cardinality rules run in one bounded
+  * fixpoint (they feed each other), and {classify -> sameAs-replicate}
+  * iterates to an OUTER fixpoint so replicated triples re-fire chains and
+  * classification. Restriction and chain schema is collected driver-side
+  * (schema-scale); instance work is joins. Residual gap (documented):
+  * inconsistency DETECTION (cls-maxc1 cardinality 0, owl:differentFrom
+  * clashes, datatype clashes) — the reference surfaces those as owlrl
+  * inconsistency errors; this engine materializes triples only.
   */
 object OwlRlInference {
   private val owlNs = "http://www.w3.org/2002/07/owl#"
@@ -222,7 +227,9 @@ object OwlRlInference {
     // ---- restriction / chain / functional-property schema (driver-scale)
     val extTriples = TriplesDF.collectTriples(out.filter(
       $"p".isin(O("propertyChainAxiom"), O("onProperty"), O("someValuesFrom"),
-        O("allValuesFrom"), O("hasValue"), O("oneOf")) ||
+        O("allValuesFrom"), O("hasValue"), O("oneOf"), O("onClass"),
+        O("maxCardinality"), O("maxQualifiedCardinality"), O("cardinality"),
+        O("qualifiedCardinality")) ||
         ($"p" === RDF.ty.value && $"o"("k") === 0 &&
           $"o"("v").isin(O("FunctionalProperty"), O("InverseFunctionalProperty")))))
     val onProp: Map[Node, String] = extTriples.collect {
@@ -237,6 +244,16 @@ object OwlRlInference {
       case Triple(Iri(pv), p, Iri(t)) if p == RDF.ty && t == O("FunctionalProperty") => pv }
     val ifps = extTriples.collect {
       case Triple(Iri(pv), p, Iri(t)) if p == RDF.ty && t == O("InverseFunctionalProperty") => pv }
+    val onClass: Map[Node, Node] = extTriples.collect {
+      case Triple(s, p, o) if p.value == O("onClass") => s -> o }.toMap
+    // cls-maxc2 / cls-maxqc3/4: only the cardinality-1 restrictions derive
+    // sameAs between the values of the restricted property on typed
+    // subjects. (owl:cardinality 1 implies maxCardinality 1.)
+    def card1(pred: String): Seq[Node] = extTriples.collect {
+      case Triple(s, p, o: Lit) if p.value == O(pred) &&
+        o.lex.trim.toIntOption.contains(1) => s }
+    val maxC1 = (card1("maxCardinality") ++ card1("cardinality")).distinct
+    val maxQC1 = (card1("maxQualifiedCardinality") ++ card1("qualifiedCardinality")).distinct
     val chainHeads = extTriples.collect {
       case Triple(Iri(pv), p, h) if p.value == O("propertyChainAxiom") => (pv, h) }
     val oneOfHeads = extTriples.collect {
@@ -283,7 +300,7 @@ object OwlRlInference {
     // bounded fixpoint: classification, chains and functional-property
     // sameAs feed each other (owlrl materializes to fixpoint)
     val hasRules = svf.nonEmpty || avf.nonEmpty || hv.nonEmpty || chains.nonEmpty ||
-      fps.nonEmpty || ifps.nonEmpty
+      fps.nonEmpty || ifps.nonEmpty || maxC1.nonEmpty || maxQC1.nonEmpty
 
     def classifyFixpoint(): Unit = if (hasRules) {
       var grew = true
@@ -295,11 +312,48 @@ object OwlRlInference {
         val typeC = lit(RDF.ty.value).as("p")
         val derived = scala.collection.mutable.ListBuffer.empty[DataFrame]
         for ((r, c) <- svf; p <- onProp.get(r)) {
-          val typed = out.filter($"p" === RDF.ty.value && termKey($"o") === c.key)
+          if (c == Iri(O("Thing")))
+            // cls-svf2: someValuesFrom owl:Thing — ANY value qualifies
+            derived += out.filter($"p" === p).select($"s", typeC, termLit(r).as("o"))
+          else {
+            val typed = out.filter($"p" === RDF.ty.value && termKey($"o") === c.key)
+              .select(termKey($"s").as("_tk")).distinct()
+            derived += out.filter($"p" === p)
+              .join(typed, termKey($"o") === $"_tk", "left_semi")
+              .select($"s", typeC, termLit(r).as("o"))
+          }
+        }
+        // cls-maxc2: maxCardinality 1 on typed subjects — all values of p
+        // collapse into one individual via sameAs (literal values excluded,
+        // like prp-fp)
+        for (r <- maxC1; p <- onProp.get(r)) {
+          val typed = out.filter($"p" === RDF.ty.value && termKey($"o") === r.key)
             .select(termKey($"s").as("_tk")).distinct()
-          derived += out.filter($"p" === p)
-            .join(typed, termKey($"o") === $"_tk", "left_semi")
-            .select($"s", typeC, termLit(r).as("o"))
+          val v1 = out.filter($"p" === p && $"o"("k") =!= 2)
+            .join(typed, termKey($"s") === $"_tk", "left_semi")
+            .select(termKey($"s").as("_k"), $"o").distinct()
+          val v2 = v1.select($"_k".as("_k2"), $"o".as("_o2"))
+          derived += v1.join(v2, $"_k" === $"_k2" && termKey($"o") < termKey($"_o2"))
+            .select($"o".as("s"), lit(O("sameAs")).as("p"), $"_o2".as("o"))
+        }
+        // cls-maxqc3/4: qualified cardinality 1 — values additionally
+        // filtered by onClass (owl:Thing or absent = unqualified, maxqc4)
+        for (r <- maxQC1; p <- onProp.get(r)) {
+          val typed = out.filter($"p" === RDF.ty.value && termKey($"o") === r.key)
+            .select(termKey($"s").as("_tk")).distinct()
+          var vals = out.filter($"p" === p && $"o"("k") =!= 2)
+            .join(typed, termKey($"s") === $"_tk", "left_semi")
+          onClass.get(r) match {
+            case Some(c) if c != Iri(O("Thing")) =>
+              val typedVal = out.filter($"p" === RDF.ty.value && termKey($"o") === c.key)
+                .select(termKey($"s").as("_vk")).distinct()
+              vals = vals.join(typedVal, termKey($"o") === $"_vk", "left_semi")
+            case _ =>
+          }
+          val v1 = vals.select(termKey($"s").as("_k"), $"o").distinct()
+          val v2 = v1.select($"_k".as("_k2"), $"o".as("_o2"))
+          derived += v1.join(v2, $"_k" === $"_k2" && termKey($"o") < termKey($"_o2"))
+            .select($"o".as("s"), lit(O("sameAs")).as("p"), $"_o2".as("o"))
         }
         for ((r, c) <- avf; p <- onProp.get(r)) {
           val typed = out.filter($"p" === RDF.ty.value && termKey($"o") === r.key)

@@ -66,6 +66,10 @@ object Sparql {
     * queries reject VALUES earlier via [[checkPreBinding]], matching the
     * reference's pre-binding rules (sparql_query_helper.py:227-320). */
   final case class SqValues(vs: List[String], rows: List[List[Option[Node]]]) extends SqElem
+  /** SPARQL MINUS (§8.3): remove lhs solutions compatible with some rhs
+    * solution on a non-empty shared domain. Legal outside constraints;
+    * constraint queries reject MINUS earlier via [[checkPreBinding]]. */
+  final case class SqMinus(g: SqGroup) extends SqElem
 
   final case class SqGroup(elems: List[SqElem])
 
@@ -370,7 +374,7 @@ object Sparql {
           val nm = if (peek == '?' || peek == '$') TVar(varName()) else TConst(Iri(iriOrPname()))
           elems += SqGraphPat(nm, group())
         } else if (takeKw("MINUS")) {
-          throw new ValidationFailure("A SPARQL Constraint must not contain a MINUS clause.")
+          elems += SqMinus(group())
         } else if (takeKw("VALUES")) {
           elems += valuesBlock()
         } else if (takeKw("SERVICE")) {

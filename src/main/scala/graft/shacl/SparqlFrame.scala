@@ -275,6 +275,23 @@ final class SparqlFrame(
         case (v, i) if rows.exists(_(i).isEmpty) => v
       }.toSet
       joinSols(cur, Sol(df, vs.toSet, mn))
+    case SqMinus(g) =>
+      // SPARQL §8.3: drop lhs rows for which SOME rhs solution is
+      // compatible (equal on every var bound in both) AND shares at least
+      // one bound variable; disjoint-domain rhs rows remove nothing. The
+      // rhs evaluates in its own scope (seeded by the pre-bound frame, not
+      // the lhs), then one distinct projection + anti-join does the rest.
+      val rhs = evalGroup(g, rootSeed)
+      val shared = cur.vars.intersect(rhs.vars).filterNot(_.startsWith("__")).toSeq.sorted
+      if (shared.isEmpty) cur
+      else {
+        val r = rhs.df.select(shared.map(v => col(v).as(s"__m_$v")): _*).distinct()
+        val compat = shared.map(v =>
+          col(v).isNull || col(s"__m_$v").isNull || col(v) === col(s"__m_$v"))
+        val overlap = shared.map(v => col(v).isNotNull && col(s"__m_$v").isNotNull)
+        Sol(cur.df.join(r, compat.reduce(_ && _) && overlap.reduce(_ || _), "left_anti"),
+          cur.vars, cur.maybeNull)
+      }
     case SqGraphPat(TVar(x), g) if quads.isDefined && bgpOnly(g) =>
       // BGP-only block: ONE pass over the named-graphs slice of the quads
       // frame with ?g bound from the g column — per-graph scoping falls out

@@ -130,6 +130,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r("d3")._1 == 0)
   }
 
+  test("embedding-cosine near-dup: LSH pairs = exact pairs on planted duplicates") {
+    val items = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").orderBy($"vec_id").limit(60)
+    // plant a near-identical copy of each of the first 10 vectors
+    val planted = items.limit(10).select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        x + (pmod(xxhash64(i.cast("string")), lit(100L)).cast("float") / 20000.0f))
+        .as("embedding"))
+    val all = items.unionByName(planted)
+    val exact = Dedup.embeddingNearDupExact(all, "vec_id", "embedding", 0.9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // the 10 planted pairs are the only cos>=0.9 pairs among randoms
+    assert(exact.size == 10)
+    assert((0 until 10).forall(i => exact.exists(p => p._2 - p._1 == 100000L)))
+    val lsh = Dedup.embeddingNearDupLsh(all, "vec_id", "embedding", 0.9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // LSH never invents pairs (verify step is exact cosine) and at these
+    // defaults recalls essentially all near-identical pairs
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= 9, s"LSH near-dup recall ${lsh.size}/10 < 9/10")
+  }
+
   test("multimodal: per-partition batched decode is deterministic + frame sampling works") {
     val refs = (1 to 12).map(i => s"media://r$i").toDF("media_ref")
     val media = Multimodal.synthPayloads(spark, refs, "media_ref")

@@ -61,6 +61,48 @@ class OwlRlSpec extends AnyFunSuite {
     assert(g.contains(I("k2"), I("label"), Lit("K")))
   }
 
+  test("someValuesFrom owl:Thing classifies any subject with the property (cls-svf2)") {
+    val g = expandTtl(prefixes +
+      """ex:HasChild a owl:Class ;
+        |  owl:onProperty ex:child ; owl:someValuesFrom owl:Thing .
+        |ex:a ex:child ex:b .
+        |""".stripMargin)
+    def I(l: String) = Iri("http://ex.org/" + l)
+    assert(g.contains(I("a"), RDF.ty, I("HasChild")))
+  }
+
+  test("maxCardinality 1 merges property values via sameAs (cls-maxc2)") {
+    val g = expandTtl(prefixes +
+      """ex:SingleParented a owl:Class ;
+        |  owl:onProperty ex:parent ; owl:maxCardinality 1 .
+        |ex:kid a ex:SingleParented ; ex:parent ex:p1 , ex:p2 .
+        |ex:p1 ex:label "P" .
+        |ex:other ex:parent ex:q1 , ex:q2 .
+        |""".stripMargin)
+    def I(l: String) = Iri("http://ex.org/" + l)
+    // replication through the derived p1 sameAs p2 copies the label
+    assert(g.contains(I("p2"), I("label"), Lit("P")))
+    // untyped subjects must NOT merge their values
+    assert(!g.contains(I("q1"), Iri(owlNs + "sameAs"), I("q2")) &&
+      !g.contains(I("q2"), Iri(owlNs + "sameAs"), I("q1")))
+  }
+
+  test("maxQualifiedCardinality 1 merges only onClass-typed values (cls-maxqc3)") {
+    val g = expandTtl(prefixes +
+      """ex:R a owl:Class ; owl:onProperty ex:owns ;
+        |  owl:maxQualifiedCardinality 1 ; owl:onClass ex:Car .
+        |ex:x a ex:R ; ex:owns ex:c1 , ex:c2 , ex:dog .
+        |ex:c1 a ex:Car . ex:c2 a ex:Car .
+        |ex:c1 ex:plate "Z-1" .
+        |""".stripMargin)
+    def I(l: String) = Iri("http://ex.org/" + l)
+    assert(g.contains(I("c2"), I("plate"), Lit("Z-1"))) // c1 sameAs c2 replicated
+    // the dog is not a Car: it must not merge with the cars
+    assert(!g.contains(I("dog"), I("plate"), Lit("Z-1")))
+  }
+
+  private val owlNs = "http://www.w3.org/2002/07/owl#"
+
   test("malformed cyclic rdf:rest chain terminates instead of hanging") {
     val g = expandTtl(prefixes +
       """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .

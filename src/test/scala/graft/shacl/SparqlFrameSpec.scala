@@ -144,6 +144,18 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(multi.count(_("tag") == Lit("any")) == 3)
   }
 
+  test("MINUS removes compatible solutions; disjoint domains remove nothing") {
+    val rows = runOn(peopleData,
+      """SELECT ?name WHERE { ?s ex:name ?name .
+        |  MINUS { ?s ex:age 7 . } } ORDER BY ?name""".stripMargin)
+    assert(rows.map(_("name")) == Seq(Lit("Ann"), Lit("Celeste")))
+    // rhs sharing no variables with the lhs must not remove anything
+    val disjoint = runOn(peopleData,
+      """SELECT ?name WHERE { ?s ex:name ?name .
+        |  MINUS { ?other ex:age 7 . } } ORDER BY ?name""".stripMargin)
+    assert(disjoint.size == 3)
+  }
+
   test("negated property sets: !ex:p, !(^ex:p), closure over !(...)") {
     val rows = runOn(peopleData,
       "SELECT ?o WHERE { ex:p1 !ex:age ?o . }")
