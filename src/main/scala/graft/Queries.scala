@@ -208,6 +208,14 @@ object Queries {
       .select(col("q_id"), col("rank"), col("item_id"))
   }
 
+  /** IVF-bucketed ANN (the second scale path: coarse quantizer + probed
+    * cells; recall-tested in OpsSpec, approximate → rows-only check). */
+  val qAnnIvf: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .select(col("q_id"), col("rank"), col("item_id"))
+  }
+
   /** SPARQL frontend end-to-end: the nation/region tables lift into a
     * triples frame, a 3-pattern BGP + FILTER compiles through the SHACL
     * SPARQL engine, and the result must equal the relational join it
@@ -602,6 +610,7 @@ object Queries {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_ann_bruteforce" -> qAnnBruteForce,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_ivf" -> qAnnIvf,
     "q_embed_norm" -> qEmbedNorm,
     "q_window_agg" -> qWindowAgg,
     "q_sparql_join" -> qSparqlJoin,

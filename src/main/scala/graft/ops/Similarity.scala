@@ -106,6 +106,70 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------ IVF
+  /** Deterministic IVF coarse quantizer: `nlist` centroids seeded by
+    * hash-order sampling of the items (no external randomness), refined by
+    * `iters` Lloyd steps — each step is one assign pass + one
+    * per-(cell, dim) mean aggregation, all DataFrame ops. Returns
+    * (cell, c_vec). */
+  def ivfCentroids(items: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 1): DataFrame = {
+    val w = Window.orderBy(col("__h"))
+    var cents = items.select(col(idCol).as("__cid"), col(vecCol).as("c_vec"))
+      .withColumn("__h", xxhash64(col("__cid").cast("string")))
+      .orderBy(col("__h")).limit(nlist)
+      .withColumn("cell", row_number().over(w)).select(col("cell"), col("c_vec"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(items, cents, idCol, vecCol, nprobe = 1)
+      cents = assigned
+        .select(col("cell"), posexplode(col("__vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m").cast("float")).as("c_vec"))
+    }
+    cents
+  }
+
+  /** Assign every row its `nprobe` nearest cells (by cosine to the
+    * broadcast centroids). Output: (idCol, __vec, cell) — one row per
+    * (vector, probed cell). */
+  private def assignCells(df: DataFrame, cents: DataFrame, idCol: String,
+                          vecCol: String, nprobe: Int): DataFrame = {
+    val scored = df.select(col(idCol), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("__vec"), col("cell"),
+        cosine(col("__vec"), col("c_vec")).as("__cc"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cc").desc, col("cell"))
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
+      .select(col(idCol), col("__vec"), col("cell"))
+  }
+
+  /** IVF ANN top-k — the second scale path next to [[lshTopK]]: items land
+    * in their single nearest cell, queries probe their `nprobe` nearest
+    * cells, and the exact cosine verify runs only inside probed cells
+    * (candidates per query ≈ nprobe × N/nlist instead of N). Unlike RHP
+    * LSH, recall does not collapse at lower similarity thresholds — the
+    * cell geometry, not a collision probability, bounds the candidates;
+    * the classic IVF trade-off is missed neighbors that fall just across
+    * a cell boundary, recovered by raising nprobe. */
+  def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
+              lloydIters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(items, idCol, vecCol, nlist, lloydIters)
+    val it = assignCells(items, cents, idCol, vecCol, nprobe = 1)
+      .select(col(idCol).as("item_id"), col("__vec").as("item_vec"), col("cell"))
+    val q = assignCells(queries, cents, idCol, vecCol, nprobe)
+      .select(col(idCol).as("q_id"), col("__vec").as("q_vec"), col("cell"))
+    val scored = it.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("item_id"))
+      .select(col("q_id"), col("item_id"), cosine(col("q_vec"), col("item_vec")).as("cos"))
+      .distinct() // a pair may meet in several probed cells
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucket-occupancy diagnostics for an items frame under the banded
     * signature scheme: (tbl, sig, n) — assert max(n) stays bounded. */
   def lshBucketSizes(items: DataFrame, idCol: String, vecCol: String,

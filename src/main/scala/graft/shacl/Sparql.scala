@@ -606,6 +606,17 @@ object Sparql {
     private def cmpExpr(): SqExpr = {
       val l = addExpr()
       ws()
+      // `expr IN (a, b)` / `expr NOT IN (...)` desugar to chained value
+      // equality (rdflib evaluates IN via '=' semantics); an empty list is
+      // constant false / true. NOT EXISTS never reaches here — it is a
+      // prefix form handled in primary().
+      if (takeKw("IN")) return inList(l, negated = false)
+      if (kwAt("NOT")) {
+        val save = pos
+        takeKw("NOT"); ws()
+        if (takeKw("IN")) return inList(l, negated = true)
+        pos = save
+      }
       val ops = Seq("<=", ">=", "!=", "=", "<", ">")
       ops.find(o => s.regionMatches(pos, o, 0, o.length)) match {
         // a bare '<' that opens an IRI (no whitespace before '>') is not an
@@ -614,6 +625,14 @@ object Sparql {
         case Some(o) => pos += o.length; EBin(o, l, addExpr())
         case None => l
       }
+    }
+
+    private def inList(l: SqExpr, negated: Boolean): SqExpr = {
+      val args = argList()
+      val or =
+        if (args.isEmpty) EConst(Lit("false", XSD.boolean))
+        else args.map(a => EBin("=", l, a): SqExpr).reduce((x, y) => EBin("||", x, y))
+      if (negated) ENot(or) else or
     }
     private def looksLikeIri(): Boolean = {
       // at '<': IRI iff no whitespace before the closing '>'

@@ -13,7 +13,11 @@ object PlanCheck {
         "q_minhash_lsh", "q_sparql_join",
         // r3: rhpSigTable (one explode + partial aggs + broadcast sig join,
         // WindowGroupLimit top-k) and the GROUP_CONCAT aggregate path
-        "q_ann_lsh", "q_sparql_group_concat")
+        "q_ann_lsh", "q_sparql_group_concat",
+        // r4: GRAPH ?g single-join fast path (no per-graph union), NPS
+        // excluded-predicate scan, pre-projection ORDER BY + LIMIT (global
+        // TakeOrderedAndProject), embedding near-dup exact baseline
+        "q_sparql_graph", "q_sparql_nps", "q_sparql_topk", "q_embed_neardup")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

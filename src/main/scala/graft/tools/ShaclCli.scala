@@ -16,8 +16,9 @@ object ShaclCli {
     * out so the flag surface is testable without exiting a JVM. Formats
     * mirror pySHACL's -f (cli.py:185-187): human (default) / turtle / nt /
     * table; --ttl is shorthand for -f turtle. */
-  def parseArgs(args: Array[String]): (List[String], ValidationOptions, String) = {
-    val valueFlags = Set("--inference", "--focus", "--use-shapes", "-f", "--format")
+  def parseArgs(args: Array[String]): (List[String], ValidationOptions, String, Option[String]) = {
+    val valueFlags = Set("--inference", "--focus", "--use-shapes", "-f", "--format",
+      "-e", "--ont-graph")
     val pos = args.toList.zipWithIndex.filterNot { case (a, i) =>
       a.startsWith("-") || (i > 0 && valueFlags.contains(args(i - 1)))
     }.map(_._1)
@@ -36,13 +37,16 @@ object ShaclCli {
       // shape.py:670-684): comma-separated IRI lists
       focusNodes = setOf("--focus"),
       useShapes = setOf("--use-shapes"))
+    // pySHACL -e/--ont-graph (cli.py:137-143): extra ontology file mixed
+    // into the data graph via axiom inoculation before validation
+    val ont = valueOf("-e").orElse(valueOf("--ont-graph"))
     val fmt =
       if (args.contains("--ttl")) "turtle"
       else valueOf("-f").orElse(valueOf("--format")).getOrElse("human")
     // n3 renders as turtle like the reference effectively does for reports
     if (!Set("human", "turtle", "n3", "nt", "table", "json-ld", "xml").contains(fmt))
       throw new IllegalArgumentException(s"unsupported output format '$fmt'")
-    (pos, opts, fmt)
+    (pos, opts, fmt, ont)
   }
 
   /** Report graph as N-Triples (term toString is already NT form). */
@@ -83,8 +87,8 @@ object ShaclCli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [-f human|turtle|nt|table] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>]"); sys.exit(2) }
-    val (pos, opts, fmt) = parseArgs(args)
+    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [-f human|turtle|nt|table] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>] [-e ontology.ttl]"); sys.exit(2) }
+    val (pos, opts, fmt, ontFile) = parseArgs(args)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-shacl")
@@ -96,7 +100,8 @@ object ShaclCli {
     try {
       val dataG = GraphLoader.parseFile(pos.head, bnodePrefix = "d") // format-sniffing loader
       val shapesG = pos.lift(1).map(GraphLoader.parseFile(_, bnodePrefix = "s"))
-      val out = Validator.validateGraph(spark, dataG, shapesG, opts)
+      val ontG = ontFile.map(GraphLoader.parseFile(_, bnodePrefix = "o"))
+      val out = Validator.validateGraph(spark, dataG, shapesG, opts, ontGraph = ontG)
       fmt match {
         case "human" => println(out.reportText)
         // pySHACL -f turtle emits ONLY the serialized report graph (pipeable

@@ -130,6 +130,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r("d3")._1 == 0)
   }
 
+  test("IVF ANN recalls planted neighbors through probed cells") {
+    val items = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = items.orderBy($"vec_id").limit(20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          x + (pmod(xxhash64(i.cast("string")), lit(100L)).cast("float") / 5000.0f))
+          .as("embedding"))
+    val ivf = Similarity.ivfTopK(items, planted, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+    // a near-identical query must find its source item inside its probed
+    // cells (the source's cell is the query's nearest centroid too)
+    val hits = ivf.filter($"item_id" === $"q_id" - 100000L)
+      .select($"q_id").distinct().count()
+    assert(hits >= 18, s"IVF recall $hits/20 < 18/20")
+    // candidate bound: each query scores at most nprobe cells' worth of
+    // items, never the full table
+    val cands = ivf.groupBy($"q_id").count().agg(max($"count")).as[Long].collect()(0)
+    assert(cands <= 5)
+  }
+
   test("embedding-cosine near-dup: LSH pairs = exact pairs on planted duplicates") {
     val items = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"embedding").orderBy($"vec_id").limit(60)

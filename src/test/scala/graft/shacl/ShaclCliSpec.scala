@@ -12,16 +12,18 @@ class ShaclCliSpec extends AnyFunSuite {
   val ex = "http://ex.org/"
 
   test("parseArgs: value flags are not positionals; sets and formats parse") {
-    val (pos, opts, fmt) = ShaclCli.parseArgs(Array(
+    val (pos, opts, fmt, ont) = ShaclCli.parseArgs(Array(
       "data.ttl", "shapes.ttl", "--inference", "owlrl", "--ttl",
-      "--focus", s"${ex}a,${ex}b", "--use-shapes", s"${ex}S1"))
+      "--focus", s"${ex}a,${ex}b", "--use-shapes", s"${ex}S1",
+      "-e", "ontology.ttl"))
     assert(pos == List("data.ttl", "shapes.ttl"))
     assert(opts.inference == "owlrl")
     assert(fmt == "turtle")
     assert(opts.focusNodes.contains(Set(ex + "a", ex + "b")))
     assert(opts.useShapes.contains(Set(ex + "S1")))
-    val (pos2, _, fmt2) = ShaclCli.parseArgs(Array("d.ttl", "-f", "table"))
-    assert(pos2 == List("d.ttl") && fmt2 == "table")
+    assert(ont.contains("ontology.ttl"))
+    val (pos2, _, fmt2, ont2) = ShaclCli.parseArgs(Array("d.ttl", "-f", "table"))
+    assert(pos2 == List("d.ttl") && fmt2 == "table" && ont2.isEmpty)
     intercept[IllegalArgumentException](ShaclCli.parseArgs(Array("d.ttl", "-f", "trix")))
   }
 

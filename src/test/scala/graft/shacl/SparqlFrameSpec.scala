@@ -144,6 +144,20 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(multi.count(_("tag") == Lit("any")) == 3)
   }
 
+  test("IN / NOT IN operators evaluate as chained value equality") {
+    val rows = runOn(peopleData,
+      """SELECT ?name WHERE { ?s ex:name ?name ; ex:age ?age .
+        |  FILTER (?age IN (7, 19)) } ORDER BY ?name""".stripMargin)
+    assert(rows.map(_("name")) == Seq(Lit("Bo"), Lit("Celeste")))
+    val notIn = runOn(peopleData,
+      """SELECT ?name WHERE { ?s ex:name ?name .
+        |  FILTER (?name NOT IN ("Bo", "Celeste")) }""".stripMargin)
+    assert(notIn.map(_("name")) == Seq(Lit("Ann")))
+    val empty = runOn(peopleData,
+      "SELECT ?name WHERE { ?s ex:name ?name . FILTER (?name IN ()) }")
+    assert(empty.isEmpty)
+  }
+
   test("MINUS removes compatible solutions; disjoint domains remove nothing") {
     val rows = runOn(peopleData,
       """SELECT ?name WHERE { ?s ex:name ?name .
