@@ -12,13 +12,23 @@ import org.apache.spark.sql.SparkSession
   */
 object ShaclCli {
 
-  /** Parse CLI args to (positional files, options, output format). Split
-    * out so the flag surface is testable without exiting a JVM. Formats
-    * mirror pySHACL's -f (cli.py:185-187): human (default) / turtle / nt /
-    * table; --ttl is shorthand for -f turtle. */
-  def parseArgs(args: Array[String]): (List[String], ValidationOptions, String, Option[String]) = {
+  final case class CliArgs(
+    pos: List[String],
+    opts: ValidationOptions,
+    fmt: String,
+    ontFile: Option[String],
+    /** shacl-shacl.ttl path for -m/--metashacl (the reference bakes the
+      * asset in; zero-egress here means the caller points at a copy). */
+    metashacl: Option[String],
+    /** --imports: chase local owl:imports while loading the data graph. */
+    imports: Boolean)
+
+  /** Parse CLI args. Split out so the flag surface is testable without
+    * exiting a JVM. Formats mirror pySHACL's -f (cli.py:185-187): human
+    * (default) / turtle / nt / table; --ttl is shorthand for -f turtle. */
+  def parseArgs(args: Array[String]): CliArgs = {
     val valueFlags = Set("--inference", "--focus", "--use-shapes", "-f", "--format",
-      "-e", "--ont-graph")
+      "-e", "--ont-graph", "-m", "--metashacl")
     val pos = args.toList.zipWithIndex.filterNot { case (a, i) =>
       a.startsWith("-") || (i > 0 && valueFlags.contains(args(i - 1)))
     }.map(_._1)
@@ -46,7 +56,9 @@ object ShaclCli {
     // n3 renders as turtle like the reference effectively does for reports
     if (!Set("human", "turtle", "n3", "nt", "table", "json-ld", "xml").contains(fmt))
       throw new IllegalArgumentException(s"unsupported output format '$fmt'")
-    (pos, opts, fmt, ont)
+    CliArgs(pos, opts, fmt, ont,
+      metashacl = valueOf("-m").orElse(valueOf("--metashacl")),
+      imports = args.contains("--imports"))
   }
 
   /** Report graph as N-Triples (term toString is already NT form). */
@@ -87,8 +99,8 @@ object ShaclCli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [-f human|turtle|nt|table] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>] [-e ontology.ttl]"); sys.exit(2) }
-    val (pos, opts, fmt, ontFile) = parseArgs(args)
+    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [-f human|turtle|nt|table] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>] [-e ontology.ttl] [-m shacl-shacl.ttl] [--imports]"); sys.exit(2) }
+    val CliArgs(pos, opts, fmt, ontFile, metashacl, imports) = parseArgs(args)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-shacl")
@@ -98,9 +110,18 @@ object ShaclCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val dataG = GraphLoader.parseFile(pos.head, bnodePrefix = "d") // format-sniffing loader
+      // --imports: chase local owl:imports from the data document
+      // (GraphLoader.loadWithImports; web IRIs recorded as skipped)
+      val dataG =
+        if (imports) GraphLoader.loadWithImports(pos.head).graph
+        else GraphLoader.parseFile(pos.head, bnodePrefix = "d")
       val shapesG = pos.lift(1).map(GraphLoader.parseFile(_, bnodePrefix = "s"))
       val ontG = ontFile.map(GraphLoader.parseFile(_, bnodePrefix = "o"))
+      // -m/--metashacl: the shapes graph must itself conform to
+      // shacl-shacl BEFORE validation (validator.py:344-358); failure
+      // aborts with the reference's error text (exit 2 via the catch)
+      for (shsh <- metashacl)
+        MetaShacl.check(spark, shapesG.getOrElse(dataG), shsh)
       val out = Validator.validateGraph(spark, dataG, shapesG, opts, ontGraph = ontG)
       fmt match {
         case "human" => println(out.reportText)

@@ -12,18 +12,20 @@ class ShaclCliSpec extends AnyFunSuite {
   val ex = "http://ex.org/"
 
   test("parseArgs: value flags are not positionals; sets and formats parse") {
-    val (pos, opts, fmt, ont) = ShaclCli.parseArgs(Array(
+    val a = ShaclCli.parseArgs(Array(
       "data.ttl", "shapes.ttl", "--inference", "owlrl", "--ttl",
       "--focus", s"${ex}a,${ex}b", "--use-shapes", s"${ex}S1",
-      "-e", "ontology.ttl"))
-    assert(pos == List("data.ttl", "shapes.ttl"))
-    assert(opts.inference == "owlrl")
-    assert(fmt == "turtle")
-    assert(opts.focusNodes.contains(Set(ex + "a", ex + "b")))
-    assert(opts.useShapes.contains(Set(ex + "S1")))
-    assert(ont.contains("ontology.ttl"))
-    val (pos2, _, fmt2, ont2) = ShaclCli.parseArgs(Array("d.ttl", "-f", "table"))
-    assert(pos2 == List("d.ttl") && fmt2 == "table" && ont2.isEmpty)
+      "-e", "ontology.ttl", "-m", "shsh.ttl", "--imports"))
+    assert(a.pos == List("data.ttl", "shapes.ttl"))
+    assert(a.opts.inference == "owlrl")
+    assert(a.fmt == "turtle")
+    assert(a.opts.focusNodes.contains(Set(ex + "a", ex + "b")))
+    assert(a.opts.useShapes.contains(Set(ex + "S1")))
+    assert(a.ontFile.contains("ontology.ttl"))
+    assert(a.metashacl.contains("shsh.ttl") && a.imports)
+    val b = ShaclCli.parseArgs(Array("d.ttl", "-f", "table"))
+    assert(b.pos == List("d.ttl") && b.fmt == "table" && b.ontFile.isEmpty &&
+      b.metashacl.isEmpty && !b.imports)
     intercept[IllegalArgumentException](ShaclCli.parseArgs(Array("d.ttl", "-f", "trix")))
   }
 
