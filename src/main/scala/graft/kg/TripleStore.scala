@@ -85,14 +85,45 @@ final class TripleStore(spark: SparkSession, root: String) {
   private def writtenRows(id: Long): Long =
     spark.read.parquet(dataPath).filter(col("snap") === id).count()
 
-  /** Append (s,p,o) rows as a new snapshot. */
-  def append(df: DataFrame): Long = {
+  /** Remove data directories for snapshot ids at/above the next id — the
+    * leftovers of a write that crashed before its log append (the log
+    * append is the COMMIT POINT; data files alone are invisible until
+    * logged, but a retry under the same id would otherwise double its
+    * rows via SaveMode.Append). */
+  private def cleanUncommitted(nextId: Long): Unit = {
+    val (root, fs) = hfs(dataPath)
+    if (!fs.exists(root)) return
+    for (pDir <- fs.listStatus(root).toSeq if pDir.isDirectory;
+         sDir <- fs.listStatus(pDir.getPath).toSeq if sDir.isDirectory) {
+      val name = sDir.getPath.getName
+      if (name.startsWith("snap=") &&
+          name.stripPrefix("snap=").toLongOption.exists(_ >= nextId))
+        fs.delete(sDir.getPath, true)
+    }
+  }
+
+  private def commitSnapshot(df: DataFrame, op: String): Long = {
     checkFormat(); ensureFormatMarker()
     val id = currentSnapshot().getOrElse(0L) + 1L
+    cleanUncommitted(id)
     val out = withPart(df).withColumn("snap", lit(id))
     out.write.mode(SaveMode.Append).partitionBy("p_part", "snap").parquet(dataPath)
-    appendLog(id, "append", writtenRows(id))
+    appendLog(id, op, writtenRows(id))
     id
+  }
+
+  /** Append (s,p,o) rows as a new snapshot. */
+  def append(df: DataFrame): Long = commitSnapshot(df, "append")
+
+  /** Idempotent per-micro-batch append for Structured Streaming sinks:
+    * the batch commits as ONE snapshot tagged `stream:<batchId>`; a batch
+    * id already in the log is skipped (foreachBatch re-delivers the last
+    * uncommitted batch after a restart — without the tag check every
+    * recovery would duplicate its rows). Returns the snapshot id, or None
+    * when the batch was already committed. */
+  def appendBatch(df: DataFrame, batchId: Long): Option[Long] = {
+    if (log().exists(_._2 == s"stream:$batchId")) None
+    else Some(commitSnapshot(df, s"stream:$batchId"))
   }
 
   /** Overwrite the given predicate partitions with `df` (other partitions
@@ -105,14 +136,9 @@ final class TripleStore(spark: SparkSession, root: String) {
   def overwritePartitions(df: DataFrame, preds: Seq[String]): Long =
     overwriteParts(df, preds.map(partName))
 
-  private def overwriteParts(df: DataFrame, parts: Seq[String]): Long = {
-    checkFormat(); ensureFormatMarker()
-    val id = currentSnapshot().getOrElse(0L) + 1L
-    val out = withPart(df).filter(col("p_part").isin(parts: _*)).withColumn("snap", lit(id))
-    out.write.mode(SaveMode.Append).partitionBy("p_part", "snap").parquet(dataPath)
-    appendLog(id, s"overwrite:${parts.mkString(",")}", writtenRows(id))
-    id
-  }
+  private def overwriteParts(df: DataFrame, parts: Seq[String]): Long =
+    commitSnapshot(withPart(df).filter(col("p_part").isin(parts: _*)).drop("p_part"),
+      s"overwrite:${parts.mkString(",")}")
 
   /** Live parquet file count per partition (scan-planning cost proxy). */
   def liveFileCounts(): Map[String, Int] = {
