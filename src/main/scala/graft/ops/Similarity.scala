@@ -141,9 +141,21 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .select(col(idCol), col("__vec"), col("cell"),
         cosine(col("__vec"), col("c_vec")).as("__cc"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__cc").desc, col("cell"))
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
-      .select(col(idCol), col("__vec"), col("cell"))
+    if (nprobe == 1)
+      // items-side hot path (N rows × nlist cells): max(struct) partial-
+      // aggregates map-side, so the shuffle carries N rows — a window
+      // would shuffle the full N×nlist scored product. Tie-break matches
+      // the window path (smallest cell) via the negated cell field.
+      scored.groupBy(col(idCol))
+        .agg(max(struct(col("__cc").as("cc"), (-col("cell")).as("nc"))).as("__m"),
+          first(col("__vec")).as("__vec"))
+        .select(col(idCol), col("__vec"), (-col("__m")("nc")).as("cell"))
+    else {
+      // query side: small by construction; top-nprobe needs a ranking
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__cc").desc, col("cell"))
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
+        .select(col(idCol), col("__vec"), col("cell"))
+    }
   }
 
   /** IVF ANN top-k — the second scale path next to [[lshTopK]]: items land
