@@ -96,5 +96,11 @@ class ScaleValidationSpec extends AnyFunSuite {
     val atScale = Validator.validateFrameAtScale(spark, df, g)
     assert(collected.conforms == atScale.conforms)
     assert(atScale.totalViolations == collected.results.size)
+    // once the caller is done with the violations frame, release() frees
+    // the engine's checkpoint blocks (same contract as validateFrame's
+    // automatic close)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    atScale.release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
 }
