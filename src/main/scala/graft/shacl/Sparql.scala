@@ -832,6 +832,7 @@ object Sparql {
       while (pos < s.length && (s.charAt(pos).isDigit || s.charAt(pos) == '.' ||
         s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) pos += 1
       val lex = s.substring(st, pos)
+      if (!lex.exists(_.isDigit)) fail("malformed numeric literal")
       if (lex.toLowerCase.contains('e')) Lit(lex, XSD.double)
       else if (lex.contains('.')) Lit(lex, XSD.decimal)
       else Lit(lex, XSD.integer)
@@ -840,7 +841,9 @@ object Sparql {
       ws()
       val st = pos
       while (pos < s.length && s.charAt(pos).isDigit) pos += 1
-      s.substring(st, pos).toInt
+      // loud ParseError for a missing/oversized count (LIMIT/OFFSET), not
+      // a bare NumberFormatException from "".toInt
+      s.substring(st, pos).toIntOption.getOrElse(fail("expected integer"))
     }
     private def fail(msg: String): Nothing = {
       val ctx = s.substring(math.max(0, pos - 20), math.min(s.length, pos + 20))
