@@ -194,8 +194,12 @@ object KgPipeline {
         col("p"), iriOrLit(col("o")).as("o"))
       val shapes = TurtleParser.parseGraph(shapesTtl, "http://graft.dev/shapes")
       // at-scale path: conformance from a distributed count aggregation,
-      // no driver collect of violations
-      Validator.validateFrameAtScale(spark, tdf, shapes, ValidationOptions()).conforms
+      // no driver collect of violations; release the engine's checkpoint
+      // blocks once the verdict is read
+      val out = Validator.validateFrameAtScale(spark, tdf, shapes, ValidationOptions())
+      val c = out.conforms
+      out.release()
+      c
     }
 
     Counts(
