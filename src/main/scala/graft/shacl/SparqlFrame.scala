@@ -293,14 +293,20 @@ final class SparqlFrame(
           cur.vars, cur.maybeNull)
       }
     case SqGraphPat(TVar(x), g) if quads.isDefined && bgpOnly(g) =>
-      // BGP-only block: ONE pass over the named-graphs slice of the quads
-      // frame with ?g bound from the g column — per-graph scoping falls out
-      // of the shared-variable join (every pattern binds the same ?g). No
-      // driver loop, no per-graph plan branch: a catalog of millions of
-      // per-document graphs compiles to the same fixed-size plan.
+      // BGP(+row-local FILTER) block: ONE pass over the named-graphs slice
+      // of the quads frame with ?g bound from the g column — per-graph
+      // scoping falls out of the shared-variable join (every pattern binds
+      // the same ?g). Filters apply after the block's patterns join (SPARQL
+      // scopes filters to the whole group, so this is if anything more
+      // faithful than positional application). No driver loop, no
+      // per-graph plan branch: a catalog of millions of per-document
+      // graphs compiles to the same fixed-size plan.
       val base = quads.get.filter(col("g") =!= "")
-      g.elems.foldLeft(cur) { (acc, e) =>
-        joinSols(acc, quadPattern(e.asInstanceOf[SqTriple], x, base))
+      val pats = g.elems.collect { case t: SqTriple => t }
+      val sol0 = pats.foldLeft(cur)((acc, t) => joinSols(acc, quadPattern(t, x, base)))
+      g.elems.foldLeft(sol0) {
+        case (acc, SqFilter(e)) => acc.copy(df = acc.df.filter(compileB(e, acc) === true))
+        case (acc, _) => acc
       }
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
       // non-BGP block (paths, filters, nested groups need per-graph
@@ -425,14 +431,27 @@ final class SparqlFrame(
   }
 
   // ---------------------------------------------------------- BGP joins
-  /** Is the group a plain BGP (triple patterns with non-path predicates
-    * only)? Those can evaluate against the quads frame in one join. */
+  private def hasExists(e: SqExpr): Boolean = e match {
+    case _: EExists => true
+    case EBin(_, l, r) => hasExists(l) || hasExists(r)
+    case ENot(x) => hasExists(x)
+    case ENeg(x) => hasExists(x)
+    case ECall(_, as) => as.exists(hasExists)
+    case EFnIri(_, as) => as.exists(hasExists)
+    case _ => false
+  }
+
+  /** Is the group a plain BGP (triple patterns with non-path predicates)
+    * plus row-local filters (no EXISTS — those re-enter group evaluation
+    * and need per-graph scoping)? Those evaluate against the quads frame
+    * in one join. */
   private def bgpOnly(g: SqGroup): Boolean =
-    g.elems.nonEmpty && g.elems.forall {
+    g.elems.exists(_.isInstanceOf[SqTriple]) && g.elems.forall {
       case t: SqTriple => t.p match {
         case PredIri(_) | PredVar(_) => true
         case _ => false
       }
+      case SqFilter(e) => !hasExists(e) && !hasFullFn(e)
       case _ => false
     }
 

@@ -344,6 +344,10 @@ class SparqlFrameSpec extends AnyFunSuite {
     val rows = frame.collect(res, Seq("g", "s"))
     // ex:b has name in g2 but tag in g3 — must NOT match across graphs
     assert(rows == Seq(Map("g" -> Iri(ex + "g1"), "s" -> Iri(ex + "a"))))
+    // row-local filters ride the fast path too (whole-group scope)
+    val filtered = sel(
+      "SELECT ?g ?s WHERE { GRAPH ?g { FILTER(STRLEN(?n) = 1) ?s ex:name ?n . } }")
+    assert(frame.collect(filtered, Seq("g")).size == 2) // "A" in g1, "B" in g2
 
     // scale shape: 10k named graphs must not produce a 10k-branch union
     val many = QuadsDF.fromQuads(spark, (1 to 10000).map(i =>
