@@ -21,14 +21,16 @@ object ShaclCli {
       * asset in; zero-egress here means the caller points at a copy). */
     metashacl: Option[String],
     /** --imports: chase local owl:imports while loading the data graph. */
-    imports: Boolean)
+    imports: Boolean,
+    /** -o/--output: write the report to a file instead of stdout. */
+    output: Option[String] = None)
 
   /** Parse CLI args. Split out so the flag surface is testable without
     * exiting a JVM. Formats mirror pySHACL's -f (cli.py:185-187): human
     * (default) / turtle / nt / table; --ttl is shorthand for -f turtle. */
   def parseArgs(args: Array[String]): CliArgs = {
     val valueFlags = Set("--inference", "--focus", "--use-shapes", "-f", "--format",
-      "-e", "--ont-graph", "-m", "--metashacl")
+      "-e", "--ont-graph", "-m", "--metashacl", "-o", "--output")
     val pos = args.toList.zipWithIndex.filterNot { case (a, i) =>
       a.startsWith("-") || (i > 0 && valueFlags.contains(args(i - 1)))
     }.map(_._1)
@@ -58,7 +60,8 @@ object ShaclCli {
       throw new IllegalArgumentException(s"unsupported output format '$fmt'")
     CliArgs(pos, opts, fmt, ont,
       metashacl = valueOf("-m").orElse(valueOf("--metashacl")),
-      imports = args.contains("--imports"))
+      imports = args.contains("--imports"),
+      output = valueOf("-o").orElse(valueOf("--output")))
   }
 
   /** Report graph as N-Triples (term toString is already NT form). */
@@ -99,8 +102,8 @@ object ShaclCli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [-f human|turtle|nt|table] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>] [-e ontology.ttl] [-m shacl-shacl.ttl] [--imports]"); sys.exit(2) }
-    val CliArgs(pos, opts, fmt, ontFile, metashacl, imports) = parseArgs(args)
+    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [-f human|turtle|nt|table] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>] [-e ontology.ttl] [-m shacl-shacl.ttl] [--imports] [-o report.out]"); sys.exit(2) }
+    val CliArgs(pos, opts, fmt, ontFile, metashacl, imports, output) = parseArgs(args)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-shacl")
@@ -123,16 +126,22 @@ object ShaclCli {
       for (shsh <- metashacl)
         MetaShacl.check(spark, shapesG.getOrElse(dataG), shsh)
       val out = Validator.validateGraph(spark, dataG, shapesG, opts, ontGraph = ontG)
-      fmt match {
-        case "human" => println(out.reportText)
+      val rendered = fmt match {
+        case "human" => out.reportText
         // pySHACL -f turtle emits ONLY the serialized report graph (pipeable
         // into a Turtle parser), same as the nt/json-ld/xml branches
-        case "turtle" => println(TurtleWriter.write(out.reportGraph))
-        case "n3" => println(TurtleWriter.write(out.reportGraph))
-        case "nt" => println(ntriples(out.reportGraph))
-        case "json-ld" => println(JsonLdWriter.write(out.reportGraph))
-        case "xml" => println(RdfXmlWriter.write(out.reportGraph))
-        case "table" => println(table(out))
+        case "turtle" | "n3" => TurtleWriter.write(out.reportGraph)
+        case "nt" => ntriples(out.reportGraph)
+        case "json-ld" => JsonLdWriter.write(out.reportGraph)
+        case "xml" => RdfXmlWriter.write(out.reportGraph)
+        case "table" => table(out)
+      }
+      // pySHACL -o/--output (cli.py:189-196): report to a file, stdout
+      // otherwise
+      output match {
+        case Some(f) => java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          rendered.getBytes("UTF-8")); ()
+        case None => println(rendered)
       }
       spark.stop()
       sys.exit(if (out.conforms) 0 else 1)

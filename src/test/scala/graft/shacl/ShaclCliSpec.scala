@@ -15,7 +15,7 @@ class ShaclCliSpec extends AnyFunSuite {
     val a = ShaclCli.parseArgs(Array(
       "data.ttl", "shapes.ttl", "--inference", "owlrl", "--ttl",
       "--focus", s"${ex}a,${ex}b", "--use-shapes", s"${ex}S1",
-      "-e", "ontology.ttl", "-m", "shsh.ttl", "--imports"))
+      "-e", "ontology.ttl", "-m", "shsh.ttl", "--imports", "-o", "rep.txt"))
     assert(a.pos == List("data.ttl", "shapes.ttl"))
     assert(a.opts.inference == "owlrl")
     assert(a.fmt == "turtle")
@@ -23,6 +23,7 @@ class ShaclCliSpec extends AnyFunSuite {
     assert(a.opts.useShapes.contains(Set(ex + "S1")))
     assert(a.ontFile.contains("ontology.ttl"))
     assert(a.metashacl.contains("shsh.ttl") && a.imports)
+    assert(a.output.contains("rep.txt"))
     val b = ShaclCli.parseArgs(Array("d.ttl", "-f", "table"))
     assert(b.pos == List("d.ttl") && b.fmt == "table" && b.ontFile.isEmpty &&
       b.metashacl.isEmpty && !b.imports)
