@@ -127,6 +127,18 @@ object Multimodal {
     private def tagAt(b: Array[Byte], i: Int, t: String) =
       b.length >= i + 4 && t.getBytes("US-ASCII").zipWithIndex.forall { case (c, j) => b(i + j) == c }
 
+    /** Validated RIFF chunk size at offset i: a corrupt 32-bit size field
+      * must raise, not wedge the walk (a size like 0xFFFFFFF8 as a
+      * truncated Int made `i += 8 + size` advance by zero or backwards —
+      * an executor-side infinite loop on adversarial bytes). */
+    private def chunkSize(b: Array[Byte], i: Int, ref: String): Int = {
+      val size = u32(b, i + 4)
+      if (size > b.length - i - 8)
+        throw new IllegalArgumentException(
+          s"malformed RIFF chunk in $ref: size $size exceeds remaining ${b.length - i - 8} bytes")
+      size.toInt
+    }
+
     /** 8-bin normalized byte histogram over b[from, b.length). */
     private def histogram(b: Array[Byte], from: Int): Array[Float] = {
       val bins = new Array[Int](8)
@@ -149,7 +161,7 @@ object Multimodal {
         var rate = 0; var channels = 0; var blockAlign = 1
         var frames = 0; var dataOff = b.length
         while (i + 8 <= b.length) {
-          val size = u32(b, i + 4).toInt
+          val size = chunkSize(b, i, r.media_ref)
           if (tagAt(b, i, "fmt ") && i + 8 + 16 <= b.length) {
             channels = u16(b, i + 10); rate = u32(b, i + 12).toInt
             blockAlign = math.max(1, u16(b, i + 20))
@@ -164,7 +176,7 @@ object Multimodal {
         var i = 12
         var w = 0; var h = 0; var frames = 0; var moviOff = b.length
         while (i + 8 <= b.length) {
-          val size = u32(b, i + 4).toInt
+          val size = chunkSize(b, i, r.media_ref)
           if (tagAt(b, i, "LIST") && tagAt(b, i + 8, "hdrl") &&
               tagAt(b, i + 12, "avih")) {
             val a = i + 20 // avih data

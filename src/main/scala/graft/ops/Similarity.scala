@@ -182,6 +182,17 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Cell-occupancy diagnostics under the IVF quantizer: (cell, n) for the
+    * single-nearest-cell assignment — a query at nprobe probes scores at
+    * most nprobe × max(n) candidates, so max(n) is the real bound to
+    * assert (the top-k OUTPUT is rank-capped and proves nothing). */
+  def ivfCellSizes(items: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int = 64, lloydIters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(items, idCol, vecCol, nlist, lloydIters)
+    assignCells(items, cents, idCol, vecCol, nprobe = 1)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+  }
+
   /** Bucket-occupancy diagnostics for an items frame under the banded
     * signature scheme: (tbl, sig, n) — assert max(n) stays bounded. */
   def lshBucketSizes(items: DataFrame, idCol: String, vecCol: String,

@@ -236,21 +236,11 @@ final class ValidationEngine(
     case PZeroOrOne(inner) => frontier.unionByName(step(frontier, inner)).distinct()
     case PZeroOrMore(inner) => kleene(frontier, inner)
     case POneOrMore(inner) => kleene(step(frontier, inner).distinct(), inner)
-    case PNegSet(fwd, inv) =>
-      // one step over every triple whose predicate is NOT excluded:
-      // forward edges for the non-^ members, inverse edges for ^ members
-      // (SPARQL 1.1 §9.1). The exclusion list is a plan-time literal set —
-      // the scan filter still pushes down.
-      def notIn(ex: List[String]) =
-        if (ex.isEmpty) T else T.filter(!$"p".isin(ex: _*))
-      val legs = fwd.map { ex =>
-        val t = notIn(ex).select($"s".as("_s"), $"o".as("_o"))
-        frontier.join(t, frontier("v") === t("_s")).select(frontier("f"), t("_o").as("v"))
-      }.toSeq ++ inv.map { ex =>
-        val t = notIn(ex).select($"s".as("_s"), $"o".as("_o"))
-        frontier.join(t, frontier("v") === t("_o")).select(frontier("f"), t("_s").as("v"))
-      }.toSeq
-      if (legs.isEmpty) frontier.limit(0) else legs.reduce(_ unionByName _).distinct()
+    case p: PNegSet =>
+      // negated property set (SPARQL 1.1 §9.1): one shared implementation
+      // with the standalone stepper — the frontier/triples frame shapes
+      // are identical, and split copies of the same semantics drift
+      PathEval.step(T, frontier, p)
   }
 
   /** Reflexive-transitive closure from `seed`: iterative frontier joins with

@@ -153,6 +153,13 @@ object OwlRlInference {
     * distributed (ConnectedComponents) instead of a driver BFS. */
   val DriverSameAsLimit = 100000
 
+  /** Unpersist the checkpoint RDD backing a superseded frame (no-op for
+    * non-checkpoint frames). */
+  private def freeCp(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
+
   def expand(spark: SparkSession, df0: DataFrame): DataFrame = {
     import spark.implicits._
     // schema harvest (small): inverseOf / equivalentClass / equivalentProperty
@@ -396,7 +403,12 @@ object OwlRlInference {
           val fresh = derived.reduce(_ unionByName _).distinct()
             .join(out, Seq("s", "p", "o"), "left_anti").localCheckpoint()
           val n = fresh.count()
-          if (n > 0) out = out.unionByName(fresh).distinct().localCheckpoint()
+          if (n > 0) {
+            val superseded = out
+            out = out.unionByName(fresh).distinct().localCheckpoint()
+            freeCp(superseded) // new checkpoint materialized; old blocks dead
+          }
+          freeCp(fresh)
           grew = n > 0
         }
       }
@@ -470,7 +482,8 @@ object OwlRlInference {
     classifyFixpoint()
     eqRep()
     if (hasRules) {
-      out = out.localCheckpoint()
+      var cp = out.localCheckpoint()
+      out = cp
       var prev = -1L
       var cur = out.count()
       var outer = 0
@@ -479,7 +492,12 @@ object OwlRlInference {
         prev = cur
         classifyFixpoint()
         eqRep()
-        out = out.localCheckpoint()
+        val superseded = cp
+        cp = out.localCheckpoint()
+        out = cp
+        // each outer round pinned a full graph copy until JVM exit
+        // otherwise (review finding, round 4)
+        freeCp(superseded)
         cur = out.count()
       }
     }

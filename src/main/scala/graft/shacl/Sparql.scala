@@ -175,11 +175,16 @@ object Sparql {
         if (i + 2 < s.length && s.charAt(i + 1) == c && s.charAt(i + 2) == c) {
           quote = c; triple = true; sb.append(c).append(c).append(c); i += 3
         } else { quote = c; triple = false; sb.append(c); i += 1 }
-      } else if (c == '<' && i + 1 < s.length && !s.charAt(i + 1).isWhitespace &&
-                 s.charAt(i + 1) != '=') {
-        // '<' only opens an IRIREF when immediately followed by IRI content
-        // (IRIREF cannot contain spaces); `FILTER(?x < 5) # note` keeps its
-        // comment stripped instead of treating "< 5) # note" as IRI text
+      } else if (c == '<' && {
+        // '<' only opens an IRIREF when a '>' follows with no intervening
+        // whitespace (IRIREF cannot contain spaces) — same lookahead the
+        // parser's looksLikeIri uses. Both `FILTER(?x < 5) # note` and the
+        // unspaced `FILTER(?x<5) # note` keep their comments stripped
+        // instead of treating the tail as IRI text.
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != '>' && !s.charAt(j).isWhitespace) j += 1
+        j < s.length && s.charAt(j) == '>'
+      }) {
         inIri = true; sb.append(c); i += 1
       }
       else if (c == '>') { inIri = false; sb.append(c); i += 1 }

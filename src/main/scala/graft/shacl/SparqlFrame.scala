@@ -114,23 +114,36 @@ final class SparqlFrame(
       (name, asc)
     }
     df = df.select((all ++ ordCols.map(_._1)).map(col): _*)
-    if (q.distinct) df = df.dropDuplicates(all)
-    if (ordCols.nonEmpty) {
-      // SPARQL order: by kind (bnode < IRI < literal), then BY VALUE for
-      // numeric literals (rdflib orders 2 < 10, not "10" < "2") and for
-      // temporal literals (timezone-normalized instant), then lexically —
-      // the family flags keep mixed columns deterministic; an unbound key
-      // (null struct) sorts lowest ascending, matching rdflib
-      val keys = ordCols.flatMap { case (name, asc) =>
-        val c = col(name)
-        val n = num(c)
-        val ts = when(c("dt").isin(XSD.dateTime, XSD.dateTimeStamp, XSD.date),
-          try_to_timestamp(c("v"))).otherwise(lit(null).cast(TimestampType))
-        val ks = Seq(c("k"), n.isNull, n, ts.isNull, ts, c("v"))
-        if (asc) ks.map(_.asc) else ks.map(_.desc)
-      }
-      df = df.orderBy(keys: _*)
+    // SPARQL order: by kind (bnode < IRI < literal), then BY VALUE for
+    // numeric literals (rdflib orders 2 < 10, not "10" < "2") and for
+    // temporal literals (timezone-normalized instant), then lexically —
+    // the family flags keep mixed columns deterministic; an unbound key
+    // (null struct) sorts lowest ascending, matching rdflib
+    val keys = ordCols.flatMap { case (name, asc) =>
+      val c = col(name)
+      val n = num(c)
+      val ts = when(c("dt").isin(XSD.dateTime, XSD.dateTimeStamp, XSD.date),
+        try_to_timestamp(c("v"))).otherwise(lit(null).cast(TimestampType))
+      val ks = Seq(c("k"), n.isNull, n, ts.isNull, ts, c("v"))
+      if (asc) ks.map(_.asc) else ks.map(_.desc)
     }
+    if (q.distinct) {
+      if (keys.isEmpty) df = df.dropDuplicates(all)
+      else {
+        // SPARQL algebra applies OrderBy BEFORE Distinct: the surviving
+        // representative of a duplicate group is its FIRST row in sort
+        // order (rdflib keeps first occurrence of the sorted sequence).
+        // A dropDuplicates here would pick an arbitrary row, making the
+        // hidden sort key — and with LIMIT, the result set —
+        // nondeterministic. The window partitions by the projected row,
+        // so this scales like any keyed aggregation.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(all.map(col): _*).orderBy(keys: _*)
+        df = df.withColumn("__ord_rnk", row_number().over(w))
+          .filter(col("__ord_rnk") === 1).drop("__ord_rnk")
+      }
+    }
+    if (keys.nonEmpty) df = df.orderBy(keys: _*)
     q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
     if (ordCols.nonEmpty) df = df.select(all.map(col): _*)

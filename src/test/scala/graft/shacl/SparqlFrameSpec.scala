@@ -196,6 +196,28 @@ class SparqlFrameSpec extends AnyFunSuite {
     val rows = runOn(peopleData,
       "SELECT ?s WHERE { ?s ex:age ?a . FILTER(?a < 20) # keep the kids\n } ORDER BY ?s")
     assert(rows.map(_("s")) == Seq(Iri(ex + "p2"), Iri(ex + "p3")))
+    // the unspaced form too: '<' followed by a digit is a comparison, not
+    // an IRI opener (no '>' before whitespace)
+    val tight = runOn(peopleData,
+      "SELECT ?s WHERE { ?s ex:age ?a . FILTER(?a<20) # kids\n } ORDER BY ?s")
+    assert(tight.map(_("s")) == Seq(Iri(ex + "p2"), Iri(ex + "p3")))
+  }
+
+  test("DISTINCT keeps the FIRST row in sort order (deterministic representative)") {
+    // solution sequence sorted by ?age: (Ann,5) (Bo,7) (Ann,40); DISTINCT
+    // keeps first occurrences -> Ann, Bo; LIMIT 1 must deterministically
+    // return Ann (an arbitrary dropDuplicates could pick Ann@40 and let
+    // Bo win)
+    val dup =
+      s"""@prefix ex: <$ex> .
+         |ex:p1 ex:name "Ann" ; ex:age 5 , 40 .
+         |ex:p2 ex:name "Bo" ; ex:age 7 .
+         |""".stripMargin
+    val q = """SELECT DISTINCT ?name WHERE { ?s ex:name ?name ; ex:age ?age . }
+              |ORDER BY ?age LIMIT 1""".stripMargin
+    (1 to 3).foreach { _ =>
+      assert(runOn(dup, q).map(_("name")) == Seq(Lit("Ann")))
+    }
   }
 
   // ----------------------------------------------------- builtin functions
