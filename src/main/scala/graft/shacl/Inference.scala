@@ -140,10 +140,10 @@ object RdfsInference {
   * fixpoint (they feed each other), and {classify -> sameAs-replicate}
   * iterates to an OUTER fixpoint so replicated triples re-fire chains and
   * classification. Restriction and chain schema is collected driver-side
-  * (schema-scale); instance work is joins. Residual gap (documented):
-  * inconsistency DETECTION (cls-maxc1 cardinality 0, owl:differentFrom
-  * clashes, datatype clashes) — the reference surfaces those as owlrl
-  * inconsistency errors; this engine materializes triples only.
+  * (schema-scale); instance work is joins. The "false" rules that cannot
+  * materialize as triples surface through [[inconsistencies]] as a
+  * distributed diagnostics frame (the reference's owlrl library raises on
+  * them); the only remaining divergence is datatype-clash detection.
   */
 object OwlRlInference {
   private val owlNs = "http://www.w3.org/2002/07/owl#"
@@ -504,5 +504,106 @@ object OwlRlInference {
     // RDFS closure over the enriched graph (covers rdfs2/3/5/7/9/11 with
     // the equivalence-derived schema in place)
     RdfsInference.expand(spark, out)
+  }
+
+  /** OWL-RL INCONSISTENCY detection over a (closed) triples frame — the
+    * "false" rules the materialization path cannot express as new triples
+    * (the reference's owlrl library raises on these; here they return as a
+    * distributed diagnostics frame (rule, node, detail) so a 100 TB KG can
+    * route them to a quality report instead of aborting):
+    *
+    *   eq-diff1     x sameAs y  ∧  x differentFrom y
+    *   cls-nothing2 x rdf:type owl:Nothing
+    *   cls-maxc1    R maxCardinality 0 on p ∧ x type R ∧ (x p y)
+    *   prp-irp      p a IrreflexiveProperty ∧ (x p x)
+    *   prp-asyp     p a AsymmetricProperty ∧ (x p y) ∧ (y p x)
+    *   prp-pdw      p1 propertyDisjointWith p2 ∧ (x p1 y) ∧ (x p2 y)
+    *   cax-dw       c1 disjointWith c2 ∧ x type c1 ∧ x type c2
+    *
+    * Schema (property/class declarations) is collected driver-side like the
+    * rest of the closure; instance work stays joins. Run AFTER expand() so
+    * sameAs replication and classification have materialized. */
+  def inconsistencies(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    def nodeK(c: org.apache.spark.sql.Column) = termKey(c)
+
+    val schema = TriplesDF.collectTriples(df.filter(
+      $"p".isin(O("propertyDisjointWith"), O("disjointWith"), O("onProperty"),
+        O("maxCardinality"), O("cardinality")) ||
+        ($"p" === RDF.ty.value && $"o"("k") === 0 &&
+          $"o"("v").isin(O("IrreflexiveProperty"), O("AsymmetricProperty")))))
+    val onProp: Map[Node, String] = schema.collect {
+      case Triple(s, p, Iri(o)) if p.value == O("onProperty") => s -> o }.toMap
+    val maxC0: Seq[Node] = schema.collect {
+      case Triple(s, p, o: Lit) if (p.value == O("maxCardinality") ||
+        p.value == O("cardinality")) && o.lex.trim.toIntOption.contains(0) => s }
+    val irrefl = schema.collect {
+      case Triple(Iri(pv), p, Iri(t)) if p == RDF.ty && t == O("IrreflexiveProperty") => pv }
+    val asym = schema.collect {
+      case Triple(Iri(pv), p, Iri(t)) if p == RDF.ty && t == O("AsymmetricProperty") => pv }
+    val pdw = schema.collect {
+      case Triple(Iri(a), p, Iri(b)) if p.value == O("propertyDisjointWith") => (a, b) }
+    val cdw = schema.collect {
+      case Triple(a, p, b) if p.value == O("disjointWith") => (a, b) }
+
+    val legs = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def leg(rule: String, d: DataFrame, node: org.apache.spark.sql.Column,
+            detail: org.apache.spark.sql.Column): Unit =
+      legs += d.select(lit(rule).as("rule"), node.as("node"), detail.as("detail"))
+
+    // eq-diff1
+    val sameAs = df.filter($"p" === O("sameAs"))
+      .select(nodeK($"s").as("_x"), nodeK($"o").as("_y"))
+    val diff = df.filter($"p" === O("differentFrom"))
+      .select(nodeK($"s").as("_x"), nodeK($"o").as("_y"))
+    leg("eq-diff1", sameAs.join(diff, Seq("_x", "_y")),
+      col("_x"), concat(lit("sameAs+differentFrom "), col("_y")))
+    // cls-nothing2
+    leg("cls-nothing2",
+      df.filter($"p" === RDF.ty.value && $"o"("k") === 0 && $"o"("v") === O("Nothing")),
+      nodeK($"s"), lit("typed owl:Nothing"))
+    // cls-maxc1
+    for (r <- maxC0; p <- onProp.get(r)) {
+      val typed = df.filter($"p" === RDF.ty.value && termKey($"o") === r.key)
+        .select(nodeK($"s").as("_tk"))
+      leg("cls-maxc1",
+        df.filter($"p" === p).join(typed, nodeK($"s") === $"_tk", "left_semi"),
+        nodeK($"s"), concat(lit(s"cardinality-0 property <$p> has value "), nodeK($"o")))
+    }
+    // prp-irp
+    if (irrefl.nonEmpty)
+      leg("prp-irp",
+        df.filter($"p".isin(irrefl: _*) && nodeK($"s") === nodeK($"o")),
+        nodeK($"s"), concat(lit("irreflexive <"), $"p", lit("> self-edge")))
+    // prp-asyp
+    for (p <- asym) {
+      val e = df.filter($"p" === p).select(nodeK($"s").as("_x"), nodeK($"o").as("_y"))
+      val rev = e.select($"_y".as("_x"), $"_x".as("_y"))
+      leg("prp-asyp", e.join(rev, Seq("_x", "_y")),
+        col("_x"), concat(lit(s"asymmetric <$p> both directions with "), col("_y")))
+    }
+    // prp-pdw
+    for ((p1, p2) <- pdw) {
+      val a = df.filter($"p" === p1).select(nodeK($"s").as("_x"), nodeK($"o").as("_y"))
+      val b = df.filter($"p" === p2).select(nodeK($"s").as("_x"), nodeK($"o").as("_y"))
+      leg("prp-pdw", a.join(b, Seq("_x", "_y")),
+        col("_x"), lit(s"disjoint properties <$p1>/<$p2> share a value"))
+    }
+    // cax-dw
+    for ((c1, c2) <- cdw) {
+      val a = df.filter($"p" === RDF.ty.value && termKey($"o") === c1.key)
+        .select(nodeK($"s").as("_x"))
+      val b = df.filter($"p" === RDF.ty.value && termKey($"o") === c2.key)
+        .select(nodeK($"s").as("_x"))
+      leg("cax-dw", a.join(b, Seq("_x")),
+        col("_x"), lit(s"member of disjoint classes ${c1.key} and ${c2.key}"))
+    }
+    legs.reduceOption(_ unionByName _)
+      .map(_.distinct())
+      .getOrElse(spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rule", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("detail", org.apache.spark.sql.types.StringType)))))
   }
 }

@@ -103,6 +103,41 @@ class OwlRlSpec extends AnyFunSuite {
 
   private val owlNs = "http://www.w3.org/2002/07/owl#"
 
+  test("inconsistency detection: every 'false' rule fires distributed") {
+    val g = TurtleParser.parseGraph(prefixes +
+      """ex:a owl:sameAs ex:b ; owl:differentFrom ex:b .
+        |ex:nil a owl:Nothing .
+        |ex:Empty a owl:Class ; owl:onProperty ex:child ; owl:maxCardinality 0 .
+        |ex:x a ex:Empty ; ex:child ex:y .
+        |ex:near a owl:IrreflexiveProperty .
+        |ex:p ex:near ex:p .
+        |ex:beats a owl:AsymmetricProperty .
+        |ex:r ex:beats ex:s . ex:s ex:beats ex:r .
+        |ex:likes owl:propertyDisjointWith ex:hates .
+        |ex:m ex:likes ex:n . ex:m ex:hates ex:n .
+        |ex:Cat owl:disjointWith ex:Dog .
+        |ex:rex a ex:Cat , ex:Dog .
+        |ex:fine a ex:Cat . ex:ok ex:likes ex:n .
+        |""".stripMargin, "http://test/")
+    val df = TriplesDF.fromMemGraph(spark, g)
+    val found = OwlRlInference.inconsistencies(spark, df)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(found.contains(("eq-diff1", "<http://ex.org/a>")))
+    assert(found.contains(("cls-nothing2", "<http://ex.org/nil>")))
+    assert(found.contains(("cls-maxc1", "<http://ex.org/x>")))
+    assert(found.contains(("prp-irp", "<http://ex.org/p>")))
+    assert(found.contains(("prp-asyp", "<http://ex.org/r>")))
+    assert(found.contains(("prp-pdw", "<http://ex.org/m>")))
+    assert(found.contains(("cax-dw", "<http://ex.org/rex>")))
+    // innocents are not flagged
+    assert(!found.exists(_._2 == "<http://ex.org/fine>"))
+    assert(!found.exists(_._2 == "<http://ex.org/ok>"))
+    // a clean graph yields an empty frame
+    val clean = TurtleParser.parseGraph(prefixes + "ex:a ex:p ex:b .", "http://test/")
+    assert(OwlRlInference.inconsistencies(spark,
+      TriplesDF.fromMemGraph(spark, clean)).count() == 0)
+  }
+
   test("malformed cyclic rdf:rest chain terminates instead of hanging") {
     val g = expandTtl(prefixes +
       """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
