@@ -143,7 +143,7 @@ object RdfsInference {
   * (schema-scale); instance work is joins. The "false" rules that cannot
   * materialize as triples surface through [[inconsistencies]] as a
   * distributed diagnostics frame (the reference's owlrl library raises on
-  * them); the only remaining divergence is datatype-clash detection.
+  * them, including ill-typed literals via dt-not-type).
   */
 object OwlRlInference {
   private val owlNs = "http://www.w3.org/2002/07/owl#"
@@ -519,6 +519,7 @@ object OwlRlInference {
     *   prp-asyp     p a AsymmetricProperty ∧ (x p y) ∧ (y p x)
     *   prp-pdw      p1 propertyDisjointWith p2 ∧ (x p1 y) ∧ (x p2 y)
     *   cax-dw       c1 disjointWith c2 ∧ x type c1 ∧ x type c2
+    *   dt-not-type  ill-formed lexical form for a known XSD datatype
     *
     * Schema (property/class declarations) is collected driver-side like the
     * rest of the closure; instance work stays joins. Run AFTER expand() so
@@ -589,6 +590,16 @@ object OwlRlInference {
       leg("prp-pdw", a.join(b, Seq("_x", "_y")),
         col("_x"), lit(s"disjoint properties <$p1>/<$p2> share a value"))
     }
+    // dt-not-type: an ill-formed lexical form for its declared datatype
+    // (owlrl's datatype checking; the rdf_well_typed kernel already backs
+    // sh:datatype). Unknown datatypes are not flagged — only lexical
+    // violations of the XSD types the kernel understands.
+    Kernels.ensure(spark)
+    leg("dt-not-type",
+      df.filter($"o"("k") === 2 && $"o"("dt") =!= "" &&
+        !call_function("rdf_well_typed", $"o"("v"), $"o"("dt"))),
+      nodeK($"s"),
+      concat(lit("ill-typed literal \""), $"o"("v"), lit("\"^^"), $"o"("dt")))
     // cax-dw
     for ((c1, c2) <- cdw) {
       val a = df.filter($"p" === RDF.ty.value && termKey($"o") === c1.key)

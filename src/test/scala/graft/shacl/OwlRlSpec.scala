@@ -118,6 +118,9 @@ class OwlRlSpec extends AnyFunSuite {
         |ex:Cat owl:disjointWith ex:Dog .
         |ex:rex a ex:Cat , ex:Dog .
         |ex:fine a ex:Cat . ex:ok ex:likes ex:n .
+        |ex:bad ex:age "notanum"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |ex:good ex:age "31"^^<http://www.w3.org/2001/XMLSchema#integer> ;
+        |  ex:tag "x"^^<http://ex.org/customDt> .
         |""".stripMargin, "http://test/")
     val df = TriplesDF.fromMemGraph(spark, g)
     val found = OwlRlInference.inconsistencies(spark, df)
@@ -129,9 +132,11 @@ class OwlRlSpec extends AnyFunSuite {
     assert(found.contains(("prp-asyp", "<http://ex.org/r>")))
     assert(found.contains(("prp-pdw", "<http://ex.org/m>")))
     assert(found.contains(("cax-dw", "<http://ex.org/rex>")))
-    // innocents are not flagged
+    assert(found.contains(("dt-not-type", "<http://ex.org/bad>")))
+    // innocents are not flagged (incl. well-typed and unknown datatypes)
     assert(!found.exists(_._2 == "<http://ex.org/fine>"))
     assert(!found.exists(_._2 == "<http://ex.org/ok>"))
+    assert(!found.exists(_._2 == "<http://ex.org/good>"))
     // a clean graph yields an empty frame
     val clean = TurtleParser.parseGraph(prefixes + "ex:a ex:p ex:b .", "http://test/")
     assert(OwlRlInference.inconsistencies(spark,
