@@ -41,18 +41,33 @@ final class TripleStore(spark: SparkSession, root: String) {
     if (!fs.exists(p)) fs.create(p, true).close()
   }
 
-  /** Refuse to touch a store written under a different partition-name
-    * format (no marker, or a marker from another version). */
+  /** Refuse to touch a store whose partition names disagree with the
+    * current scheme. A missing marker does NOT necessarily mean an old
+    * scheme (stores written by v2 code just before the marker landed are
+    * fine) — so first VERIFY: scan the store's actual (p_part, p) pairs
+    * against partName(p); if every pair agrees, adopt the store by writing
+    * the marker; only a real disagreement fails, and the error names the
+    * offending predicates. The scan is catalog-scale (distinct predicates,
+    * a bounded vocabulary). */
   private def checkFormat(): Unit = {
     if (!snapLogExists()) return // empty/new store: nothing to disagree with
     val (p, fs) = hfs(formatMarker)
-    if (!fs.exists(p))
+    if (fs.exists(p)) return
+    val (d, dfs) = hfs(dataPath)
+    if (!dfs.exists(d)) { ensureFormatMarker(); return } // log but no data yet
+    val mismatched = spark.read.parquet(dataPath)
+      .select($"p_part", $"p").distinct()
+      .as[(String, String)].collect()
+      .collect { case (pp, pred) if pp != partName(pred) => s"$pred (stored $pp)" }
+    if (mismatched.nonEmpty)
       throw new IllegalStateException(
-        s"TripleStore at $root has snapshots but no _format_v${TripleStore.FormatVersion} " +
-          "marker: it was written under an older partition-name scheme and its " +
-          "p_part values may not match current lookups. Re-export and rewrite the " +
-          "store (read old data via spark.read.parquet + exportNTriples, then " +
-          "append into a fresh store).")
+        s"TripleStore at $root was written under an older partition-name " +
+          s"scheme: ${mismatched.take(5).mkString(", ")}" +
+          (if (mismatched.length > 5) s" and ${mismatched.length - 5} more" else "") +
+          " disagree with the v" + TripleStore.FormatVersion + " partName. " +
+          "Re-export and rewrite (read old data via spark.read.parquet + " +
+          "exportNTriples, then append into a fresh store).")
+    ensureFormatMarker() // verified adoption: existing names all agree
   }
 
   /** Snapshot log. ONLY a missing log reads as empty — any other failure

@@ -14,11 +14,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * primitive loop inside whole-stage codegen (~6x faster), and the
   * interpreted fallback is a plain while loop. Summation is the same
   * left-to-right fold as the HOF form, so results are bit-identical and
-  * DuckDB-comparable. Mismatched lengths dot the common prefix (the HOF
-  * zip_with truncates identically). */
+  * DuckDB-comparable. Mismatched lengths return NULL — zip_with pads the
+  * shorter array with nulls (it does not truncate), so the HOF form's sum
+  * is NULL on ragged inputs and this expression matches that exactly. */
 case class ArrayDotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged inputs yield null
   override def prettyName: String = "graft_dot"
 
   // element accessors per side: float arrays and double arrays are both
@@ -37,7 +39,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0d
     var i = 0
     while (i < n) {
@@ -58,12 +61,16 @@ case class ArrayDotProduct(left: Expression, right: Expression)
         if (isDouble) s"$arr.getDouble(" + i + ")"
         else s"((double) $arr.getFloat(" + i + "))"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(a, leftDouble)} * ${get(b, rightDouble)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${get(a, leftDouble)} * ${get(b, rightDouble)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -73,24 +80,23 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 }
 
 object ArrayDotProduct {
-  @volatile private var registeredFor: Set[Int] = Set.empty
+  // WeakHashMap keyed by the session itself: identityHashCode can collide
+  // across distinct sessions (leaving one unregistered) and dead-session
+  // ids would accumulate forever; weak keys free entries with the session.
+  private val registeredFor = new java.util.WeakHashMap[SparkSession, Unit]()
 
   /** Register `graft_dot` with the session's function registry (idempotent
     * per session) so Column pipelines can reach the expression through
     * call_function without private Column constructors. */
-  def ensure(spark: SparkSession): Unit = {
-    val id = System.identityHashCode(spark)
-    if (registeredFor.contains(id)) return
-    synchronized {
-      if (registeredFor.contains(id)) return
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot",
-        { children =>
-          require(children.size == 2, "graft_dot takes exactly 2 arguments")
-          ArrayDotProduct(children.head, children(1))
-        },
-        "built-in")
-      registeredFor += id
-    }
+  def ensure(spark: SparkSession): Unit = registeredFor.synchronized {
+    if (registeredFor.containsKey(spark)) return
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      { children =>
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        ArrayDotProduct(children.head, children(1))
+      },
+      "built-in")
+    registeredFor.put(spark, ())
   }
 }

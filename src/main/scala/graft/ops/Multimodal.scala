@@ -156,21 +156,25 @@ object Multimodal {
         val dataOff = u32(b, 10).toInt
         MediaFeatures(r.media_ref, "image", w, math.abs(h), 1, histogram(b, dataOff))
       } else if (tagAt(b, 0, "RIFF") && tagAt(b, 8, "WAVE")) {
-        // RIFF chunk walk: fmt (rate/channels/blockAlign) + data (size)
+        // RIFF chunk walk: fmt (rate/channels/blockAlign) + data (size).
+        // frames is computed AFTER the walk from the recorded data size —
+        // legal-in-the-wild files may place data before fmt, and dividing
+        // inline would use the default blockAlign (wrong by channels*2).
         var i = 12
         var rate = 0; var channels = 0; var blockAlign = 1
-        var frames = 0; var dataOff = b.length
+        var dataSize = 0; var dataOff = b.length
         while (i + 8 <= b.length) {
           val size = chunkSize(b, i, r.media_ref)
           if (tagAt(b, i, "fmt ") && i + 8 + 16 <= b.length) {
             channels = u16(b, i + 10); rate = u32(b, i + 12).toInt
             blockAlign = math.max(1, u16(b, i + 20))
           } else if (tagAt(b, i, "data")) {
-            frames = size / blockAlign; dataOff = i + 8
+            dataSize = size; dataOff = i + 8
           }
           i += 8 + size + (size & 1) // chunks are word-aligned
         }
-        MediaFeatures(r.media_ref, "audio", rate, channels, frames, histogram(b, dataOff))
+        MediaFeatures(r.media_ref, "audio", rate, channels, dataSize / blockAlign,
+          histogram(b, dataOff))
       } else if (tagAt(b, 0, "RIFF") && tagAt(b, 8, "AVI ")) {
         // walk top-level LISTs; read avih out of hdrl
         var i = 12
@@ -180,6 +184,10 @@ object Multimodal {
           if (tagAt(b, i, "LIST") && tagAt(b, i + 8, "hdrl") &&
               tagAt(b, i + 12, "avih")) {
             val a = i + 20 // avih data
+            if (a + 40 > b.length) // avih fields read up to a+36..a+40
+              throw new IllegalArgumentException(
+                s"malformed AVI in ${r.media_ref}: truncated avih header " +
+                  s"(need ${a + 40} bytes, have ${b.length})")
             frames = u32(b, a + 16).toInt; w = u32(b, a + 32).toInt; h = u32(b, a + 36).toInt
           } else if (tagAt(b, i, "LIST") && tagAt(b, i + 8, "movi")) moviOff = i + 12
           i += 8 + size + (size & 1)

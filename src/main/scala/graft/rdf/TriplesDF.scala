@@ -182,13 +182,13 @@ object TriplesDF {
   * Semantics: SPARQL-operator comparison (rdfutil/compare.py:179-203) and
   * XSD well-formedness (value_constraints.py:219-267). */
 object Kernels {
-  @volatile private var registeredFor: Set[Int] = Set.empty
+  // keyed by the session itself (weak): identityHashCode can collide across
+  // distinct sessions and dead ids accumulate — same fix as ArrayDotProduct
+  private val registeredFor = new java.util.WeakHashMap[SparkSession, Unit]()
 
-  def ensure(spark: SparkSession): Unit = {
-    val id = System.identityHashCode(spark)
-    if (registeredFor.contains(id)) return
-    synchronized {
-      if (registeredFor.contains(id)) return
+  def ensure(spark: SparkSession): Unit = registeredFor.synchronized {
+    if (registeredFor.containsKey(spark)) return
+    locally {
       // cmp(value term fields, constant literal fields) -> Int or null
       spark.udf.register("rdf_cmp",
         (vv: String, vk: Byte, vdt: String, vlang: String,
@@ -224,7 +224,7 @@ object Kernels {
             }
           }
         })
-      registeredFor += id
+      registeredFor.put(spark, ())
     }
   }
 }

@@ -131,15 +131,30 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("format marker: a pre-v2 store (snapshots, no marker) refuses to open") {
+  test("format marker: marker-less store with AGREEING p_part values is adopted") {
+    // a store written by v2 code just before the marker landed must not be
+    // forced through a needless re-export: verify names, write the marker
     val root = java.nio.file.Files.createTempDirectory("tstore").toString
     val st = new TripleStore(spark, root)
     st.append(Seq(("e:a", "http://kg#label", "A")).toDF("s", "p", "o"))
-    // fresh stores get the marker and keep working
     assert(st.read().count() == 1)
-    // simulate a store written before the partition-name scheme change
+    val marker = java.nio.file.Paths.get(root, s"_format_v${TripleStore.FormatVersion}")
+    java.nio.file.Files.delete(marker)
+    val reopened = new TripleStore(spark, root)
+    assert(reopened.read().count() == 1) // adoption path, no error
+    assert(java.nio.file.Files.exists(marker)) // marker restored after verify
+  }
+
+  test("format marker: store whose p_part values DISAGREE refuses to open") {
+    val root = java.nio.file.Files.createTempDirectory("tstore").toString
+    val st = new TripleStore(spark, root)
+    st.append(Seq(("e:a", "http://kg#label", "A")).toDF("s", "p", "o"))
     java.nio.file.Files.delete(java.nio.file.Paths.get(
       root, s"_format_v${TripleStore.FormatVersion}"))
+    // simulate an older partition-name scheme: rename the partition dir
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    java.nio.file.Files.move(dataDir.resolve("p_part=label"),
+      dataDir.resolve("p_part=kg%23label"))
     val reopened = new TripleStore(spark, root)
     val e1 = intercept[IllegalStateException](reopened.read())
     assert(e1.getMessage.contains("partition-name"))

@@ -219,4 +219,69 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       codec.decode(Multimodal.MediaRow("m:evil", "audio", evil)))
   }
+
+  // little-endian writers for hand-built containers in the tests below
+  private def le16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+    b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def tagB(b: Array[Byte], i: Int, t: String): Unit =
+    t.getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => b(i + j) = c }
+
+  test("multimodal: WAV with data chunk BEFORE fmt still counts frames right") {
+    // legal-in-the-wild ordering; frames must use the real blockAlign
+    // (2 ch * 16 bit = 4), not the default 1 seen mid-walk
+    val channels = 2; val samples = 10; val blockAlign = channels * 2
+    val dataSize = samples * blockAlign
+    val b = new Array[Byte](12 + 8 + dataSize + 8 + 16)
+    tagB(b, 0, "RIFF"); le32(b, 4, (b.length - 8).toLong); tagB(b, 8, "WAVE")
+    tagB(b, 12, "data"); le32(b, 16, dataSize.toLong) // data first
+    val f = 20 + dataSize
+    tagB(b, f, "fmt "); le32(b, f + 4, 16); le16(b, f + 8, 1)
+    le16(b, f + 10, channels); le32(b, f + 12, 8000L)
+    le32(b, f + 16, (8000 * blockAlign).toLong); le16(b, f + 20, blockAlign)
+    le16(b, f + 22, 16)
+    val d = new Multimodal.HeaderCodec().decode(
+      Multimodal.MediaRow("m:wav-reordered", "audio", b))
+    assert(d.width == 8000 && d.height == channels && d.n_frames == samples)
+  }
+
+  test("multimodal: truncated avih raises the malformed-container error") {
+    // LIST size is internally consistent (16 bytes) but too short to hold
+    // the avih fields read at a+16..a+40 — must raise IllegalArgument, not
+    // ArrayIndexOutOfBounds
+    val b = new Array[Byte](36)
+    tagB(b, 0, "RIFF"); le32(b, 4, (b.length - 8).toLong); tagB(b, 8, "AVI ")
+    tagB(b, 12, "LIST"); le32(b, 16, 16L); tagB(b, 20, "hdrl")
+    tagB(b, 24, "avih"); le32(b, 28, 4L)
+    val ex = intercept[IllegalArgumentException](
+      new Multimodal.HeaderCodec().decode(
+        Multimodal.MediaRow("m:avi-short", "video", b)))
+    assert(ex.getMessage.contains("truncated avih"))
+  }
+
+  test("graft_dot returns null on ragged arrays, matching the HOF form") {
+    ArrayDotProduct.ensure(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f)), // ragged -> null
+      (Array(1.0f, 2.0f, 0.0f), Array(4.0f, 5.0f, 6.0f))) // equal -> 14
+      .toDF("a", "b")
+      .select(
+        call_function("graft_dot", $"a", $"b").as("fast"),
+        Similarity.dot($"a", $"b").as("hof"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // both null on ragged
+    assert(rows(1).getDouble(0) == 14.0 && rows(1).getDouble(1) == 14.0)
+    // interpreted path (no codegen) agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def lit3(xs: Array[Float]) =
+      Literal(ArrayData.toArrayData(xs), ArrayType(FloatType, containsNull = false))
+    assert(ArrayDotProduct(lit3(Array(1f, 2f)), lit3(Array(1f, 2f, 3f))).eval(null) == null)
+    assert(ArrayDotProduct(lit3(Array(1f, 2f)), lit3(Array(3f, 4f))).eval(null) == 11.0d)
+  }
 }
