@@ -183,22 +183,30 @@ object Queries {
   val qMinhashLsh: Q = (s, d) =>
     Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")
 
-  /** SimHash near-dup candidates (chunk-bucketed Hamming). */
+  /** SimHash near-dup pairs (chunk-bucketed Hamming) over the PORTABLE
+    * md5-derived signature: pigeonhole banding makes the banded result
+    * exactly equal an all-pairs Hamming scan, which is what the DuckDB
+    * oracle computes — so this is a full rows+schema+hash check, not a
+    * rows-only one. The xxhash64 fast path stays the production default
+    * and is equality-tested against this one in OpsSpec. */
   val qSimhash: Q = (s, d) =>
-    Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxDist = 10)
+    Dedup.simhashNearDupPortable(t(s, d, "documents"), "doc_id", "text", maxDist = 10)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
 
-  /** n-gram Jaccard verify over LSH candidates. */
-  val qNgramJaccard: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    Dedup.ngramJaccard(docs, "doc_id", "text",
-      Dedup.minhashLsh(docs, "doc_id", "text").select(col("id_a"), col("id_b")))
-  }
+  /** Exact n-gram Jaccard join via the df-capped inverted index (fully
+    * SQL-expressible -> DuckDB-oracled; the LSH-candidate verify variant
+    * stays covered by OpsSpec recall tests). */
+  val qNgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardJoin(t(s, d, "documents"), "doc_id", "text")
 
-  /** Brute-force cosine top-k ANN (queries = vec_id < 8). */
+  /** Brute-force cosine top-k ANN (queries = vec_id < 8). Deterministic:
+    * rank ties break on item_id on both engines, and the cosine arithmetic
+    * is the proven bit-identical fold (q_embed_neardup), so the ranking is
+    * DuckDB-oracled exactly. */
   val qAnnBruteForce: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
-      .select(col("q_id"), col("rank"), col("item_id"))
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("item_id"))
   }
 
   /** LSH-bucketed ANN (the scale path; recall measured in tests). */
@@ -578,9 +586,84 @@ object Queries {
         |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
         |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE cos >= 0.45""".stripMargin
-    // q_minhash_lsh / q_simhash / q_ngram_jaccard / q_ann_* are hash-kernel
-    // based (xxhash64) — not DuckDB-expressible; driver rows-only check.
+        |WHERE cos >= 0.45""".stripMargin,
+    // exact all-pairs Hamming over the portable md5-derived simhash: the
+    // Spark side's pigeonhole banding guarantees the same result set
+    "q_simhash" -> {
+      val loVotes = (0 until 32).map(b =>
+        s"sum(case when (hlo >> $b) & 1 = 1 then 1 else -1 end) AS lo$b").mkString(", ")
+      val hiVotes = (0 until 32).map(b =>
+        s"sum(case when (hhi >> $b) & 1 = 1 then 1 else -1 end) AS hi$b").mkString(", ")
+      val shLo = (0 until 32).map(b =>
+        s"(case when lo$b > 0 then ${1L << b} else 0 end)").mkString(" + ")
+      val shHi = (0 until 32).map(b =>
+        s"(case when hi$b > 0 then ${1L << b} else 0 end)").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(t), 1, 8))::BIGINT AS hhi,
+         |    ('0x' || substr(md5(t), 9, 8))::BIGINT AS hlo
+         |  FROM toks
+         |), votes AS (
+         |  SELECT doc_id, $loVotes, $hiVotes FROM h GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id, ($shLo)::BIGINT AS sh_lo, ($shHi)::BIGINT AS sh_hi FROM votes
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 10""".stripMargin
+    },
+    // df-capped inverted-index exact Jaccard; mirrors Dedup.shingles
+    // (word 3-grams of lower(trim(text)) split on \s+) and the [2, maxDf]
+    // blocking exactly
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM toks WHERE len(tk) >= 3
+        |), inv AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM sh
+        |), rare AS (
+        |  SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND 10
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN rare r ON a.s = r.s JOIN inv b ON b.s = a.s
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |        greatest(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)), 1), 4) AS jaccard
+        |FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+        |WHERE jaccard >= 0.1""".stripMargin,
+    // brute-force top-k: same cosine fold as q_embed_neardup, rank ties
+    // broken by item_id on both engines
+    "q_ann_bruteforce" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS nrm
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS q_id, i.vec_id AS item_id,
+        |    round(list_sum(list_transform(list_zip(q.embedding, i.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * i.nrm), 6) AS cos
+        |  FROM v q JOIN v i ON i.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8
+        |), ranked AS (
+        |  SELECT q_id, item_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, item_id FROM ranked WHERE rank <= 5""".stripMargin
+    // q_minhash_lsh / q_ann_lsh / q_ann_ivf remain rows-only: their
+    // candidate generation is xxhash64-bucketed (a Spark kernel with no
+    // DuckDB equivalent) and deliberately approximate — quality is pinned
+    // by recall tests in OpsSpec instead.
   )
 
   val all: Map[String, Q] = Map(

@@ -99,6 +99,32 @@ object Dedup {
           .reduce[Column](_ bitwiseOR _).as("sh"))
   }
 
+  /** Portable simhash signature: token hash = the first 64 bits of
+    * md5(token) taken as two 32-bit halves, recomputable bit-identically in
+    * any engine with md5 — the DuckDB-oracle-able twin of [[simhashSig]]
+    * (whose xxhash64 is a Spark-only kernel). Same explode + 64
+    * partial-aggregating bit-vote shape; the halves are recombined into one
+    * BIGINT on the Spark side (wrap-around shift is fine here; the oracle
+    * keeps them separate to avoid checked-arithmetic overflow). */
+  def simhashSigPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+      .select(col("id"), md5(col("t")).as("m"))
+      .select(col("id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hhi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hlo"))
+    val votes =
+      (0 until 32).map(b => sum(when(col("hlo").bitwiseAND(lit(1L << b)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"lo$b")) ++
+      (0 until 32).map(b => sum(when(col("hhi").bitwiseAND(lit(1L << b)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"hi$b"))
+    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        ((0 until 32).map(b => when(col(s"lo$b") > 0, lit(1L << b)).otherwise(lit(0L))) ++
+         (0 until 32).map(b => when(col(s"hi$b") > 0, lit(1L << (b + 32))).otherwise(lit(0L))))
+          .reduce[Column](_ bitwiseOR _).as("sh"))
+  }
+
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidates within Hamming distance <= maxDist.
@@ -111,12 +137,24 @@ object Dedup {
     * maxDist >= 64 every pair qualifies — rejected rather than silently
     * losing recall. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxDist: Int = 3): DataFrame = {
+                     maxDist: Int = 3): DataFrame =
+    simhashBandedPairs(simhashSig(docs, idCol, textCol), maxDist)
+
+  /** [[simhashNearDup]] over the portable md5-based signature — exact same
+    * pigeonhole banding (candidates are a guaranteed superset, the dist
+    * filter is exact), so the result set equals an all-pairs Hamming scan,
+    * which is what the DuckDB oracle computes (q_simhash). */
+  def simhashNearDupPortable(docs: DataFrame, idCol: String, textCol: String,
+                             maxDist: Int = 3): DataFrame =
+    simhashBandedPairs(simhashSigPortable(docs, idCol, textCol), maxDist)
+
+  /** Banded candidate join + exact Hamming verify over a (id, sh) signature
+    * frame (see [[simhashNearDup]] for the pigeonhole derivation). */
+  private def simhashBandedPairs(sh: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"maxDist must be in [0, 63] for 64-bit simhash (got $maxDist)")
     val nBands = math.min(maxDist + 1, 64)
     val bounds = (0 to nBands).map(b => 64 * b / nBands)
-    val sh = simhashSig(docs, idCol, textCol)
     val bandCols = (0 until nBands).map { b =>
       val lo = bounds(b); val width = bounds(b + 1) - lo
       val shifted = shiftrightunsigned(col("sh"), lo)
@@ -179,6 +217,30 @@ object Dedup {
         round(Similarity.cosinePre(col("a_vec"), col("b_vec"),
           col("a_nrm"), col("b_nrm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity join with document-frequency-capped
+    * inverted-index blocking: candidate pairs are generated only through
+    * shingles whose document frequency lands in [2, maxDf] — hot shingles
+    * (boilerplate) never fan out, so the candidate join is bounded per
+    * shingle (the exact-join analogue of prefix filtering) — then Jaccard
+    * is computed exactly over the full distinct shingle sets. Every stage
+    * is plain SQL, so the whole operator is DuckDB-oracle-backed
+    * (q_ngram_jaccard), unlike the hash-kernel LSH candidate generators. */
+  def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, maxDf: Int = 10,
+                       minJaccard: Double = 0.1): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), k))).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select(col("s"))
+    val posting = sh.join(rare, "s")
+    val cand = posting.select(col("s"), col("id").as("id_a"))
+      .join(posting.select(col("s"), col("id").as("id_b")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    ngramJaccard(docs, idCol, textCol, cand, k)
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Exact n-gram Jaccard similarity for a candidate pair set (verify step

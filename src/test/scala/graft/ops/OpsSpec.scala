@@ -263,6 +263,48 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("truncated avih"))
   }
 
+  test("portable simhash near-dup equals an all-pairs Hamming scan") {
+    // the pigeonhole-banding guarantee behind the q_simhash DuckDB oracle:
+    // banded candidates are a superset, the dist filter is exact, so the
+    // banded result must EQUAL brute force — not just approximate it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val banded = Dedup.simhashNearDupPortable(docs, "doc_id", "text", maxDist = 10)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect().toSet
+    val sig = Dedup.simhashSigPortable(docs, "doc_id", "text")
+    val a = sig.select($"id".as("id_a"), $"sh".as("sh_a"))
+    val b = sig.select($"id".as("id_b"), $"sh".as("sh_b"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", Dedup.hamming64($"sh_a", $"sh_b").as("dist"))
+      .filter($"dist" <= 10).as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute && brute.nonEmpty)
+  }
+
+  test("portable and xxhash64 simhash agree on relative similarity") {
+    val docs = Seq(
+      ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("b", "alpha beta gamma delta epsilon zeta eta iota"),
+      ("c", "one two three four five six seven eight")).toDF("id", "text")
+    val m = Dedup.simhashSigPortable(docs, "id", "text")
+      .as[(String, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
+  }
+
+  test("ngramJaccardJoin blocks on rare shingles and scores exactly") {
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"), // near-dup of 1: 28 shared of 29 union shingles
+      (3L, (0 until 30).map(i => s"z$i").mkString(" ")), // unrelated
+      (4L, (0 until 30).map(i => s"z$i").mkString(" ") + " end")) // near-dup of 3
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardJoin(docs, "doc_id", "text", maxDf = 10, minJaccard = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(math.abs(got((1L, 2L)) - 28.0 / 29.0) < 1e-3)
+  }
+
   test("graft_dot returns null on ragged arrays, matching the HOF form") {
     ArrayDotProduct.ensure(spark)
     val df = Seq(
