@@ -12,7 +12,12 @@ final case class ValidationOptions(
   maxDepth: Int = 15,
   /** fixpoint cap for sh:zeroOrMorePath/oneOrMorePath closures */
   maxPathDepth: Int = 100,
-  inference: String = "none", // none | rdfs
+  inference: String = "none", // none | rdfs | owlrl | both
+  // --strict-owlrl parity mode: the reference's owlrl run FAILS on
+  // inconsistent data (run_type.py:82-85); default here routes detections
+  // to the inconsistencies() diagnostics frame and proceeds (the right
+  // shape at 100 TB), this flag escalates to the reference's failure
+  failOnInconsistency: Boolean = false,
   advanced: Boolean = false, // apply SHACL-AF rules before validating
   iterateRules: Boolean = false,
   // allow_infos / allow_warnings (shape.py:729-741): results at/below the

@@ -617,4 +617,23 @@ object OwlRlInference {
           org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("detail", org.apache.spark.sql.types.StringType)))))
   }
+
+  /** Strict parity mode (failOnInconsistency / CLI --strict-owlrl): the
+    * reference's owlrl run fails on inconsistent data and validation
+    * aborts (run_type.py:82-85 wraps it as "Error while running OWL-RL
+    * Deductive Closure"); the engine's default instead routes detections
+    * to the [[inconsistencies]] diagnostics frame and proceeds — the right
+    * shape at 100 TB, where one bad row must not kill a cluster-day of
+    * validation. This escalates a non-empty frame to the reference's
+    * failure text, quoting a bounded sample of the offending nodes. */
+  def requireConsistent(spark: SparkSession, df: DataFrame): Unit = {
+    val bad = inconsistencies(spark, df).limit(5).collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map(r =>
+        s"${r.getString(0)}: ${r.getString(1)} (${r.getString(2)})").mkString("; ")
+      throw new ReportableError(
+        "Error while running OWL-RL Deductive Closure\n" +
+          s"inconsistent data graph: $detail")
+    }
+  }
 }

@@ -37,7 +37,7 @@ object Validator {
     // mix_in_ontology -> rdfutil/inoculate.py)
     val data = ontGraph.map(o => Inoculate.mix(dataGraph, o)).getOrElse(dataGraph)
     val df0 = TriplesDF.fromMemGraph(spark, data)
-    val df = inferenceStep(spark, df0, opts.inference)
+    val df = inferenceStep(spark, df0, opts)
     validateFrame(spark, df, sg, dataCbd = n => data.cbd(n), opts,
       prefixes = sg.nsPrefixes ++ data.nsPrefixes)
   }
@@ -109,7 +109,7 @@ object Validator {
       shapesGraph: MemGraph,
       opts: ValidationOptions = ValidationOptions(),
       sampleSize: Int = 100): ScaleOutcome = {
-    val inferred = inferenceStep(spark, triples, opts.inference)
+    val inferred = inferenceStep(spark, triples, opts)
     val expanded =
       if (opts.advanced) RulesEngine.expand(spark, inferred, shapesGraph, opts.iterateRules)
       else inferred
@@ -196,11 +196,17 @@ object Validator {
   }
 
   /** Pre-validation inference (run_type.py:21-85): 'rdfs', 'owlrl', or
-    * 'both' (owlrl here subsumes the rdfs closure). */
-  private def inferenceStep(spark: SparkSession, df: DataFrame, mode: String): DataFrame =
-    mode match {
+    * 'both' (owlrl here subsumes the rdfs closure). With
+    * failOnInconsistency, an inconsistent graph aborts with the
+    * reference's failure instead of proceeding to validation. */
+  private def inferenceStep(spark: SparkSession, df: DataFrame,
+                            opts: ValidationOptions): DataFrame =
+    opts.inference match {
       case "rdfs" => RdfsInference.expand(spark, df)
-      case "owlrl" | "both" => OwlRlInference.expand(spark, df)
+      case "owlrl" | "both" =>
+        val out = OwlRlInference.expand(spark, df)
+        if (opts.failOnInconsistency) OwlRlInference.requireConsistent(spark, out)
+        out
       case _ => df
     }
 

@@ -45,6 +45,8 @@ object ShaclCli {
       allowInfos = args.contains("--allow-infos"),
       allowWarnings = args.contains("--allow-warnings"),
       abortOnFirst = args.contains("--abort-first"),
+      // --strict-owlrl: abort on OWL-RL inconsistency like the reference
+      failOnInconsistency = args.contains("--strict-owlrl"),
       // pySHACL -f / --focus and --use-shapes (validator.py:237-255,
       // shape.py:670-684): comma-separated IRI lists
       focusNodes = setOf("--focus"),
@@ -102,7 +104,7 @@ object ShaclCli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs] [-f human|turtle|nt|table] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>] [-e ontology.ttl] [-m shacl-shacl.ttl] [--imports] [-o report.out]"); sys.exit(2) }
+    if (args.isEmpty) { System.err.println("usage: ShaclCli <data.ttl> [shapes.ttl] [--inference rdfs|owlrl|both] [--strict-owlrl] [-f human|turtle|nt|table] [--ttl] [--advanced] [--iterate-rules] [--allow-infos] [--allow-warnings] [--abort-first] [--focus <iri,iri>] [--use-shapes <iri,iri>] [-e ontology.ttl] [-m shacl-shacl.ttl] [--imports] [-o report.out]"); sys.exit(2) }
     val CliArgs(pos, opts, fmt, ontFile, metashacl, imports, output) = parseArgs(args)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")

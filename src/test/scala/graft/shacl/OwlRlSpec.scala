@@ -143,6 +143,29 @@ class OwlRlSpec extends AnyFunSuite {
       TriplesDF.fromMemGraph(spark, clean)).count() == 0)
   }
 
+  test("--strict-owlrl: inconsistent data aborts with the reference's failure") {
+    // reference parity: pySHACL's owlrl pre-inference fails on inconsistent
+    // data and validation aborts (run_type.py:82-85); default mode proceeds
+    val data = TurtleParser.parseGraph(prefixes +
+      "ex:a owl:sameAs ex:b ; owl:differentFrom ex:b .", "http://test/")
+    val shapes = TurtleParser.parseGraph(prefixes +
+      """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        |ex:S a sh:NodeShape ; sh:targetNode ex:a .""".stripMargin, "http://test/")
+    // default: diagnostics frame, validation proceeds and conforms
+    val lax = Validator.validateGraph(spark, data, Some(shapes),
+      ValidationOptions(inference = "owlrl"))
+    assert(lax.conforms)
+    // strict: the reference's abort text, naming the offending node
+    val ex = intercept[ReportableError](
+      Validator.validateGraph(spark, data, Some(shapes),
+        ValidationOptions(inference = "owlrl", failOnInconsistency = true)))
+    assert(ex.getMessage.startsWith("Error while running OWL-RL Deductive Closure"))
+    assert(ex.getMessage.contains("eq-diff1") && ex.getMessage.contains("ex.org/a"))
+    // the CLI flag wires through
+    assert(graft.tools.ShaclCli.parseArgs(
+      Array("d.ttl", "--inference", "owlrl", "--strict-owlrl")).opts.failOnInconsistency)
+  }
+
   test("malformed cyclic rdf:rest chain terminates instead of hanging") {
     val g = expandTtl(prefixes +
       """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
