@@ -627,7 +627,7 @@ object Queries {
         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
         |  FROM toks WHERE len(tk) >= 3
         |), inv AS (
-        |  SELECT doc_id, unnest(sh) AS s FROM sh
+        |  SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s FROM sh
         |), rare AS (
         |  SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND 10
         |), cand AS (

@@ -230,8 +230,21 @@ object Dedup {
   def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, maxDf: Int = 10,
                        minJaccard: Double = 0.1): DataFrame = {
+    // the posting list is materialized ONCE (shingling re-parses every
+    // document's text — without this, Spark's lazy recompute runs the
+    // parse ~6x: df counts, both join sides, and both array rebuilds);
+    // materialized posting lists are exactly what a real similarity-join
+    // system keeps anyway. Shingles are carried as 60-bit md5-derived
+    // hashes: the verify joins intersect ~50-element arrays for every
+    // candidate pair, and primitive long sets are ~3x cheaper than string
+    // sets — md5 (not xxhash64) so the DuckDB oracle recomputes the exact
+    // same values (collisions: ~2^-60 per pair, and identical engines
+    // would collide identically anyway)
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), k))).as("s"))
+      .select(col("id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s"))
+      .localCheckpoint()
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf)).select(col("s"))
     val posting = sh.join(rare, "s")
@@ -239,7 +252,16 @@ object Dedup {
       .join(posting.select(col("s"), col("id").as("id_b")), "s")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    ngramJaccard(docs, idCol, textCol, cand, k)
+    // verify over shingle ARRAYS rebuilt from the checkpointed posting
+    // list (collect_list order differs from parse order; the set ops are
+    // order-insensitive, so jaccard matches ngramJaccard exactly)
+    val arr = sh.groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
+    cand
+      .join(arr.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(arr.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -159,50 +159,62 @@ object Similarity {
     cents
   }
 
-  /** Assign every row its `nprobe` nearest cells (by cosine to the
-    * broadcast centroids). Output: (idCol, __vec, cell) — one row per
-    * (vector, probed cell). */
+  /** Assign every row its `nprobe` nearest cells (by cosine), with ZERO
+    * shuffle: the centroid table is bounded (nlist), so it collects to a
+    * literal array and each row derives its top cells via one transform +
+    * array_sort + slice — no crossJoin row explosion, no window or
+    * aggregation shuffle (this generalizes the r4 max(struct) trick from
+    * nprobe = 1 to any nprobe). Ties break toward the smallest cell id
+    * (the negated-cell struct field). Output: (idCol, __vec, cell) — one
+    * row per (vector, probed cell). */
   private def assignCells(df: DataFrame, cents: DataFrame, idCol: String,
-                          vecCol: String, nprobe: Int): DataFrame = {
-    val scored = df.select(col(idCol), col(vecCol).as("__vec"),
-      nrm(col(vecCol)).as("__nrm"))
-      .crossJoin(broadcast(cents.withColumn("c_nrm", nrm(col("c_vec")))))
-      .select(col(idCol), col("__vec"), col("cell"),
-        cosinePre(col("__vec"), col("c_vec"), col("__nrm"), col("c_nrm")).as("__cc"))
-    if (nprobe == 1)
-      // items-side hot path (N rows × nlist cells): max(struct) partial-
-      // aggregates map-side, so the shuffle carries N rows — a window
-      // would shuffle the full N×nlist scored product. Tie-break matches
-      // the window path (smallest cell) via the negated cell field.
-      scored.groupBy(col(idCol))
-        .agg(max(struct(col("__cc").as("cc"), (-col("cell")).as("nc"))).as("__m"),
-          first(col("__vec")).as("__vec"))
-        .select(col(idCol), col("__vec"), (-col("__m")("nc")).as("cell"))
-    else {
-      // query side: small by construction; top-nprobe needs a ranking
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__cc").desc, col("cell"))
-      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
-        .select(col(idCol), col("__vec"), col("cell"))
-    }
+                          vecCol: String, nprobe: Int): DataFrame =
+    assignCellsLocal(df, collectCents(cents), idCol, vecCol, nprobe)
+
+  /** Centroids to the driver (nlist rows — catalog-scale). Collecting once
+    * and passing the array to every assignment site keeps the Lloyd
+    * pipeline from re-running per downstream action. */
+  private def collectCents(cents: DataFrame): Array[(Int, Array[Float])] =
+    cents.select(col("cell").cast("int"), col("c_vec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+
+  private def assignCellsLocal(df: DataFrame, local: Array[(Int, Array[Float])],
+                               idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    val centArr = array(local.map { case (cell, vec) =>
+      struct(lit(cell).as("cell"), typedLit(vec).as("c_vec"),
+        lit(math.max(math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum), 1e-12))
+          .as("c_nrm"))
+    }: _*)
+    df.select(col(idCol), col(vecCol).as("__vec"), nrm(col(vecCol)).as("__nrm"))
+      .select(col(idCol), col("__vec"),
+        explode(slice(reverse(array_sort(transform(centArr, c =>
+          struct((call_function("graft_dot", col("__vec"), c("c_vec")) /
+            (col("__nrm") * c("c_nrm"))).as("cc"),
+            (-c("cell")).as("nc"))))), 1, nprobe)).as("__top"))
+      .select(col(idCol), col("__vec"), (-col("__top")("nc")).as("cell"))
   }
 
   /** IVF ANN top-k — the second scale path next to [[lshTopK]]: items land
-    * in their single nearest cell, queries probe their `nprobe` nearest
-    * cells, and the exact cosine verify runs only inside probed cells
-    * (candidates per query ≈ nprobe × N/nlist instead of N). Unlike RHP
-    * LSH, recall does not collapse at lower similarity thresholds — the
-    * cell geometry, not a collision probability, bounds the candidates;
-    * the classic IVF trade-off is missed neighbors that fall just across
-    * a cell boundary, recovered by raising nprobe. */
+    * in their `itemProbe` nearest cells (multi-assignment — the standard
+    * remedy when the corpus clusters weakly: on this bench's near-uniform
+    * random embeddings, single-assignment recall vs brute force is ~0.6 at
+    * any sane nprobe, multi-assignment at the defaults measures 0.95; on
+    * genuinely clustered corpora itemProbe can drop back to 1), queries
+    * probe their `nprobe` nearest cells, and the exact cosine verify runs
+    * only inside probed cells (candidates per query ≈ itemProbe × nprobe ×
+    * N/nlist instead of N). Unlike RHP LSH, recall does not collapse at
+    * lower similarity thresholds — the cell geometry, not a collision
+    * probability, bounds the candidates; neighbors just across a cell
+    * boundary are recovered by raising nprobe or itemProbe. */
   def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
-              lloydIters: Int = 1): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 16,
+              lloydIters: Int = 1, itemProbe: Int = 4): DataFrame = {
     ArrayDotProduct.ensure(items.sparkSession)
-    val cents = ivfCentroids(items, idCol, vecCol, nlist, lloydIters)
-    val it = assignCells(items, cents, idCol, vecCol, nprobe = 1)
+    val cents = collectCents(ivfCentroids(items, idCol, vecCol, nlist, lloydIters))
+    val it = assignCellsLocal(items, cents, idCol, vecCol, nprobe = itemProbe)
       .select(col(idCol).as("item_id"), col("__vec").as("item_vec"),
         nrm(col("__vec")).as("item_nrm"), col("cell"))
-    val q = assignCells(queries, cents, idCol, vecCol, nprobe)
+    val q = assignCellsLocal(queries, cents, idCol, vecCol, nprobe)
       .select(col(idCol).as("q_id"), col("__vec").as("q_vec"),
         nrm(col("__vec")).as("q_nrm"), col("cell"))
     val scored = it.join(broadcast(q), Seq("cell"))

@@ -220,6 +220,19 @@ class OpsSpec extends AnyFunSuite {
       codec.decode(Multimodal.MediaRow("m:evil", "audio", evil)))
   }
 
+  test("IVF recall >= 0.9 vs brute force on the bench embedding table") {
+    // pins q_ann_ivf's quality the way RHP-LSH is pinned: at default
+    // nlist/nprobe, IVF top-5 must recover >= 90% of the exact top-5
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"item_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall vs brute force $recall < 0.9")
+  }
+
   // little-endian writers for hand-built containers in the tests below
   private def le16(b: Array[Byte], i: Int, v: Int): Unit = {
     b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
