@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, batch-decoded per partition.
   *
-  * The decode path is REAL for the three container formats the pipeline
-  * emits — BMP (image), RIFF/WAVE (audio), RIFF/AVI (video): media type,
-  * dimensions, sample/frame counts and the feature histogram all derive
-  * from the actual payload bytes (magic numbers, BITMAPINFOHEADER, RIFF
-  * chunk walk). No external codec libraries are needed for headers + raw
-  * PCM/pixel data, so this runs in any executor JVM. Pixel-level image
-  * decode of compressed formats (JPEG/H.264...) would slot into the same
+  * The decode path is REAL for five container formats — BMP, PNG and JPEG
+  * (image), RIFF/WAVE (audio), RIFF/AVI (video): media type, dimensions,
+  * sample/frame counts and the feature histogram all derive from the
+  * actual payload bytes (magic numbers, BITMAPINFOHEADER, PNG IHDR chunk
+  * walk with CRC-framed lengths, JPEG SOFn segment walk, RIFF chunk walk).
+  * No external codec libraries are needed for the header parses, so this
+  * runs in any executor JVM; pixel-level decode of the compressed streams
+  * (IDAT inflate / entropy-coded scans) would slot into the same
   * per-partition batched kernel.
   */
 object Multimodal {
@@ -114,6 +115,63 @@ object Multimodal {
     b
   }
 
+  private def be32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = ((v >> 24) & 0xff).toByte; b(i + 1) = ((v >> 16) & 0xff).toByte
+    b(i + 2) = ((v >> 8) & 0xff).toByte; b(i + 3) = (v & 0xff).toByte
+  }
+
+  /** Real PNG: signature + IHDR + IDAT (actual zlib-deflated 8-bit gray
+    * scanlines) + IEND, all with valid CRC32s — decodable by any PNG
+    * reader, synthesized pure-JVM (java.util.zip). */
+  def synthPng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"png dims must be positive ($w x $h)")
+    val raw = new Array[Byte](h * (1 + w)) // filter byte 0 + gray pixels
+    var i = 0
+    for (y <- 0 until h) {
+      raw(i) = 0; i += 1
+      for (x <- 0 until w) { raw(i) = ((seed >> ((x + y) % 24)) & 0xff).toByte; i += 1 }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val comp = new Array[Byte](raw.length + 64)
+    val n = d.deflate(comp); d.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      be32(out, 0, data.length.toLong)
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      be32(out, 8 + data.length, crc.getValue)
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    be32(ihdr, 0, w.toLong); be32(ihdr, 4, h.toLong)
+    ihdr(8) = 8; ihdr(9) = 0 // 8-bit grayscale
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.take(n)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Minimal structurally-valid JPEG: SOI + APP0/JFIF + DQT + SOF0
+    * (baseline, carrying the dims) + EOI. Headers are real per ITU T.81;
+    * no entropy-coded scan is included (header decode never reads one). */
+  def synthJpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff, s"jpeg dims out of range ($w x $h)")
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+    val app0 = "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val dqt = Array[Byte](0) ++ (0 until 64).map(i => ((seed >> (i % 24)) & 0x7f | 1).toByte)
+    val sof0 = Array[Byte](8, // precision
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0) // 1 component, 1x1 sampling, table 0
+    Array(0xff.toByte, 0xd8.toByte) ++ seg(0xe0, app0) ++ seg(0xdb, dqt) ++
+      seg(0xc0, sof0) ++ Array(0xff.toByte, 0xd9.toByte)
+  }
+
   // ------------------------------------------------------------- decoding
   /** Header codec: derives type + metadata from the payload BYTES (the
     * claimed media_type on MediaRow is ignored — decode is the source of
@@ -148,9 +206,89 @@ object Multimodal {
       bins.map(_.toFloat / n)
     }
 
+    private def bu16(b: Array[Byte], i: Int) = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def bu32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    private val pngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    private def isPng(b: Array[Byte]) =
+      b.length >= 8 && pngSig.indices.forall(i => (b(i) & 0xff) == pngSig(i))
+
+    /** PNG IHDR parse with a validated chunk walk (same discipline as the
+      * RIFF codecs: a corrupt length must raise, never wedge or overrun). */
+    private def decodePng(r: MediaRow): MediaFeatures = {
+      val b = r.payload
+      var i = 8
+      var w = -1; var h = -1; var dataOff = b.length
+      var first = true
+      while (i + 8 <= b.length) {
+        val len = bu32(b, i)
+        if (len > b.length - i - 12)
+          throw new IllegalArgumentException(
+            s"malformed PNG in ${r.media_ref}: chunk length $len exceeds remaining ${b.length - i - 12} bytes")
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        if (first) {
+          if (typ != "IHDR" || len < 13)
+            throw new IllegalArgumentException(
+              s"malformed PNG in ${r.media_ref}: first chunk is $typ($len), expected IHDR(13)")
+          w = bu32(b, i + 8).toInt; h = bu32(b, i + 12).toInt
+          first = false
+        } else if (typ == "IDAT" && dataOff == b.length) dataOff = i + 8
+        i += 12 + len.toInt
+      }
+      if (w < 0)
+        throw new IllegalArgumentException(s"malformed PNG in ${r.media_ref}: no IHDR chunk")
+      MediaFeatures(r.media_ref, "image", w, h, 1, histogram(b, dataOff))
+    }
+
+    /** JPEG SOF-marker parse (ITU T.81 segment walk): dims come from the
+      * first SOFn segment; the walk stops at SOS (entropy-coded data
+      * follows) and every declared segment length is bounds-checked. */
+    private def decodeJpeg(r: MediaRow): MediaFeatures = {
+      val b = r.payload
+      var i = 2
+      var w = -1; var h = -1; var dataOff = b.length
+      var done = false
+      while (!done && i + 2 <= b.length) {
+        if ((b(i) & 0xff) != 0xff)
+          throw new IllegalArgumentException(
+            s"malformed JPEG in ${r.media_ref}: expected marker at offset $i, " +
+              f"got ${b(i) & 0xff}%02x")
+        val m = b(i + 1) & 0xff
+        if (m == 0xd9) done = true // EOI
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+        else {
+          if (i + 4 > b.length)
+            throw new IllegalArgumentException(
+              s"malformed JPEG in ${r.media_ref}: truncated segment header at $i")
+          val len = bu16(b, i + 2)
+          if (len < 2 || len > b.length - i - 2)
+            throw new IllegalArgumentException(
+              s"malformed JPEG in ${r.media_ref}: segment ${f"$m%02x"} length $len " +
+                s"out of bounds (${b.length - i - 2} remaining)")
+          val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof && w < 0) {
+            if (len < 7)
+              throw new IllegalArgumentException(
+                s"malformed JPEG in ${r.media_ref}: SOF segment too short ($len)")
+            h = bu16(b, i + 5); w = bu16(b, i + 7)
+          }
+          if (m == 0xda) { dataOff = i + 2 + len; done = true } // SOS
+          else i += 2 + len
+        }
+      }
+      if (w < 0)
+        throw new IllegalArgumentException(s"malformed JPEG in ${r.media_ref}: no SOF marker")
+      MediaFeatures(r.media_ref, "image", w, h, 1, histogram(b, dataOff))
+    }
+
     def decode(r: MediaRow): MediaFeatures = {
       val b = r.payload
-      if (tagAt(b, 0, "BM") && b.length >= 54) {
+      if (isPng(b)) decodePng(r)
+      else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        decodeJpeg(r)
+      else if (tagAt(b, 0, "BM") && b.length >= 54) {
         val w = u32(b, 18).toInt
         val h = u32(b, 22).toInt // negative = top-down; dims are |h|
         val dataOff = u32(b, 10).toInt

@@ -262,6 +262,55 @@ class OpsSpec extends AnyFunSuite {
     assert(d.width == 8000 && d.height == channels && d.n_frames == samples)
   }
 
+  test("multimodal: PNG/JPEG headers decode; ImageIO round-trip agrees") {
+    val codec = new Multimodal.HeaderCodec
+    // our synthesized PNG (real deflate + CRCs) decodes to its parameters
+    val p = codec.decode(Multimodal.MediaRow("m:png", "image", Multimodal.synthPng(7, 5, 42)))
+    assert(p.media_type == "image" && p.width == 7 && p.height == 5 && p.n_frames == 1)
+    // ...and is a REAL PNG: the JDK's independent decoder accepts it
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthPng(7, 5, 42)))
+    assert(img.getWidth == 7 && img.getHeight == 5)
+    // files from an independent ENCODER decode correctly (corpus-credible)
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) bi.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, bos)
+      bos.toByteArray
+    }
+    val rp = codec.decode(Multimodal.MediaRow("m:iio-png", "image", encoded("png", 13, 9)))
+    assert(rp.media_type == "image" && rp.width == 13 && rp.height == 9)
+    val rj = codec.decode(Multimodal.MediaRow("m:iio-jpg", "image", encoded("jpg", 12, 8)))
+    assert(rj.media_type == "image" && rj.width == 12 && rj.height == 8)
+    // our synthesized JPEG headers parse back too
+    val j = codec.decode(Multimodal.MediaRow("m:jpg", "image", Multimodal.synthJpeg(640, 480, 7)))
+    assert(j.media_type == "image" && j.width == 640 && j.height == 480)
+  }
+
+  test("multimodal: malformed PNG/JPEG raise instead of wedging") {
+    val codec = new Multimodal.HeaderCodec
+    // PNG chunk length pointing past the buffer
+    val png = Multimodal.synthPng(4, 4, 1)
+    png(8) = 0x7f // IHDR length high byte -> enormous
+    intercept[IllegalArgumentException](
+      codec.decode(Multimodal.MediaRow("m:png-evil", "image", png)))
+    // PNG whose first chunk is not IHDR
+    val notIhdr = Multimodal.synthPng(4, 4, 1)
+    notIhdr(12) = 'J'.toByte
+    intercept[IllegalArgumentException](
+      codec.decode(Multimodal.MediaRow("m:png-noihdr", "image", notIhdr)))
+    // JPEG with a segment length overrunning the buffer
+    val jpg = Multimodal.synthJpeg(10, 10, 1)
+    jpg(4) = 0x7f // APP0 length high byte
+    intercept[IllegalArgumentException](
+      codec.decode(Multimodal.MediaRow("m:jpg-evil", "image", jpg)))
+    // JPEG with no SOF at all
+    intercept[IllegalArgumentException](
+      codec.decode(Multimodal.MediaRow("m:jpg-nosof", "image",
+        Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte))))
+  }
+
   test("multimodal: truncated avih raises the malformed-container error") {
     // LIST size is internally consistent (16 bytes) but too short to hold
     // the avih fields read at a+16..a+40 — must raise IllegalArgument, not
