@@ -305,27 +305,33 @@ final class SparqlFrame(
         Sol(cur.df.join(r, compat.reduce(_ && _) && overlap.reduce(_ || _), "left_anti"),
           cur.vars, cur.maybeNull)
       }
-    case SqGraphPat(TVar(x), g) if quads.isDefined && bgpOnly(g) =>
-      // BGP(+row-local FILTER) block: ONE pass over the named-graphs slice
-      // of the quads frame with ?g bound from the g column — per-graph
-      // scoping falls out of the shared-variable join (every pattern binds
-      // the same ?g). Filters apply after the block's patterns join (SPARQL
+    case SqGraphPat(TVar(x), g) if quads.isDefined && quadCompatible(g) =>
+      // BGP/OPTIONAL/UNION(+row-local FILTER/BIND) block: ONE pass over
+      // the named-graphs slice of the quads frame with ?g bound from the g
+      // column — per-graph scoping falls out of the shared-variable join
+      // (every pattern, including those inside OPTIONAL and UNION
+      // branches, binds the same ?g, so the left/union joins key on the
+      // graph too). Filters apply after the block's patterns join (SPARQL
       // scopes filters to the whole group, so this is if anything more
       // faithful than positional application). No driver loop, no
       // per-graph plan branch: a catalog of millions of per-document
       // graphs compiles to the same fixed-size plan.
-      val base = quads.get.filter(col("g") =!= "")
-      val pats = g.elems.collect { case t: SqTriple => t }
-      val sol0 = pats.foldLeft(cur)((acc, t) => joinSols(acc, quadPattern(t, x, base)))
-      g.elems.foldLeft(sol0) {
-        case (acc, SqFilter(e)) => acc.copy(df = acc.df.filter(compileB(e, acc) === true))
-        case (acc, _) => acc
-      }
+      evalQuadGroup(g, x, quads.get.filter(col("g") =!= ""), cur)
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
-      // non-BGP block (paths, filters, nested groups need per-graph
-      // scoping): evaluates once per named graph with ?g bound to the graph
-      // IRI; the graph catalog for such blocks is vocab-scale
+      // non-quad-compatible block (property paths, EXISTS filters, nested
+      // GRAPH/subselects need per-graph scoping): evaluates once per named
+      // graph with ?g bound to the graph IRI. That is a per-graph PLAN
+      // branch — fine for a vocab-scale catalog, wrong for per-document
+      // graphs — so past MaxGraphLoop graphs it fails loudly instead of
+      // building a silent multi-thousand-branch plan.
       val names = QuadsDF.graphNames(quads.get)
+      if (names.size > SparqlFrame.MaxGraphLoop)
+        throw new ReportableError(
+          s"GRAPH ?$x over a non-BGP block (property paths / EXISTS / nested " +
+            s"groups) evaluates per named graph, and this dataset has " +
+            s"${names.size} named graphs (limit ${SparqlFrame.MaxGraphLoop}). " +
+            "Rewrite the block to triple patterns + OPTIONAL/UNION/row-local " +
+            "FILTERs (the single-pass join path), or validate per graph slice.")
       val sols = names.map { nm =>
         val saved = activeT
         activeT = QuadsDF.graph(quads.get, Some(nm))
@@ -467,6 +473,48 @@ final class SparqlFrame(
       case SqFilter(e) => !hasExists(e) && !hasFullFn(e)
       case _ => false
     }
+
+  /** Shapes a GRAPH ?g block can take and still compile to the single-pass
+    * quad-join plan: triple patterns (IRI/var predicate), row-local
+    * FILTER/BIND, and OPTIONAL / UNION whose branches are themselves
+    * quad-compatible. Property paths, EXISTS, sub-selects and nested GRAPH
+    * fall back to the per-graph loop (bounded by MaxGraphLoop). */
+  private def quadCompatible(g: SqGroup): Boolean =
+    g.elems.exists(_.isInstanceOf[SqTriple]) && g.elems.forall {
+      case t: SqTriple => t.p match {
+        case PredIri(_) | PredVar(_) => true
+        case _ => false
+      }
+      case SqFilter(e) => !hasExists(e) && !hasFullFn(e)
+      case SqBind(e, _) => !hasExists(e) && !hasFullFn(e)
+      case SqOptional(g2) => quadCompatible(g2)
+      case SqUnion(branches) => branches.forall(quadCompatible)
+      case _ => false
+    }
+
+  /** Evaluate a quad-compatible GRAPH ?g block in ONE pass: every triple
+    * pattern becomes a [[quadPattern]] binding `x` from the quads g
+    * column, OPTIONAL becomes the regular keyed left join (whose keys
+    * include `x`, so matches stay inside the row's graph), UNION unions
+    * per-branch evaluations, and FILTERs scope to the whole block. */
+  private def evalQuadGroup(g: SqGroup, x: String, base: DataFrame, start: Sol): Sol = {
+    val withPats = g.elems.foldLeft(start) {
+      case (acc, t: SqTriple) => joinSols(acc, quadPattern(t, x, base))
+      case (acc, SqOptional(g2)) =>
+        optionalJoinWith(acc, g2, (gg, seed) => evalQuadGroup(gg, x, base, seed))
+      case (acc, SqUnion(branches)) =>
+        unionSols(branches.map(b => evalQuadGroup(b, x, base, acc)))
+      case (acc, SqBind(e, v)) =>
+        if (acc.vars.contains(v))
+          throw new ReportableError(s"BIND would re-bind already-bound variable ?$v")
+        Sol(acc.df.withColumn(v, compileT(e, acc)), acc.vars + v, acc.maybeNull)
+      case (acc, _) => acc // filters applied below
+    }
+    g.elems.foldLeft(withPats) {
+      case (acc, SqFilter(e)) => acc.copy(df = acc.df.filter(compileB(e, acc) === true))
+      case (acc, _) => acc
+    }
+  }
 
   /** One triple pattern against the quads frame, additionally binding
     * `gVar` from the `g` column — the GRAPH ?g fast path. */
@@ -666,9 +714,15 @@ final class SparqlFrame(
     Sol(joined, cur.vars, cur.maybeNull)
   }
 
-  private def optionalJoin(cur: Sol, g: SqGroup): Sol = {
+  private def optionalJoin(cur: Sol, g: SqGroup): Sol =
+    optionalJoinWith(cur, g, evalGroup)
+
+  /** optionalJoin with a pluggable group evaluator (the GRAPH ?g quad path
+    * re-enters with quad-pattern evaluation so inner patterns bind ?g). */
+  private def optionalJoinWith(cur: Sol, g: SqGroup,
+                               eval: (SqGroup, Sol) => Sol): Sol = {
     val (varsS, seed) = keyedSeed(cur)
-    val sub = evalGroup(g, seed)
+    val sub = eval(g, seed)
     val newVars = sub.vars.diff(seed.vars)
     val outVars = (cur.vars ++ newVars).toSeq.sorted
     // sub side: coalesced solution values under __v_, original keys under __x_
@@ -1023,4 +1077,12 @@ final class SparqlFrame(
       when(an < bn, -1).when(an === bn, 0).otherwise(1))
       .otherwise(callUDF("rdf_cmp", a("v"), a("k"), a("dt"), a("lang"), b("v"), b("dt"), b("lang")))
   }
+}
+
+object SparqlFrame {
+  /** Bound on the per-graph driver loop for GRAPH ?g blocks that cannot
+    * compile to the single-pass quad join (property paths, EXISTS, nested
+    * groups): each graph adds a plan branch, so past this many graphs the
+    * engine fails loudly instead of silently building a huge Union plan. */
+  val MaxGraphLoop = 1000
 }

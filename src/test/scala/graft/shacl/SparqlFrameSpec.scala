@@ -386,6 +386,71 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(res2.df.count() == 10000)
   }
 
+  test("GRAPH ?g OPTIONAL/UNION blocks ride the join path, scoped per graph") {
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:name "A" . ex:a ex:tag "T1" . }
+         |GRAPH ex:g2 { ex:a ex:name "A2" . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    def q(txt: String, out: Seq[String]) = {
+      val res = frame.evalSelect(Sparql.parseQuery(txt, Map("ex" -> ex))
+        .asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+      frame.collect(res, out)
+    }
+    // OPTIONAL must not leak g1's tag into g2's row
+    val opt = q("""SELECT ?g ?n ?t WHERE {
+      GRAPH ?g { ?s ex:name ?n . OPTIONAL { ?s ex:tag ?t . } } } ORDER BY ?n""",
+      Seq("g", "n", "t"))
+    assert(opt.map(r => (r("n"), r.get("t"))) == Seq(
+      (Lit("A"), Some(Lit("T1"))), (Lit("A2"), None)))
+    // UNION branches evaluate inside the same graph
+    val uni = q("""SELECT ?g ?v WHERE {
+      GRAPH ?g { { ?s ex:name ?v . } UNION { ?s ex:tag ?v . } } } ORDER BY ?v""",
+      Seq("g", "v"))
+    assert(uni.map(r => (r("g"), r("v"))) == Seq(
+      (Iri(ex + "g1"), Lit("A")), (Iri(ex + "g2"), Lit("A2")),
+      (Iri(ex + "g1"), Lit("T1"))))
+
+    // scale shape: 100k per-document graphs with an OPTIONAL-bearing block
+    // still compile to one fixed-size plan (the only Unions are the
+    // bounded 2-branch matched/unmatched of OPTIONAL, never per-graph)
+    val many = QuadsDF.fromQuads(spark, (1 to 100000).flatMap(i =>
+      Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "name"), Lit(s"n$i"), Some(Iri(s"$ex/g$i")))) ++
+        (if (i % 2 == 0)
+           Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "tag"), Lit(s"t$i"), Some(Iri(s"$ex/g$i"))))
+         else Nil)))
+    val manyT = QuadsDF.defaultUnion(many)
+    val frame2 = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
+      Map.empty, None, None, Some(many))
+    val res2 = frame2.evalSelect(Sparql.parseQuery(
+      "SELECT ?g ?n ?t WHERE { GRAPH ?g { ?s ex:name ?n . OPTIONAL { ?s ex:tag ?t . } } }",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame2.unitSeed)
+    val unions = res2.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+    }
+    assert(unions.forall(_ <= 2) && unions.size <= 2,
+      s"per-graph branches leaked into the plan: union fan-outs $unions")
+    assert(res2.df.count() == 100000)
+    assert(res2.df.filter(res2.df("t").isNotNull).count() == 50000)
+  }
+
+  test("GRAPH ?g with a path-bearing block fails loudly past MaxGraphLoop graphs") {
+    val many = QuadsDF.fromQuads(spark, (1 to (SparqlFrame.MaxGraphLoop + 1)).map(i =>
+      Quad(Iri(s"$ex/s$i"), Iri(ex + "p"), Iri(s"$ex/o$i"), Some(Iri(s"$ex/g$i")))))
+    val manyT = QuadsDF.defaultUnion(many)
+    val frame = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
+      Map.empty, None, None, Some(many))
+    val e = intercept[ReportableError](frame.evalSelect(Sparql.parseQuery(
+      "SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p+ ?o . } }",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed))
+    assert(e.getMessage.contains("named graphs") &&
+      e.getMessage.contains(SparqlFrame.MaxGraphLoop.toString))
+  }
+
   test("SUBSTR clips zero/negative starts like fn:substring; REPLACE honors q flag") {
     assert(eval1("""SUBSTR("hello", 0, 3)""").contains(Lit("he")))
     assert(eval1("""SUBSTR("hello", -1, 3)""").contains(Lit("h")))
