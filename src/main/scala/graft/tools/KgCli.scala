@@ -26,9 +26,15 @@ object KgCli {
     val t0 = System.nanoTime()
     val c = KgPipeline.run(spark, out, n, partitions = cpus.toInt, runId = runId)
     val dt = (System.nanoTime() - t0) / 1e9
+    // peak RSS of this (driver) JVM — the soak evidence that the driver
+    // stays bounded while the data scales (VmHWM = high-water mark)
+    val peakRss = try scala.io.Source.fromFile("/proc/self/status").getLines()
+      .find(_.startsWith("VmHWM")).map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     println(f"docs=${c.docs} spans=${c.spans} mentions=${c.mentions} links=${c.links} " +
       f"entities=${c.entities} components=${c.components} triples=${c.triples} " +
-      f"conforms=${c.conforms} seconds=$dt%.1f triples_per_sec=${c.triples / dt}%.0f")
+      f"conforms=${c.conforms} seconds=$dt%.1f triples_per_sec=${c.triples / dt}%.0f " +
+      f"peak_rss_mb=$peakRss")
     spark.stop()
   }
 }
