@@ -179,9 +179,13 @@ object Queries {
   val qDedupExact: Q = (s, d) =>
     Dedup.exact(t(s, d, "documents"), "doc_id", "text").select(col("fp"), col("cnt"))
 
-  /** MinHash+LSH near-dup candidates (banded signature join). */
+  /** MinHash+LSH near-dup candidates (banded signature join) over the
+    * PORTABLE md5/double-hash signature — the full pipeline (shingles,
+    * permutations, banding, bucket join) recomputes in DuckDB, so this is
+    * hash-checked; the xxhash64 fast path stays the production default
+    * with its own recall tests. */
   val qMinhashLsh: Q = (s, d) =>
-    Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")
+    Dedup.minhashLshPortable(t(s, d, "documents"), "doc_id", "text")
 
   /** SimHash near-dup pairs (chunk-bucketed Hamming) over the PORTABLE
     * md5-derived signature: pigeonhole banding makes the banded result
@@ -640,6 +644,36 @@ object Queries {
         |        greatest(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)), 1), 4) AS jaccard
         |FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
         |WHERE jaccard >= 0.1""".stripMargin,
+    // full portable MinHash+LSH recomputed in SQL: md5-derived shingle
+    // hashes, Kirsch-Mitzenmacher permutations mod 2^31-1, 4 bands of 4,
+    // literal band keys, bucket self-join
+    "q_minhash_lsh" -> {
+      val P = 2147483647L
+      val mins = (0 until 16).map(i =>
+        s"min((h1 + $i * h2) % $P) AS s_$i").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, concat_ws(',', s_${4 * b}, s_${4 * b + 1}, " +
+          s"s_${4 * b + 2}, s_${4 * b + 3}) AS k FROM sig").mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM toks WHERE len(tk) >= 3
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         |    (('0x' || substr(md5(s), 16, 15))::BIGINT % $P) AS h2
+         |  FROM sh
+         |), sig AS (
+         |  SELECT doc_id, $mins FROM h GROUP BY doc_id
+         |), banded AS (
+         |  $bandSelects
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_bands
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    },
     // brute-force top-k: same cosine fold as q_embed_neardup, rank ties
     // broken by item_id on both engines
     "q_ann_bruteforce" ->
@@ -660,10 +694,10 @@ object Queries {
         |  FROM scored
         |)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, item_id FROM ranked WHERE rank <= 5""".stripMargin
-    // q_minhash_lsh / q_ann_lsh / q_ann_ivf remain rows-only: their
-    // candidate generation is xxhash64-bucketed (a Spark kernel with no
-    // DuckDB equivalent) and deliberately approximate — quality is pinned
-    // by recall tests in OpsSpec instead.
+    // q_ann_lsh / q_ann_ivf remain rows-only: random-hyperplane / IVF
+    // bucketing is xxhash64-seeded (a Spark kernel with no DuckDB
+    // equivalent) and deliberately approximate — quality is pinned by
+    // recall-vs-brute-force asserts in OpsSpec instead.
   )
 
   val all: Map[String, Q] = Map(

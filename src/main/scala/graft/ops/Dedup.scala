@@ -67,6 +67,46 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Portable MinHash signature: the shingle hash is md5-derived (h1 = 60
+    * bits, h2 = 60 bits mod P) and permutation i is the Kirsch-Mitzenmacher
+    * double hash (h1 + i*h2) mod P with P = 2^31-1 — every step is plain
+    * SQL arithmetic both engines compute bit-identically, unlike xxhash64
+    * (a Spark kernel). Same explode + n min-aggregates shape as
+    * [[minhashSig]]. */
+  def minhashSigPortable(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 16): DataFrame = {
+    val P = 2147483647L // 2^31 - 1, prime
+    val h = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol)))).as("s"))
+      .select(col("id"), md5(col("s")).as("m"))
+      .select(col("id"),
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(col("m"), 16, 15), 16, 10).cast("long") % P).as("h2"))
+    h.groupBy(col("id"))
+      .agg(array((0 until n).map(i =>
+        min((col("h1") + lit(i.toLong) * col("h2")) % P)): _*).as("sig"))
+  }
+
+  /** MinHash+LSH candidates over the portable signature — same banded
+    * bucket join as [[minhashLsh]], but the band key is the literal
+    * comma-joined signature slice (no hash), so the WHOLE pipeline —
+    * shingling, permutations, banding, candidate join — is recomputable in
+    * DuckDB and q_minhash_lsh is rows+schema+hash-checked, not rows-only. */
+  def minhashLshPortable(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 16, bands: Int = 4): DataFrame = {
+    val bandWidth = n / bands
+    val banded = minhashSigPortable(docs, idCol, textCol, n).select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          array_join(transform(slice(col("sig"), b * bandWidth + 1, bandWidth),
+            x => x.cast("string")), ",").as("k"))): _*)))
+      .select(col("id"), col("col.band").as("band"), col("col.k").as("k"))
+    val a = banded.select(col("band"), col("k"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("k"), col("id").as("id_b"))
+    a.join(b, Seq("band", "k")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared_bands"))
+  }
+
   /** SimHash: sign-aggregated 64-bit token hashes -> one BIGINT per doc.
     * Column form kept for ad-hoc use; the table form below is the fast
     * path (one expression here scans the token array 64 times). */

@@ -29,6 +29,19 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("portable minhash LSH recalls near-duplicates like the xxhash64 path") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " ok"), // near-dup of 1
+      (3L, "completely different words about spark dataframes and shuffles everywhere"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash hamming distance orders similarity") {
     val df = Seq(
       ("a", "alpha beta gamma delta epsilon zeta eta theta"),
