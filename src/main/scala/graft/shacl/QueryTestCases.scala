@@ -153,3 +153,64 @@ object PathEval {
     all
   }
 }
+
+/** [[PathEval]] over a QUADS frame: the frontier carries (f, v, g) and
+  * every step joins on the graph column too, so one evaluation — including
+  * the closure fixpoint — walks every named graph simultaneously, scoped
+  * per graph. This is what lets GRAPH ?g { ?s ex:p+ ?o } compile to a
+  * single fixed-size plan instead of a per-graph driver loop (SparqlFrame
+  * evalQuadGroup): at a million per-document graphs the fixpoint is still
+  * one distributed join per round. */
+object PathEvalQuads {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import PathIR._
+
+  /** Q: quads (s,p,o,g); frontier: (f, v, g). */
+  def step(Q: DataFrame, frontier: DataFrame, path: PathIR): DataFrame = path match {
+    case PPred(p) =>
+      val t = Q.filter(col("p") === p)
+        .select(col("s").as("_s"), col("o").as("_o"), col("g").as("_g"))
+      frontier.join(t, frontier("v") === t("_s") && frontier("g") === t("_g"))
+        .select(frontier("f"), t("_o").as("v"), frontier("g"))
+    case PInv(PPred(p)) =>
+      val t = Q.filter(col("p") === p)
+        .select(col("s").as("_s"), col("o").as("_o"), col("g").as("_g"))
+      frontier.join(t, frontier("v") === t("_o") && frontier("g") === t("_g"))
+        .select(frontier("f"), t("_s").as("v"), frontier("g"))
+    case PInv(inner) => step(Q, frontier, PathIR.invert(PInv(inner)))
+    case PSeq(parts) => parts.foldLeft(frontier)(step(Q, _, _))
+    case PAlt(alts) => alts.map(step(Q, frontier, _)).reduce(_ unionByName _).distinct()
+    case PZeroOrOne(inner) => frontier.unionByName(step(Q, frontier, inner)).distinct()
+    case PZeroOrMore(inner) => kleene(Q, frontier, inner)
+    case POneOrMore(inner) => kleene(Q, step(Q, frontier, inner).distinct(), inner)
+    case PNegSet(fwd, inv) =>
+      def notIn(ex: List[String]) =
+        if (ex.isEmpty) Q else Q.filter(!col("p").isin(ex: _*))
+      val legs = fwd.map { ex =>
+        val t = notIn(ex).select(col("s").as("_s"), col("o").as("_o"), col("g").as("_g"))
+        frontier.join(t, frontier("v") === t("_s") && frontier("g") === t("_g"))
+          .select(frontier("f"), t("_o").as("v"), frontier("g"))
+      }.toSeq ++ inv.map { ex =>
+        val t = notIn(ex).select(col("s").as("_s"), col("o").as("_o"), col("g").as("_g"))
+        frontier.join(t, frontier("v") === t("_o") && frontier("g") === t("_g"))
+          .select(frontier("f"), t("_s").as("v"), frontier("g"))
+      }.toSeq
+      if (legs.isEmpty) frontier.limit(0) else legs.reduce(_ unionByName _).distinct()
+  }
+
+  private def kleene(Q: DataFrame, seed: DataFrame, inner: PathIR): DataFrame = {
+    var all = seed.distinct().localCheckpoint()
+    var frontier = all
+    var n = all.count()
+    var iter = 0
+    while (n > 0 && iter < 100) {
+      val next = step(Q, frontier, inner).distinct().except(all).localCheckpoint()
+      n = next.count()
+      if (n > 0) all = all.unionByName(next).localCheckpoint()
+      frontier = next
+      iter += 1
+    }
+    all
+  }
+}

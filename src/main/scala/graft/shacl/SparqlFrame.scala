@@ -318,8 +318,8 @@ final class SparqlFrame(
       // graphs compiles to the same fixed-size plan.
       evalQuadGroup(g, x, quads.get.filter(col("g") =!= ""), cur)
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
-      // non-quad-compatible block (property paths, EXISTS filters, nested
-      // GRAPH/subselects need per-graph scoping): evaluates once per named
+      // non-quad-compatible block (EXISTS filters, nested GRAPH,
+      // subselects need per-graph scoping): evaluates once per named
       // graph with ?g bound to the graph IRI. That is a per-graph PLAN
       // branch — fine for a vocab-scale catalog, wrong for per-document
       // graphs — so past MaxGraphLoop graphs it fails loudly instead of
@@ -327,11 +327,12 @@ final class SparqlFrame(
       val names = QuadsDF.graphNames(quads.get)
       if (names.size > SparqlFrame.MaxGraphLoop)
         throw new ReportableError(
-          s"GRAPH ?$x over a non-BGP block (property paths / EXISTS / nested " +
-            s"groups) evaluates per named graph, and this dataset has " +
+          s"GRAPH ?$x over a block with EXISTS / nested GRAPH / subselects " +
+            s"evaluates per named graph, and this dataset has " +
             s"${names.size} named graphs (limit ${SparqlFrame.MaxGraphLoop}). " +
-            "Rewrite the block to triple patterns + OPTIONAL/UNION/row-local " +
-            "FILTERs (the single-pass join path), or validate per graph slice.")
+            "Rewrite the block to triple patterns (incl. property paths) + " +
+            "OPTIONAL/UNION/row-local FILTERs (the single-pass join path), " +
+            "or validate per graph slice.")
       val sols = names.map { nm =>
         val saved = activeT
         activeT = QuadsDF.graph(quads.get, Some(nm))
@@ -475,14 +476,15 @@ final class SparqlFrame(
     }
 
   /** Shapes a GRAPH ?g block can take and still compile to the single-pass
-    * quad-join plan: triple patterns (IRI/var predicate), row-local
-    * FILTER/BIND, and OPTIONAL / UNION whose branches are themselves
-    * quad-compatible. Property paths, EXISTS, sub-selects and nested GRAPH
+    * quad-join plan: triple patterns (IRI/var/property-path predicate —
+    * paths walk [[PathEvalQuads]], whose frontier carries the graph
+    * column), row-local FILTER/BIND, and OPTIONAL / UNION whose branches
+    * are themselves quad-compatible. EXISTS, sub-selects and nested GRAPH
     * fall back to the per-graph loop (bounded by MaxGraphLoop). */
   private def quadCompatible(g: SqGroup): Boolean =
     g.elems.exists(_.isInstanceOf[SqTriple]) && g.elems.forall {
       case t: SqTriple => t.p match {
-        case PredIri(_) | PredVar(_) => true
+        case PredIri(_) | PredVar(_) | PredPath(_) => true
         case _ => false
       }
       case SqFilter(e) => !hasExists(e) && !hasFullFn(e)
@@ -499,7 +501,10 @@ final class SparqlFrame(
     * per-branch evaluations, and FILTERs scope to the whole block. */
   private def evalQuadGroup(g: SqGroup, x: String, base: DataFrame, start: Sol): Sol = {
     val withPats = g.elems.foldLeft(start) {
-      case (acc, t: SqTriple) => joinSols(acc, quadPattern(t, x, base))
+      case (acc, t: SqTriple) => t.p match {
+        case PredPath(p) => quadPathPattern(t, x, base, acc, p)
+        case _ => joinSols(acc, quadPattern(t, x, base))
+      }
       case (acc, SqOptional(g2)) =>
         optionalJoinWith(acc, g2, (gg, seed) => evalQuadGroup(gg, x, base, seed))
       case (acc, SqUnion(branches)) =>
@@ -658,6 +663,109 @@ final class SparqlFrame(
           Set("__unit"))
     }
     joinSols(cur, Sol(df, vars, Set.empty))
+  }
+
+  /** `?s <path> ?o` inside a quad-compatible GRAPH ?g block: the path
+    * walks [[PathEvalQuads]] (frontier carries the graph column, so the
+    * closure fixpoint runs for every named graph in one distributed pass)
+    * and `gVar` binds from the g column of the result — per-graph scoping
+    * falls out of the shared-variable join, same as quadPattern. */
+  private def quadPathPattern(t: SqTriple, gVar: String, base: DataFrame,
+                              cur: Sol, path: PathIR): Sol = {
+    def gT(c: Column) = struct(c.as("v"), lit(0.toByte).as("k"),
+      lit("").as("dt"), lit("").as("lang"))
+    def boundSide(term: SqTerm): Boolean = term match {
+      case TVar(x) => cur.vars.contains(x)
+      case TConst(_) => true
+    }
+    val forward = boundSide(t.s)
+    if (!forward && !boundSide(t.o)) {
+      val pairs = pathPairsQuads(path, base).getOrElse(throw new ReportableError(
+        "a closure property path with neither side bound is not supported"))
+      val sol = (t.s, t.o) match {
+        case (TVar(a), TVar(b)) =>
+          Sol(pairs.select(col("f").as(a), col("v").as(b), gT(col("g")).as(gVar)),
+            Set(a, b, gVar), Set.empty)
+        case _ => throw new ReportableError("unreachable: unanchored ground path")
+      }
+      return joinSols(cur, sol)
+    }
+    val (anchor, other, p) =
+      if (forward) (t.s, t.o, path) else (t.o, t.s, PathIR.invert(path))
+    val anchorVals = anchor match {
+      case TVar(x) => cur.df.select(col(x).as("f")).filter(col("f").isNotNull).distinct()
+      case TConst(n) => spark.range(1).select(termLit(n).as("f"))
+    }
+    // frontier graph column: from the bound ?g when available (anchor and
+    // graph stay paired), else every named graph via a distributed cross
+    // join against the distinct-graph catalog — correct for any element
+    // order; queries that bind ?g with a plain pattern first take the
+    // cheap paired branch
+    val frontier = anchor match {
+      case TVar(a) if cur.vars.contains(gVar) =>
+        cur.df.filter(col(gVar).isNotNull && col(a).isNotNull)
+          .select(col(a).as("f"), col(gVar)("v").as("g")).distinct()
+          .select(col("f"), col("f").as("v"), col("g"))
+      case _ if cur.vars.contains(gVar) =>
+        cur.df.filter(col(gVar).isNotNull).select(col(gVar)("v").as("g")).distinct()
+          .crossJoin(anchorVals).select(col("f"), col("f").as("v"), col("g"))
+      case _ =>
+        anchorVals.crossJoin(base.select(col("g")).distinct())
+          .select(col("f"), col("f").as("v"), col("g"))
+    }
+    val res = PathEvalQuads.step(base, frontier, p).distinct()
+      .select(col("f"), col("v"), gT(col("g")).as("__g_term"))
+    val (df, vars) = (anchor, other) match {
+      case (TVar(a), TVar(o)) =>
+        (res.select(col("f").as(a), col("v").as(o), col("__g_term").as(gVar)),
+          Set(a, o, gVar))
+      case (TVar(a), TConst(n)) =>
+        (res.filter(col("v") === termLit(n))
+          .select(col("f").as(a), col("__g_term").as(gVar)), Set(a, gVar))
+      case (TConst(_), TVar(o)) =>
+        (res.select(col("v").as(o), col("__g_term").as(gVar)), Set(o, gVar))
+      case (TConst(_), TConst(n)) =>
+        (res.filter(col("v") === termLit(n))
+          .select(col("__g_term").as(gVar)).distinct(), Set(gVar))
+    }
+    joinSols(cur, Sol(df, vars, Set.empty))
+  }
+
+  /** [[pathPairs]] over the quads frame: (f, v, g) pairs per named graph,
+    * for closure-free paths with neither side bound. */
+  private def pathPairsQuads(p: PathIR, base: DataFrame): Option[DataFrame] = p match {
+    case PathIR.PPred(pred) =>
+      Some(base.filter(col("p") === pred)
+        .select(col("s").as("f"), col("o").as("v"), col("g")))
+    case PathIR.PInv(inner) =>
+      pathPairsQuads(inner, base).map(_.select(col("v").as("f"), col("f").as("v"), col("g")))
+    case PathIR.PSeq(parts) =>
+      parts.map(pathPairsQuads(_, base)).reduce { (ao, bo) =>
+        for (a <- ao; b <- bo) yield {
+          val bb = b.select(col("f").as("_bf"), col("v").as("_bv"), col("g").as("_bg"))
+          a.join(bb, a("v") === bb("_bf") && a("g") === bb("_bg"))
+            .select(a("f"), col("_bv").as("v"), a("g"))
+        }
+      }
+    case PathIR.PAlt(alts) =>
+      val ps = alts.map(pathPairsQuads(_, base))
+      if (ps.forall(_.isDefined)) Some(ps.flatten.reduce(_ unionByName _).distinct())
+      else None
+    case PathIR.PNegSet(fwd, inv) =>
+      def notIn(ex: List[String]) =
+        if (ex.isEmpty) base else base.filter(!col("p").isin(ex: _*))
+      val legs = fwd.map(ex =>
+        notIn(ex).select(col("s").as("f"), col("o").as("v"), col("g"))).toSeq ++
+        inv.map(ex =>
+          notIn(ex).select(col("o").as("f"), col("s").as("v"), col("g"))).toSeq
+      legs.reduceOption(_ unionByName _).map(_.distinct())
+    case PathIR.POneOrMore(inner) =>
+      // unanchored p+ : seed the graph-keyed kleene with the inner path's
+      // own (f, v, g) pairs — kleene returns seed ∪ further steps, i.e.
+      // exactly the >=1-application closure, one fixpoint for ALL graphs
+      pathPairsQuads(inner, base).map(seed =>
+        PathEvalQuads.step(base, seed, PathIR.PZeroOrMore(inner)))
+    case _ => None // zero-length closures need an anchor
   }
 
   private def joinSols(a: Sol, b: Sol): Sol = {

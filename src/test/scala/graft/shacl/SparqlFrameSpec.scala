@@ -438,14 +438,63 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(res2.df.filter(res2.df("t").isNotNull).count() == 50000)
   }
 
-  test("GRAPH ?g with a path-bearing block fails loudly past MaxGraphLoop graphs") {
+  test("GRAPH ?g property paths walk per graph in ONE pass (incl. closure)") {
+    // chains live in separate graphs; a+ must not hop across graphs
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:p ex:b . ex:b ex:p ex:c . }
+         |GRAPH ex:g2 { ex:c ex:p ex:d . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    def q(txt: String, out: Seq[String]) = {
+      val res = frame.evalSelect(Sparql.parseQuery(txt, Map("ex" -> ex))
+        .asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+      frame.collect(res, out)
+    }
+    // anchored closure: from ex:a, within any single graph
+    val cl = q("SELECT ?g ?o WHERE { GRAPH ?g { ex:a ex:p+ ?o . } } ORDER BY ?o",
+      Seq("g", "o"))
+    assert(cl.map(r => (r("g"), r("o"))) == Seq(
+      (Iri(ex + "g1"), Iri(ex + "b")), (Iri(ex + "g1"), Iri(ex + "c"))))
+    // sequence path, per graph, unanchored (pairs scan keyed by g)
+    val sq = q("SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ex:p/ex:p ?o . } }",
+      Seq("g", "s", "o"))
+    assert(sq.map(r => (r("g"), r("s"), r("o"))) == Seq(
+      (Iri(ex + "g1"), Iri(ex + "a"), Iri(ex + "c"))))
+    // the graph var joins against other patterns' bindings of ?g
+    val joined = q("""SELECT ?g ?o WHERE {
+      GRAPH ?g { ?x ex:p ex:d . ex:c ex:p+ ?o . } }""", Seq("g", "o"))
+    assert(joined.map(r => (r("g"), r("o"))) == Seq((Iri(ex + "g2"), Iri(ex + "d"))))
+
+    // scale shape: closure over 50k per-document graphs = ONE fixpoint,
+    // not a per-graph loop (no MaxGraphLoop error, correct counts)
+    val many = QuadsDF.fromQuads(spark, (1 to 50000).flatMap(i =>
+      Seq(Quad(Iri(s"$ex/a$i"), Iri(ex + "p"), Iri(s"$ex/b$i"), Some(Iri(s"$ex/g$i"))),
+        Quad(Iri(s"$ex/b$i"), Iri(ex + "p"), Iri(s"$ex/c$i"), Some(Iri(s"$ex/g$i"))))))
+    val manyT = QuadsDF.defaultUnion(many)
+    val frame2 = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
+      Map.empty, None, None, Some(many))
+    val res2 = frame2.evalSelect(Sparql.parseQuery(
+      "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ex:q ?z . ?s ex:p+ ?o . } }",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame2.unitSeed)
+    assert(res2.df.count() == 0) // no ex:q edges — but the plan compiled
+    val res3 = frame2.evalSelect(Sparql.parseQuery(
+      "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ex:p+ ?o . } }",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame2.unitSeed)
+    assert(res3.df.count() == 150000L) // a->b, b->c, a->c per graph
+  }
+
+  test("GRAPH ?g with an EXISTS block fails loudly past MaxGraphLoop graphs") {
     val many = QuadsDF.fromQuads(spark, (1 to (SparqlFrame.MaxGraphLoop + 1)).map(i =>
       Quad(Iri(s"$ex/s$i"), Iri(ex + "p"), Iri(s"$ex/o$i"), Some(Iri(s"$ex/g$i")))))
     val manyT = QuadsDF.defaultUnion(many)
     val frame = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
       Map.empty, None, None, Some(many))
     val e = intercept[ReportableError](frame.evalSelect(Sparql.parseQuery(
-      "SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p+ ?o . } }",
+      "SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?o . FILTER EXISTS { ?o ex:p ?z . } } }",
       Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed))
     assert(e.getMessage.contains("named graphs") &&
       e.getMessage.contains(SparqlFrame.MaxGraphLoop.toString))
