@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Pre-shuffle parallelism guard: a single-row-group parquet file scans
+    * as ONE partition, which serializes every per-document projection that
+    * runs before the first shuffle (shingling, md5 signatures, token
+    * explodes) onto one core — measured 6-8 s of the ngram join's wall
+    * time at sf0.1. When the input has fewer partitions than the cluster
+    * has slots, pay one cheap shuffle of the raw rows to unlock the cores;
+    * at real scale inputs arrive in thousands of splits and this is a
+    * no-op. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact duplicates: hash-groupBy on a normalized fingerprint (map-side
     * partial agg for free). Returns (fp, cnt, doc_ids) for groups > 1. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -41,7 +54,7 @@ object Dedup {
     * n min-aggregates — avoids inlining the shingle expression n times into
     * one giant codegen stage (the array-expression form regresses ~20x). */
   def minhashSig(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+    widen(docs).select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
       .groupBy(col("id"))
       .agg(array((0 until n).map(i => min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
 
@@ -76,7 +89,7 @@ object Dedup {
   def minhashSigPortable(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 16): DataFrame = {
     val P = 2147483647L // 2^31 - 1, prime
-    val h = docs.select(col(idCol).as("id"),
+    val h = widen(docs).select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol)))).as("s"))
       .select(col("id"), md5(col("s")).as("m"))
       .select(col("id"),
@@ -126,7 +139,7 @@ object Dedup {
     * instead of 64 re-scans of the token array per row — this was the
     * slowest query in BENCH_r01 (10.2 s / 500 docs) before the rewrite. */
   def simhashSig(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = widen(docs).select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val votes = (0 until 64).map(bit =>
@@ -147,7 +160,7 @@ object Dedup {
     * BIGINT on the Spark side (wrap-around shift is fine here; the oracle
     * keeps them separate to avoid checked-arithmetic overflow). */
   def simhashSigPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = widen(docs).select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
       .select(col("id"), md5(col("t")).as("m"))
       .select(col("id"),
@@ -280,7 +293,7 @@ object Dedup {
     // sets — md5 (not xxhash64) so the DuckDB oracle recomputes the exact
     // same values (collisions: ~2^-60 per pair, and identical engines
     // would collide identically anyway)
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = widen(docs).select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), k))).as("s"))
       .select(col("id"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s"))
