@@ -14,6 +14,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Same pre-shuffle parallelism guard as Dedup.widen: a single-row-group
+    * parquet scan is ONE partition, serializing the bits×tables projection
+    * sums / per-row norms onto one core until the first shuffle. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def dot(a: Column, b: Column): Column =
     // cast BEFORE multiplying: float*float rounds each product to 24-bit
     // mantissa, double*double keeps full precision (and matches how any
@@ -52,7 +60,7 @@ object Similarity {
     ArrayDotProduct.ensure(items.sparkSession)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       nrm(col(vecCol)).as("q_nrm"))
-    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
+    val it = widen(items).select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
       nrm(col(vecCol)).as("item_nrm"))
     val scored = it.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("item_id"))
@@ -92,7 +100,7 @@ object Similarity {
     // matching the column-expression form (a plain posexplode would drop
     // the id from the signature table and silently exclude it from
     // candidates and bucket diagnostics)
-    val dims = docs.select(col(idCol).as("id"), posexplode_outer(col(vecCol)))
+    val dims = widen(docs).select(col(idCol).as("id"), posexplode_outer(col(vecCol)))
       .select(col("id"), col("pos").as("d"), col("col").cast("double").as("x"))
     val sums = for (t <- 0 until tables; b <- 0 until bits)
       yield sum(col("x") * rhpWeight(lit(t), lit(b), col("d"))).as(s"p_${t}_$b")
@@ -185,7 +193,7 @@ object Similarity {
         lit(math.max(math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum), 1e-12))
           .as("c_nrm"))
     }: _*)
-    df.select(col(idCol), col(vecCol).as("__vec"), nrm(col(vecCol)).as("__nrm"))
+    widen(df).select(col(idCol), col(vecCol).as("__vec"), nrm(col(vecCol)).as("__nrm"))
       .select(col(idCol), col("__vec"),
         explode(slice(reverse(array_sort(transform(centArr, c =>
           struct((call_function("graft_dot", col("__vec"), c("c_vec")) /
