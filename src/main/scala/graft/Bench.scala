@@ -84,6 +84,13 @@ object Bench {
 
     // headline operator queries at local[cpus]
     var spark = session(cpus)
+    // JIT/codegen warmup: without it the first alphabetical query absorbs
+    // all session initialization (q_ann_bruteforce read 5.9 s cold in every
+    // full pass vs 0.9 s steady-state) and the per-query numbers misstate
+    // where time actually goes
+    for (w <- Seq("q_embed_norm", "q_token_count", "q_ann_bruteforce");
+         fn <- SparkEntry.queries.get(w))
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, dt) = timed {
         try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
