@@ -220,8 +220,11 @@ object Dedup {
     val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("dist"))
-      .distinct()
+      // dist filter BEFORE the dedupe: dist is functional on the pair, so
+      // the result is identical, but the distinct's shuffle input shrinks
+      // from every band collision (~2.5M pairs at sf0.1) to the survivors
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT baseline: every (a < b)
