@@ -619,7 +619,13 @@ final class SparqlFrame(
         inv.map(ex =>
           notIn(ex).select(col("o").as("f"), col("s").as("v"))).toSeq
       legs.reduceOption(_ unionByName _).map(_.distinct())
-    case _ => None // closure operators need an anchor
+    case PathIR.POneOrMore(inner) =>
+      // unanchored p+ (rdflib supports it): seed the kleene with the inner
+      // path's own (f, v) pairs — kleene returns seed ∪ further steps,
+      // exactly the >=1-application closure (same trick as pathPairsQuads)
+      pathPairs(inner).map(seed =>
+        PathEval.step(activeT, seed, PathIR.PZeroOrMore(inner)))
+    case _ => None // zero-length closures need an anchor
   }
 
   /** `?s <path> ?o` — a property path evaluated from whichever side is

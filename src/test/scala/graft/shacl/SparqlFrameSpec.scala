@@ -386,6 +386,18 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(res2.df.count() == 10000)
   }
 
+  test("unanchored p+ closure works via pairs-seeded kleene") {
+    val chain =
+      s"""@prefix ex: <$ex> .
+         |ex:a ex:p ex:b . ex:b ex:p ex:c . ex:x ex:p ex:y .
+         |""".stripMargin
+    val rows = runOn(chain,
+      "SELECT ?s ?o WHERE { ?s ex:p+ ?o . } ORDER BY ?s ?o")
+    assert(rows.map(r => (r("s"), r("o"))) == Seq(
+      (Iri(ex + "a"), Iri(ex + "b")), (Iri(ex + "a"), Iri(ex + "c")),
+      (Iri(ex + "b"), Iri(ex + "c")), (Iri(ex + "x"), Iri(ex + "y"))))
+  }
+
   test("GRAPH ?g OPTIONAL/UNION blocks ride the join path, scoped per graph") {
     val trig =
       s"""@prefix ex: <$ex> .
