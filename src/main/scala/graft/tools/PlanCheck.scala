@@ -17,7 +17,12 @@ object PlanCheck {
         // r4: GRAPH ?g single-join fast path (no per-graph union), NPS
         // excluded-predicate scan, pre-projection ORDER BY + LIMIT (global
         // TakeOrderedAndProject), embedding near-dup exact baseline
-        "q_sparql_graph", "q_sparql_nps", "q_sparql_topk", "q_embed_neardup")
+        "q_sparql_graph", "q_sparql_nps", "q_sparql_topk", "q_embed_neardup",
+        // r5: portable minhash (banded self-join, small side broadcast),
+        // df-capped inverted-index ngram join (AQE broadcasts the rare +
+        // array tables), IVF with literal-centroid assignment (no window
+        // or crossJoin on the items side), portable simhash
+        "q_ngram_jaccard", "q_ann_ivf", "q_simhash")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
