@@ -175,6 +175,16 @@ object Queries {
   val qFingerprint: Q = (s, d) =>
     t(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
 
+  /** Gopher-style composite quality filter: repetition / word-length /
+    * symbol signals + the keep verdict, one codegen'd projection. */
+  val qGopher: Q = (s, d) =>
+    t(s, d, "documents").select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("wc"),
+      TextOps.meanWordLen(col("text")).as("mwl"),
+      TextOps.symbolRatio(col("text")).as("symr"),
+      TextOps.dupTrigramFraction(col("text")).as("dup3"),
+      TextOps.gopherKeep(col("text")).cast("long").as("keep"))
+
   /** Exact dedup groups (may be empty at small sf — that is the answer). */
   val qDedupExact: Q = (s, d) =>
     Dedup.exact(t(s, d, "documents"), "doc_id", "text").select(col("fp"), col("cnt"))
@@ -541,6 +551,36 @@ object Queries {
       """)) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 4) AS stop_ratio
         |FROM documents""".stripMargin),
     "q_langid" -> langIdSql,
+    // Gopher filter: every signal mirrors the Spark expression exactly
+    // (same tokenization, same rounding, inclusive BETWEENs)
+    "q_gopher" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ltk,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(string_split_regex(trim(text), '\s+')) END) AS wc,
+        |    round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |      greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mwl,
+        |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) /
+        |      greatest(length(text), 1), 4) AS symr
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, wc, mwl, symr,
+        |    (CASE WHEN len(ltk) < 3 THEN 0.0
+        |     ELSE round(1.0 - CAST(len(list_distinct(list_transform(
+        |       generate_series(1, len(ltk) - 2),
+        |       i -> ltk[i] || ' ' || ltk[i+1] || ' ' || ltk[i+2]))) AS DOUBLE) /
+        |       (len(ltk) - 2), 4) END) AS dup3,
+        |    round(CAST(len(list_filter(ltk, t -> t IN """.stripMargin +
+      stopwordsSql +
+      """)) AS DOUBLE) / greatest(len(ltk), 1), 4) AS stopr
+        |  FROM base
+        |)
+        |SELECT doc_id, wc, mwl, symr, dup3,
+        |  (CASE WHEN wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND symr < 0.1 AND stopr > 0.03 AND dup3 < 0.2
+        |   THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM tri""".stripMargin),
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
@@ -721,6 +761,7 @@ object Queries {
     "q_quality" -> qQuality,
     "q_langid" -> qLangId,
     "q_fingerprint" -> qFingerprint,
+    "q_gopher" -> qGopher,
     "q_dedup_exact" -> qDedupExact,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_simhash" -> qSimhash,

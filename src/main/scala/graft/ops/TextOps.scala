@@ -76,4 +76,36 @@ object TextOps {
     * (stable across engines). */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  // ---------------------------------------------- Gopher-style filtering
+  /** Duplicate word-trigram fraction (Gopher/RefinedWeb-style repetition
+    * signal): 1 - distinct/total over the doc's word 3-grams; 0 when the
+    * doc has fewer than 3 tokens. Boilerplate-heavy and degenerate
+    * (looping) documents score high. */
+  def dupTrigramFraction(text: Column): Column = {
+    val sh = Dedup.shingles(text)
+    when(size(sh) < 1, lit(0.0d))
+      .otherwise(round(lit(1.0d) -
+        size(array_distinct(sh)).cast("double") / size(sh), 4))
+  }
+
+  /** Symbol ratio: characters that are neither alphanumeric nor
+    * whitespace, over total characters. */
+  def symbolRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)), 4)
+
+  /** Composite Gopher-style keep/drop verdict — the standard pretraining
+    * document filter expressed as ONE codegen'd boolean column: word count
+    * in [minWords, maxWords], mean word length in [3, 10], symbol ratio
+    * below 0.1, stopword ratio above 0.03, duplicate-trigram fraction
+    * below 0.2. Thresholds are parameters so corpora can tune them; every
+    * term is deterministic and SQL-expressible (DuckDB-oracled as
+    * q_gopher). */
+  def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column =
+    tokenCount(text).between(minWords, maxWords) &&
+      meanWordLen(text).between(3.0, 10.0) &&
+      (symbolRatio(text) < 0.1) &&
+      (stopwordRatio(text) > 0.03) &&
+      (dupTrigramFraction(text) < 0.2)
 }

@@ -233,6 +233,28 @@ class OpsSpec extends AnyFunSuite {
       codec.decode(Multimodal.MediaRow("m:evil", "audio", evil)))
   }
 
+  test("gopher filter: degenerate docs drop, normal prose keeps") {
+    val clean = ("the quick brown fox jumps over the lazy dog and then " +
+      "walks into the forest to find some food for the long winter season " +
+      "while birds are singing in the trees above the quiet river bank " +
+      "where children often play during warm summer afternoons with kites " +
+      "and later the families gather around small fires to share stories " +
+      "about distant mountains and the travelers who once crossed them").trim
+    val looping = (1 to 40).map(_ => "buy cheap pills now").mkString(" ")
+    val symbols = (1 to 60).map(_ => "@@## $$%% ^^&&").mkString(" ")
+    val df = Seq((1L, clean), (2L, looping), (3L, symbols), (4L, "too short"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.gopherKeep($"text").as("keep"),
+        TextOps.dupTrigramFraction($"text").as("dup3"),
+        TextOps.symbolRatio($"text").as("symr"))
+    val m = df.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L)._1, "clean prose must keep")
+    assert(!m(2L)._1 && m(2L)._2 > 0.9, "looping doc must drop on repetition")
+    assert(!m(3L)._1 && m(3L)._3 > 0.1, "symbol soup must drop on symbol ratio")
+    assert(!m(4L)._1, "short doc must drop on word count")
+  }
+
   test("IVF recall >= 0.9 vs brute force on the bench embedding table") {
     // pins q_ann_ivf's quality the way RHP-LSH is pinned: at default
     // nlist/nprobe, IVF top-5 must recover >= 90% of the exact top-5
