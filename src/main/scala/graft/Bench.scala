@@ -138,8 +138,7 @@ object Bench {
     def eff(tn: Double, t4n: Double): Double = (tn / t4n) / 4.0
     // co-tenant load at measurement time (this box idles at load 7-11);
     // interpret the scaling numbers against it
-    val loadavg = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ")(0)
-      catch { case _: Throwable => "-1" }
+    val loadavg = loadavg1()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     def runsJson(c: Int): String = runs(c).map(t => f"$t%.2f").mkString("[", ",", "]")
     val tps = triplesN / tMain

@@ -56,7 +56,9 @@ final class TripleStore(spark: SparkSession, root: String) {
     val (d, dfs) = hfs(dataPath)
     if (!dfs.exists(d)) { ensureFormatMarker(); return } // log but no data yet
     val mismatched = spark.read.parquet(dataPath)
-      .select($"p_part", $"p").distinct()
+      // cast defends against partition-type inference: all-numeric p_part
+      // values read back as ints and the typed select would throw
+      .select($"p_part".cast("string").as("p_part"), $"p").distinct()
       .as[(String, String)].collect()
       .collect { case (pp, pred) if pp != partName(pred) => s"$pred (stored $pp)" }
     if (mismatched.nonEmpty)

@@ -238,9 +238,10 @@ object Dedup {
     // rounded values are bit-identical to the naive form and the DuckDB
     // oracle. 33 s -> ~3 s on the sf0.1 benchmark table.
     ArrayDotProduct.ensure(docs.sparkSession)
-    val a = widen(docs).select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+    val wd = widen(docs) // both cross-join sides, or half the norms serialize
+    val a = wd.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
       Similarity.nrm(col(vecCol)).as("a_nrm"))
-    val b = docs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+    val b = wd.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
       Similarity.nrm(col(vecCol)).as("b_nrm"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

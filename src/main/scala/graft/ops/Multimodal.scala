@@ -133,8 +133,18 @@ object Multimodal {
     }
     val d = new java.util.zip.Deflater()
     d.setInput(raw); d.finish()
-    val comp = new Array[Byte](raw.length + 64)
-    val n = d.deflate(comp); d.end()
+    // drain fully: one deflate() call can return before finished() on
+    // low-redundancy rasters (5-byte stored-block overhead per 64 KiB),
+    // which would embed a truncated zlib stream behind a VALID CRC
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val k = d.deflate(buf)
+      bos.write(buf, 0, k)
+    }
+    d.end()
+    val comp = bos.toByteArray
+    val n = comp.length
     def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](12 + data.length)
       be32(out, 0, data.length.toLong)
@@ -149,7 +159,7 @@ object Multimodal {
     be32(ihdr, 0, w.toLong); be32(ihdr, 4, h.toLong)
     ihdr(8) = 8; ihdr(9) = 0 // 8-bit grayscale
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.take(n)) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp) ++
       chunk("IEND", Array.empty[Byte])
   }
 
@@ -255,6 +265,8 @@ object Multimodal {
           throw new IllegalArgumentException(
             s"malformed JPEG in ${r.media_ref}: expected marker at offset $i, " +
               f"got ${b(i) & 0xff}%02x")
+        // ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while (i + 2 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
         val m = b(i + 1) & 0xff
         if (m == 0xd9) done = true // EOI
         else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone

@@ -235,7 +235,10 @@ final class ValidationEngine(
     case PInv(PPred(p)) =>
       val t = T.filter($"p" === p).select($"s".as("_s"), $"o".as("_o"))
       frontier.join(t, frontier("v") === t("_o")).select(frontier("f"), t("_s").as("v"))
-    case PInv(inner) => step(frontier, PathIR.invert(PInv(inner))) // normalize
+    case PInv(inner) =>
+      // evaluate the INVERSE of inner: invert(PInv(inner)) would reduce
+      // back to inner (double inversion) and walk it FORWARD
+      step(frontier, PathIR.invert(inner))
     case PSeq(parts) => parts.foldLeft(frontier)(step)
     case PAlt(alts) => alts.map(step(frontier, _)).reduce(_ unionByName _).distinct()
     case PZeroOrOne(inner) => frontier.unionByName(step(frontier, inner)).distinct()

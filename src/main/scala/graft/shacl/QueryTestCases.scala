@@ -117,7 +117,10 @@ object PathEval {
     case PInv(PPred(p)) =>
       val t = T.filter(col("p") === p).select(col("s").as("_s"), col("o").as("_o"))
       frontier.join(t, frontier("v") === t("_o")).select(frontier("f"), t("_s").as("v"))
-    case PInv(inner) => step(T, frontier, PathIR.invert(PInv(inner)))
+    case PInv(inner) =>
+      // evaluate the INVERSE of inner (invert(PInv(x)) would reduce back to
+      // x for non-normalized composites — silently forward)
+      step(T, frontier, PathIR.invert(inner))
     case PSeq(parts) => parts.foldLeft(frontier)(step(T, _, _))
     case PAlt(alts) => alts.map(step(T, frontier, _)).reduce(_ unionByName _).distinct()
     case PZeroOrOne(inner) => frontier.unionByName(step(T, frontier, inner)).distinct()
@@ -178,7 +181,8 @@ object PathEvalQuads {
         .select(col("s").as("_s"), col("o").as("_o"), col("g").as("_g"))
       frontier.join(t, frontier("v") === t("_o") && frontier("g") === t("_g"))
         .select(frontier("f"), t("_s").as("v"), frontier("g"))
-    case PInv(inner) => step(Q, frontier, PathIR.invert(PInv(inner)))
+    case PInv(inner) =>
+      step(Q, frontier, PathIR.invert(inner))
     case PSeq(parts) => parts.foldLeft(frontier)(step(Q, _, _))
     case PAlt(alts) => alts.map(step(Q, frontier, _)).reduce(_ unionByName _).distinct()
     case PZeroOrOne(inner) => frontier.unionByName(step(Q, frontier, inner)).distinct()

@@ -331,8 +331,8 @@ final class SparqlFrame(
             s"evaluates per named graph, and this dataset has " +
             s"${names.size} named graphs (limit ${SparqlFrame.MaxGraphLoop}). " +
             "Rewrite the block to triple patterns (incl. property paths) + " +
-            "OPTIONAL/UNION/row-local FILTERs (the single-pass join path), " +
-            "or validate per graph slice.")
+            "UNION/row-local FILTERs with OPTIONALs after the required " +
+            "patterns (the single-pass join path), or validate per graph slice.")
       val sols = names.map { nm =>
         val saved = activeT
         activeT = QuadsDF.graph(quads.get, Some(nm))
@@ -481,8 +481,18 @@ final class SparqlFrame(
     * column), row-local FILTER/BIND, and OPTIONAL / UNION whose branches
     * are themselves quad-compatible. EXISTS, sub-selects and nested GRAPH
     * fall back to the per-graph loop (bounded by MaxGraphLoop). */
-  private def quadCompatible(g: SqGroup): Boolean =
-    g.elems.exists(_.isInstanceOf[SqTriple]) && g.elems.forall {
+  private def quadCompatible(g: SqGroup): Boolean = {
+    // OPTIONALs must be a suffix (only filters may follow): an OPTIONAL
+    // evaluated BEFORE the block's required patterns would left-join
+    // against a lhs that is not yet per-graph — a graph whose optional
+    // part is empty would be dropped whenever any other graph matched
+    // (the per-graph loop handles such blocks correctly instead)
+    val firstOpt = g.elems.indexWhere(_.isInstanceOf[SqOptional])
+    val optsTrailing = firstOpt < 0 || g.elems.drop(firstOpt).forall {
+      case _: SqOptional | _: SqFilter => true
+      case _ => false
+    }
+    optsTrailing && g.elems.exists(_.isInstanceOf[SqTriple]) && g.elems.forall {
       case t: SqTriple => t.p match {
         case PredIri(_) | PredVar(_) | PredPath(_) => true
         case _ => false
@@ -493,6 +503,7 @@ final class SparqlFrame(
       case SqUnion(branches) => branches.forall(quadCompatible)
       case _ => false
     }
+  }
 
   /** Evaluate a quad-compatible GRAPH ?g block in ONE pass: every triple
     * pattern becomes a [[quadPattern]] binding `x` from the quads g

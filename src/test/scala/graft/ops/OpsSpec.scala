@@ -321,6 +321,11 @@ class OpsSpec extends AnyFunSuite {
     // our synthesized JPEG headers parse back too
     val j = codec.decode(Multimodal.MediaRow("m:jpg", "image", Multimodal.synthJpeg(640, 480, 7)))
     assert(j.media_type == "image" && j.width == 640 && j.height == 480)
+    // ITU T.81 B.1.1.2: 0xFF fill bytes before a marker are legal
+    val base = Multimodal.synthJpeg(320, 200, 3)
+    val padded = base.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ base.drop(2)
+    val jp = codec.decode(Multimodal.MediaRow("m:jpg-pad", "image", padded))
+    assert(jp.width == 320 && jp.height == 200)
   }
 
   test("multimodal: malformed PNG/JPEG raise instead of wedging") {

@@ -450,6 +450,46 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(res2.df.filter(res2.df("t").isNotNull).count() == 50000)
   }
 
+  test("GRAPH ?g with OPTIONAL before the required triple keeps empty-optional graphs") {
+    // a leading OPTIONAL cannot ride the single-pass join (its left join
+    // would not be per-graph yet) — the per-graph loop must handle it and
+    // g2 (no tag) must still appear with ?t unbound
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:name "A" . ex:a ex:tag "T1" . }
+         |GRAPH ex:g2 { ex:a ex:name "A2" . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    val res = frame.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?n ?t WHERE {
+        |  GRAPH ?g { OPTIONAL { ?s ex:tag ?t . } ?s ex:name ?n . } } ORDER BY ?n""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val rows = frame.collect(res, Seq("g", "n", "t"))
+    assert(rows.map(r => (r("n"), r.get("t"))) == Seq(
+      (Lit("A"), Some(Lit("T1"))), (Lit("A2"), None)))
+  }
+
+  test("PInv of a COMPOSITE path evaluates the inverse, not the forward path") {
+    // parsers normalize PInv to leaf level, so build the AST directly:
+    // a p b . b q c .  — inverse of (p/q) anchored at c must reach a
+    val ttl = s"""@prefix ex: <$ex> .
+                 |ex:a ex:p ex:b . ex:b ex:q ex:c .""".stripMargin
+    val T = TriplesDF.fromMemGraph(spark, TurtleParser.parseGraph(ttl, "http://test/"))
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val frontier = spark.range(1).select(
+      struct(lit(ex + "c").as("v"), lit(0.toByte).as("k"),
+        lit("").as("dt"), lit("").as("lang")).as("f"))
+      .select(col("f"), col("f").as("v"))
+    val inv = PathIR.PInv(PathIR.PSeq(List(
+      PathIR.PPred(ex + "p"), PathIR.PPred(ex + "q"))))
+    val out = PathEval.step(T, frontier, inv)
+      .select(col("v")("v")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq(ex + "a"), s"expected inverse walk to reach ex:a, got $out")
+  }
+
   test("GRAPH ?g property paths walk per graph in ONE pass (incl. closure)") {
     // chains live in separate graphs; a+ must not hop across graphs
     val trig =
