@@ -47,14 +47,32 @@ final class TripleStore(spark: SparkSession, root: String) {
     * fine) — so first VERIFY: scan the store's actual (p_part, p) pairs
     * against partName(p); if every pair agrees, adopt the store by writing
     * the marker; only a real disagreement fails, and the error names the
-    * offending predicates. The scan is catalog-scale (distinct predicates,
-    * a bounded vocabulary). */
+    * offending predicates. Cost note: the verification scan reads the
+    * store's whole `p` column once (the distinct is catalog-scale — a
+    * bounded predicate vocabulary — but the scan feeding it is a full
+    * column read); it runs AT MOST ONCE per store lifetime, since a
+    * successful verify writes the marker. */
   private def checkFormat(): Unit = {
     if (!snapLogExists()) return // empty/new store: nothing to disagree with
     val (p, fs) = hfs(formatMarker)
     if (fs.exists(p)) return
     val (d, dfs) = hfs(dataPath)
     if (!dfs.exists(d)) { ensureFormatMarker(); return } // log but no data yet
+    // data/ may exist but hold no readable parquet (a first append of an
+    // empty frame, or cleaned-up leftovers): Spark throws an opaque
+    // "Unable to infer schema" — nothing to disagree with, so adopt
+    val frame =
+      try Some(spark.read.parquet(dataPath))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    frame match {
+      case None => ensureFormatMarker(); return
+      case Some(df) if !df.schema.fieldNames.contains("p_part") =>
+        throw new IllegalStateException(
+          s"TripleStore at $root has a data dir without a p_part partition " +
+            "column — not a store this version can adopt. Re-export and " +
+            "rewrite into a fresh store.")
+      case Some(_) => ()
+    }
     val mismatched = spark.read.parquet(dataPath)
       // cast defends against partition-type inference: all-numeric p_part
       // values read back as ints and the typed select would throw

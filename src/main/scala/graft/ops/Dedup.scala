@@ -13,19 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Pre-shuffle parallelism guard: a single-row-group parquet file scans
-    * as ONE partition, which serializes every per-document projection that
-    * runs before the first shuffle (shingling, md5 signatures, token
-    * explodes) onto one core — measured 6-8 s of the ngram join's wall
-    * time at sf0.1. When the input has fewer partitions than the cluster
-    * has slots, pay one cheap shuffle of the raw rows to unlock the cores;
-    * at real scale inputs arrive in thousands of splits and this is a
-    * no-op. */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   /** Exact duplicates: hash-groupBy on a normalized fingerprint (map-side
     * partial agg for free). Returns (fp, cnt, doc_ids) for groups > 1. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -14,14 +14,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Same pre-shuffle parallelism guard as Dedup.widen: a single-row-group
-    * parquet scan is ONE partition, serializing the bits×tables projection
-    * sums / per-row norms onto one core until the first shuffle. */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   def dot(a: Column, b: Column): Column =
     // cast BEFORE multiplying: float*float rounds each product to 24-bit
     // mantissa, double*double keeps full precision (and matches how any

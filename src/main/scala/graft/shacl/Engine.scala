@@ -30,7 +30,11 @@ final case class ValidationOptions(
   focusNodes: Option[Set[String]] = None,
   // use_shapes shape selection (validator.py:237-255): validate only the
   // named shapes (their sub-shapes still evaluate through references)
-  useShapes: Option[Set[String]] = None
+  useShapes: Option[Set[String]] = None,
+  /** bound on SparqlFrame's per-graph driver loop for GRAPH ?g blocks that
+    * cannot ride the single-pass quad join (nested GRAPH, subselects);
+    * defaults to the GRAFT_MAX_GRAPH_LOOP env var or 1000 */
+  maxGraphLoop: Int = SparqlFrame.MaxGraphLoop
 )
 
 /** Catalyst-native SHACL validation engine.
@@ -204,7 +208,8 @@ final class ValidationEngine(
     * the data graph (parameters bound as constants, *not* pre-bound focus
     * vars) and its ?this column is the focus set. */
   private def sparqlTargetDF(st: SparqlTargetIR): DataFrame = {
-    val frame = new SparqlFrame(spark, T, step, fnsByIri, None)
+    val frame = new SparqlFrame(spark, T, step, fnsByIri, None,
+      maxPathDepth = opts.maxPathDepth, maxGraphLoop = opts.maxGraphLoop)
     val q = Sparql.parseQuery(st.select, st.prefixes) match {
       case s: Sparql.SqSelect => s
       case _ => throw new ReportableError("SPARQLTarget sh:select must be a SELECT query")
@@ -740,7 +745,8 @@ final class ValidationEngine(
   private lazy val shapesTriplesDF: DataFrame = TriplesDF.fromMemGraph(spark, sg)
 
   private def sparqlFrame(shape: ShapeIR): SparqlFrame =
-    new SparqlFrame(spark, T, step, fnsByIri, shape.path, Some(shapesTriplesDF))
+    new SparqlFrame(spark, T, step, fnsByIri, shape.path, Some(shapesTriplesDF),
+      maxPathDepth = opts.maxPathDepth, maxGraphLoop = opts.maxGraphLoop)
 
   /** One sh:sparql SELECT constraint over the focus set
     * (sparql_based_constraints.py:96-193): violations are the query's

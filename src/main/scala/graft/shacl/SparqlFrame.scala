@@ -37,7 +37,13 @@ final class SparqlFrame(
     /** named data graphs as a quads frame (s,p,o,g): GRAPH <iri> / GRAPH ?g
       * patterns evaluate per graph (the reference queries rdflib Datasets
       * as unions or per-graph, graph_abstraction.py:112-128). */
-    quads: Option[DataFrame] = None) {
+    quads: Option[DataFrame] = None,
+    /** fixpoint cap for property-path closures evaluated directly by this
+      * frame (quad paths, activeT paths) — thread ValidationOptions
+      * .maxPathDepth here; exceeding it throws, never truncates. */
+    maxPathDepth: Int = 100,
+    /** bound on the per-graph driver loop (see SparqlFrame.MaxGraphLoop). */
+    maxGraphLoop: Int = SparqlFrame.MaxGraphLoop) {
   import Sparql._
 
   Kernels.ensure(spark)
@@ -325,11 +331,12 @@ final class SparqlFrame(
       // graphs — so past MaxGraphLoop graphs it fails loudly instead of
       // building a silent multi-thousand-branch plan.
       val names = QuadsDF.graphNames(quads.get)
-      if (names.size > SparqlFrame.MaxGraphLoop)
+      if (names.size > maxGraphLoop)
         throw new ReportableError(
           s"GRAPH ?$x over a block with EXISTS / nested GRAPH / subselects " +
             s"evaluates per named graph, and this dataset has " +
-            s"${names.size} named graphs (limit ${SparqlFrame.MaxGraphLoop}). " +
+            s"${names.size} named graphs (limit $maxGraphLoop; raise via " +
+            "ValidationOptions.maxGraphLoop or GRAFT_MAX_GRAPH_LOOP). " +
             "Rewrite the block to triple patterns (incl. property paths) + " +
             "UNION/row-local FILTERs with OPTIONALs after the required " +
             "patterns (the single-pass join path), or validate per graph slice.")
@@ -635,7 +642,7 @@ final class SparqlFrame(
       // path's own (f, v) pairs — kleene returns seed ∪ further steps,
       // exactly the >=1-application closure (same trick as pathPairsQuads)
       pathPairs(inner).map(seed =>
-        PathEval.step(activeT, seed, PathIR.PZeroOrMore(inner)))
+        PathEval.step(activeT, seed, PathIR.PZeroOrMore(inner), maxPathDepth))
     case _ => None // zero-length closures need an anchor
   }
 
@@ -669,7 +676,7 @@ final class SparqlFrame(
     // inside a GRAPH block, paths walk the active (shapes) frame
     val res =
       (if (activeT eq T) pathStep(anchorDf.select(col("f"), col("f").as("v")), p)
-       else PathEval.step(activeT, anchorDf.select(col("f"), col("f").as("v")), p)).distinct()
+       else PathEval.step(activeT, anchorDf.select(col("f"), col("f").as("v")), p, maxPathDepth)).distinct()
     val (df, vars) = (anchor, other) match {
       case (TVar(a), TVar(o)) => (res.select(col("f").as(a), col("v").as(o)), Set(a, o))
       case (TVar(a), TConst(n)) =>
@@ -730,7 +737,7 @@ final class SparqlFrame(
         anchorVals.crossJoin(base.select(col("g")).distinct())
           .select(col("f"), col("f").as("v"), col("g"))
     }
-    val res = PathEvalQuads.step(base, frontier, p).distinct()
+    val res = PathEvalQuads.step(base, frontier, p, maxPathDepth).distinct()
       .select(col("f"), col("v"), gT(col("g")).as("__g_term"))
     val (df, vars) = (anchor, other) match {
       case (TVar(a), TVar(o)) =>
@@ -781,7 +788,7 @@ final class SparqlFrame(
       // own (f, v, g) pairs — kleene returns seed ∪ further steps, i.e.
       // exactly the >=1-application closure, one fixpoint for ALL graphs
       pathPairsQuads(inner, base).map(seed =>
-        PathEvalQuads.step(base, seed, PathIR.PZeroOrMore(inner)))
+        PathEvalQuads.step(base, seed, PathIR.PZeroOrMore(inner), maxPathDepth))
     case _ => None // zero-length closures need an anchor
   }
 
@@ -1206,8 +1213,13 @@ final class SparqlFrame(
 
 object SparqlFrame {
   /** Bound on the per-graph driver loop for GRAPH ?g blocks that cannot
-    * compile to the single-pass quad join (property paths, EXISTS, nested
-    * groups): each graph adds a plan branch, so past this many graphs the
-    * engine fails loudly instead of silently building a huge Union plan. */
-  val MaxGraphLoop = 1000
+    * compile to the single-pass quad join (nested GRAPH, subselects):
+    * each graph adds a plan branch, so past this many graphs the engine
+    * fails loudly instead of silently building a huge Union plan.
+    * Configurable: `GRAFT_MAX_GRAPH_LOOP` env var (process default) or
+    * per run via ValidationOptions.maxGraphLoop — callers with mid-scale
+    * multigraph datasets (1k-10k vocab graphs) can opt back into the
+    * slow-but-correct loop. */
+  val MaxGraphLoop: Int = sys.env.get("GRAFT_MAX_GRAPH_LOOP")
+    .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(1000)
 }
