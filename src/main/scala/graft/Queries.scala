@@ -213,6 +213,13 @@ object Queries {
   val qNgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardJoin(t(s, d, "documents"), "doc_id", "text")
 
+  /** Sequence-level substring dedup: maximal shared token runs >= 20 tokens
+    * across documents (window fingerprints -> df-capped bucket join ->
+    * diagonal span merge). Fully SQL-expressible (md5-derived portable
+    * hashes + window functions) -> DuckDB hash-checked end-to-end. */
+  val qSubstringDedup: Q = (s, d) =>
+    Dedup.substringDedup(t(s, d, "documents"), "doc_id", "text")
+
   /** Brute-force cosine top-k ANN (queries = vec_id < 8). Deterministic:
     * rank ties break on item_id on both engines, and the cosine arithmetic
     * is the proven bit-identical fold (q_embed_neardup), so the ranking is
@@ -714,6 +721,39 @@ object Queries {
          |FROM banded a JOIN banded b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin
     },
+    // substring dedup recomputed end-to-end: same tokenization, 20-token
+    // windows, md5-derived 60-bit fingerprints, [2,20] df-cap, diagonal
+    // span merge via the same two window functions
+    "q_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+        |), w0 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 19),
+        |    i -> struct_pack(pos := i,
+        |      fp := ('0x' || substr(md5(array_to_string(tk[i:i+19], ' ')), 1, 15))::BIGINT))) AS u
+        |  FROM t WHERE len(tk) >= 20
+        |), w AS (
+        |  SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0
+        |), rare AS (
+        |  SELECT fp FROM w GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+        |), m AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, b.pos - a.pos AS d, a.pos AS pos_a
+        |  FROM w a JOIN rare r ON a.fp = r.fp JOIN w b ON b.fp = a.fp
+        |  WHERE a.doc_id < b.doc_id
+        |), marked AS (
+        |  SELECT id_a, id_b, d, pos_a,
+        |    max(pos_a + 20) OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM m
+        |), spans AS (
+        |  SELECT id_a, id_b, d, pos_a,
+        |    SUM(CASE WHEN prev_end IS NULL OR pos_a > prev_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS span
+        |  FROM marked
+        |)
+        |SELECT id_a, id_b, MIN(pos_a) AS a_start, MAX(pos_a) + 20 AS a_end,
+        |  MIN(pos_a) + d AS b_start, MAX(pos_a) + 20 + d AS b_end, COUNT(*) AS n_windows
+        |FROM spans GROUP BY id_a, id_b, d, span""".stripMargin,
     // brute-force top-k: same cosine fold as q_embed_neardup, rank ties
     // broken by item_id on both engines
     "q_ann_bruteforce" ->
@@ -766,6 +806,7 @@ object Queries {
     "q_minhash_lsh" -> qMinhashLsh,
     "q_simhash" -> qSimhash,
     "q_ngram_jaccard" -> qNgramJaccard,
+    "q_substring_dedup" -> qSubstringDedup,
     "q_ann_bruteforce" -> qAnnBruteForce,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,

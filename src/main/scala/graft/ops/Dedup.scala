@@ -309,6 +309,82 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Sequence-level (substring) duplicate-span detection — the pretraining
+    * operator document-level dedup misses: two documents that share a long
+    * boilerplate/quote run but differ elsewhere never collide on whole-doc
+    * fingerprints, yet the shared run is exactly what substring dedup
+    * removes before training.
+    *
+    * Shape (never all-pairs):
+    *   1. tokenize; slide a fixed `window`-token window at `stride` over
+    *      each document and fingerprint it (md5-derived 60-bit hash of the
+    *      window text — plain SQL arithmetic both engines compute
+    *      bit-identically, like [[minhashSigPortable]]);
+    *   2. df-cap the posting lists to [2, maxDf] fingerprints (same
+    *      blocking as [[ngramJaccardJoin]]: boilerplate windows that occur
+    *      everywhere never fan out, so the candidate join is bounded per
+    *      fingerprint);
+    *   3. bucket self-join on the fingerprint → window matches
+    *      (id_a, pos_a, id_b, pos_b), deduped;
+    *   4. merge matches into maximal duplicated spans along each DIAGONAL
+    *      d = pos_b - pos_a (consecutive/overlapping window hits with the
+    *      same offset are one contiguous duplicated run): per
+    *      (id_a, id_b, d), sort by pos_a and cut a new span whenever the
+    *      running max of previous span ends is exceeded — two window
+    *      functions, no driver loop.
+    *
+    * With stride = 1 every shared token run of length >= window is found
+    * and its merged span is EXACT (modulo 2^-60 hash collisions); stride
+    * s > 1 trades a factor-s smaller posting list for only finding runs of
+    * length >= window + s - 1 (standard at real scale).
+    *
+    * Returns one row per maximal duplicated span:
+    * (id_a, id_b, a_start, a_end, b_start, b_end, n_windows) with 1-based
+    * token offsets, end exclusive: tokens[a_start, a_end) of doc a equal
+    * tokens[b_start, b_end) of doc b. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 20, stride: Int = 1, maxDf: Int = 20): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens (got $window)")
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    import org.apache.spark.sql.expressions.Window
+    // one pass builds (id, pos, fp); checkpointed because the frame feeds
+    // the df count AND both sides of the bucket join (lazy recompute would
+    // re-tokenize every document ~3x, same trap as ngramJaccardJoin)
+    val toks = widen(docs).select(col(idCol).as("id"),
+      split(lower(trim(col(textCol))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= window) // sequence() throws on empty ranges
+    val wins = toks.select(col("id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - window + 1, lit(stride)),
+        i => struct(i.cast("long").as("pos"),
+          conv(substring(md5(array_join(slice(col("tk"), i, lit(window)), " ")), 1, 15),
+            16, 10).cast("long").as("fp")))).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+      .localCheckpoint()
+    val rare = wins.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select(col("fp"))
+    val posting = wins.join(rare, "fp")
+    val matches = posting.select(col("fp"), col("id").as("id_a"), col("pos").as("pos_a"))
+      .join(posting.select(col("fp"), col("id").as("id_b"), col("pos").as("pos_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (col("pos_b") - col("pos_a")).as("d"), col("pos_a"))
+      .distinct()
+    // diagonal span merge: partition (id_a, id_b, d) is one aligned run
+    // family; pos_a is unique within it after the distinct, so the running
+    // max over strictly-preceding rows marks span starts deterministically
+    val byDiag = Window.partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("pos_a"))
+    val prevEnd = max(col("pos_a") + window)
+      .over(byDiag.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = matches
+      .withColumn("new_span", when(prevEnd.isNull || col("pos_a") > prevEnd, 1L).otherwise(0L))
+      .withColumn("span", sum(col("new_span")).over(byDiag))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("span"))
+      .agg(min(col("pos_a")).as("a_start"), (max(col("pos_a")) + window).as("a_end"),
+        count(lit(1)).as("n_windows"))
+    spans.select(col("id_a"), col("id_b"), col("a_start"), col("a_end"),
+      (col("a_start") + col("d")).as("b_start"), (col("a_end") + col("d")).as("b_end"),
+      col("n_windows"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (verify step
     * after LSH): explode-join-count, set semantics. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,

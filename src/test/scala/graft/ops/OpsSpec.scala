@@ -407,6 +407,56 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got((1L, 2L)) - 28.0 / 29.0) < 1e-3)
   }
 
+  test("substring dedup: planted 30-token shared run merges to one exact span") {
+    val common = (0 until 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 5).map(i => s"p$i").mkString(" ") + " " + common + " " +
+        (0 until 5).map(i => s"s$i").mkString(" ")), // common at tokens 6..35
+      (2L, (0 until 10).map(i => s"q$i").mkString(" ") + " " + common + " " +
+        (0 until 3).map(i => s"t$i").mkString(" ")), // common at tokens 11..40
+      (3L, (0 until 40).map(i => s"u$i").mkString(" ")), // unrelated
+      // 4/5 share only a 15-token run: below window=20, must be invisible
+      (4L, (0 until 15).map(i => s"v$i").mkString(" ") + " " +
+        (0 until 10).map(i => s"x$i").mkString(" ")),
+      (5L, (0 until 15).map(i => s"v$i").mkString(" ") + " " +
+        (0 until 10).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringDedup(docs, "doc_id", "text").collect()
+    assert(spans.length == 1)
+    val r = spans(0)
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("a_start") == 6L && r.getAs[Long]("a_end") == 36L)
+    assert(r.getAs[Long]("b_start") == 11L && r.getAs[Long]("b_end") == 41L)
+    assert(r.getAs[Long]("n_windows") == 11L) // 30 - 20 + 1 aligned windows
+  }
+
+  test("substring dedup: df-cap drops boilerplate windows; two runs = two spans") {
+    // a 20-token boilerplate run planted into 25 docs: df = 25 > maxDf = 20
+    // -> the posting list is dropped, no pair fans out
+    val boiler = (0 until 20).map(i => s"b$i").mkString(" ")
+    val many = (1L to 25L).map(i =>
+      (i, s"head$i " + boiler + s" tail$i")).toDF("doc_id", "text")
+    assert(Dedup.substringDedup(many, "doc_id", "text", maxDf = 20).isEmpty)
+    // raising the cap above the df admits the pairs again
+    assert(!Dedup.substringDedup(many, "doc_id", "text", maxDf = 30).isEmpty)
+    // two disjoint shared runs in one doc pair merge into two separate spans
+    val runA = (0 until 22).map(i => s"ra$i").mkString(" ")
+    val runB = (0 until 25).map(i => s"rb$i").mkString(" ")
+    val two = Seq(
+      (1L, runA + " " + (0 until 8).map(i => s"m$i").mkString(" ") + " " + runB),
+      (2L, runB + " " + (0 until 4).map(i => s"n$i").mkString(" ") + " " + runA))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringDedup(two, "doc_id", "text")
+      .orderBy("a_start").collect()
+    assert(spans.length == 2)
+    // runA: doc1 tokens 1..22, doc2 tokens 30..51
+    assert(spans(0).getAs[Long]("a_start") == 1L && spans(0).getAs[Long]("a_end") == 23L)
+    assert(spans(0).getAs[Long]("b_start") == 30L && spans(0).getAs[Long]("b_end") == 52L)
+    // runB: doc1 tokens 31..55, doc2 tokens 1..25
+    assert(spans(1).getAs[Long]("a_start") == 31L && spans(1).getAs[Long]("a_end") == 56L)
+    assert(spans(1).getAs[Long]("b_start") == 1L && spans(1).getAs[Long]("b_end") == 26L)
+  }
+
   test("graft_dot returns null on ragged arrays, matching the HOF form") {
     ArrayDotProduct.ensure(spark)
     val df = Seq(
