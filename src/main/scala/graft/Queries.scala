@@ -185,6 +185,24 @@ object Queries {
       TextOps.dupTrigramFraction(col("text")).as("dup3"),
       TextOps.gopherKeep(col("text")).cast("long").as("keep"))
 
+  /** HTML/boilerplate strip: wrap each document in a deterministic crawl-
+    * page shell (head/style/script, comment, heading, entity-escaped body)
+    * and strip it back to clean text. Stripping a known wrapper makes the
+    * operator end-to-end checkable: the SAME wrap + strip chain recomputes
+    * in DuckDB, so text_clean is hash-compared character-for-character. */
+  val qHtmlStrip: Q = (s, d) => {
+    val html = concat(
+      lit("<html><head><style>p { color: red; }</style>"),
+      lit("<script type=\"text/javascript\">if (x < 2 && y > 1) { alert(\"&amp;\"); }</script>"),
+      lit("</head><body><!-- crawl boilerplate --><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), replace(col("text"), lit(" "), lit("&nbsp;")),
+      lit("</p></body></html>"))
+    t(s, d, "documents").select(col("doc_id"),
+        TextOps.htmlStrip(html).as("text_clean"))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text_clean")).cast("long"))
+  }
+
   /** Exact dedup groups (may be empty at small sf — that is the answer). */
   val qDedupExact: Q = (s, d) =>
     Dedup.exact(t(s, d, "documents"), "doc_id", "text").select(col("fp"), col("cnt"))
@@ -591,6 +609,32 @@ object Queries {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    // html strip recomputed end-to-end: same wrapper concat, same four
+    // regex passes, same entity decode order (&amp; last), same collapse
+    "q_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p { color: red; }</style><script type="text/javascript">if (x < 2 && y > 1) { alert("&amp;"); }</script></head><body><!-- crawl boilerplate --><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || replace(text, ' ', '&nbsp;')
+        |    || '</p></body></html>' AS html
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text_clean
+        |  FROM h
+        |)
+        |SELECT doc_id, text_clean,
+        |  CAST(CASE WHEN length(trim(text_clean)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text_clean), '\s+')) END AS BIGINT) AS n_tokens
+        |FROM s""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp, COUNT(*) AS cnt
         |FROM documents GROUP BY fp HAVING COUNT(*) > 1""".stripMargin,
@@ -802,6 +846,7 @@ object Queries {
     "q_langid" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_gopher" -> qGopher,
+    "q_html_strip" -> qHtmlStrip,
     "q_dedup_exact" -> qDedupExact,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_simhash" -> qSimhash,

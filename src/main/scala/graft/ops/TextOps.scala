@@ -108,4 +108,32 @@ object TextOps {
       (symbolRatio(text) < 0.1) &&
       (stopwordRatio(text) > 0.03) &&
       (dupTrigramFraction(text) < 0.2)
+
+  /** HTML/boilerplate strip — the step every crawl corpus needs BEFORE any
+    * quality signal ([[gopherKeep]] over raw markup sees tag soup as
+    * symbols and drops everything). Pure codegen'd string expressions,
+    * applied in the standard order:
+    *   1. drop `<script>`/`<style>` elements WITH their content
+    *      (case-insensitive, dotall — inline JS/CSS is not text);
+    *   2. drop `<!-- comments -->`;
+    *   3. replace every remaining tag with a space (tag boundaries become
+    *      word boundaries: `a</p><p>b` must not fuse into `ab`);
+    *   4. decode the six entities that dominate real markup — `&nbsp;`
+    *      `&lt;` `&gt;` `&quot;` `&#39;` and `&amp;` LAST, so the
+    *      double-escaped `&amp;lt;` correctly yields literal `&lt;`;
+    *   5. collapse whitespace and trim.
+    * Known regex-stripper limits (documented, standard): a `>` inside an
+    * attribute value ends the tag early; an unclosed `<script>` leaks its
+    * body. Every step is plain regexp_replace/replace — the identical
+    * chain recomputes in DuckDB (q_html_strip is hash-checked). */
+  def htmlStrip(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

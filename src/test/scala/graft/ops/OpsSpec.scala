@@ -407,6 +407,31 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got((1L, 2L)) - 28.0 / 29.0) < 1e-3)
   }
 
+  test("html strip: tags/script/style/comments drop, entities decode, malformed survives") {
+    val rows = Seq(
+      // full shell round-trips to the body text
+      "<html><head><style>h1 {x:1}</style><script>if (a<b && c>d) f();</script></head>" +
+        "<body><h1>T</h1><p>hello world</p></body></html>",
+      // tag boundaries become word boundaries, never fused
+      "a</p><p>b",
+      // entity decode incl. double-escape: &amp;lt; is literal &lt;
+      "x &amp;lt; y &nbsp; &quot;q&quot; &#39;s &gt;",
+      // malformed: unclosed tag (no >) stays literal; unclosed comment eats rest
+      "<div class=\"x hello",
+      "keep <!-- never closed so the rest drops",
+      // SCRIPT case-insensitive, multiline content
+      "<SCRIPT>\nvar s = \"</p>\";\n</SCRIPT>after")
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "html")
+    val got = rows.select($"id", TextOps.htmlStrip($"html").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) == "T hello world")
+    assert(got(1L) == "a b")
+    assert(got(2L) == "x &lt; y \"q\" 's >")
+    assert(got(3L) == "<div class=\"x hello")
+    assert(got(4L) == "keep <!-- never closed so the rest drops")
+    assert(got(5L) == "after")
+  }
+
   test("substring dedup: planted 30-token shared run merges to one exact span") {
     val common = (0 until 30).map(i => s"c$i").mkString(" ")
     val docs = Seq(
