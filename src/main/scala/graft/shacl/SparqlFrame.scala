@@ -324,22 +324,23 @@ final class SparqlFrame(
       // graphs compiles to the same fixed-size plan.
       evalQuadGroup(g, x, quads.get.filter(col("g") =!= ""), cur)
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
-      // non-quad-compatible block (EXISTS filters, nested GRAPH,
-      // subselects need per-graph scoping): evaluates once per named
-      // graph with ?g bound to the graph IRI. That is a per-graph PLAN
-      // branch — fine for a vocab-scale catalog, wrong for per-document
-      // graphs — so past MaxGraphLoop graphs it fails loudly instead of
-      // building a silent multi-thousand-branch plan.
+      // non-quad-compatible block (nested GRAPH, subselects, EXISTS nested
+      // inside an expression): evaluates once per named graph with ?g
+      // bound to the graph IRI. That is a per-graph PLAN branch — fine for
+      // a vocab-scale catalog, wrong for per-document graphs — so past
+      // MaxGraphLoop graphs it fails loudly instead of building a silent
+      // multi-thousand-branch plan.
       val names = QuadsDF.graphNames(quads.get)
       if (names.size > maxGraphLoop)
         throw new ReportableError(
-          s"GRAPH ?$x over a block with EXISTS / nested GRAPH / subselects " +
-            s"evaluates per named graph, and this dataset has " +
-            s"${names.size} named graphs (limit $maxGraphLoop; raise via " +
-            "ValidationOptions.maxGraphLoop or GRAFT_MAX_GRAPH_LOOP). " +
-            "Rewrite the block to triple patterns (incl. property paths) + " +
-            "UNION/row-local FILTERs with OPTIONALs after the required " +
-            "patterns (the single-pass join path), or validate per graph slice.")
+          s"GRAPH ?$x over a block with nested GRAPH / subselects / " +
+            s"expression-nested EXISTS evaluates per named graph, and this " +
+            s"dataset has ${names.size} named graphs (limit $maxGraphLoop; " +
+            "raise via ValidationOptions.maxGraphLoop or " +
+            "GRAFT_MAX_GRAPH_LOOP). Rewrite the block to triple patterns " +
+            "(incl. property paths), OPTIONAL/UNION/BIND, row-local " +
+            "FILTERs and top-level (NOT) EXISTS (the single-pass join " +
+            "path), or validate per graph slice.")
       val sols = names.map { nm =>
         val saved = activeT
         activeT = QuadsDF.graph(quads.get, Some(nm))
@@ -489,21 +490,25 @@ final class SparqlFrame(
     * are themselves quad-compatible. EXISTS, sub-selects and nested GRAPH
     * fall back to the per-graph loop (bounded by MaxGraphLoop). */
   private def quadCompatible(g: SqGroup): Boolean = {
-    // OPTIONALs must be a suffix (only filters may follow): an OPTIONAL
-    // evaluated BEFORE the block's required patterns would left-join
-    // against a lhs that is not yet per-graph — a graph whose optional
-    // part is empty would be dropped whenever any other graph matched
-    // (the per-graph loop handles such blocks correctly instead)
-    val firstOpt = g.elems.indexWhere(_.isInstanceOf[SqOptional])
-    val optsTrailing = firstOpt < 0 || g.elems.drop(firstOpt).forall {
-      case _: SqOptional | _: SqFilter => true
+    // pattern-bearing: something must bind ?g per graph — a bare triple, or
+    // an OPTIONAL/UNION whose branches are themselves pattern-bearing
+    // (checked recursively below). A leading OPTIONAL is fine since r6: the
+    // fold seeds its left side with the named-graph frame (see
+    // evalQuadGroup), so the left join is per-graph from the first element.
+    val bearing = g.elems.exists {
+      case _: SqTriple | _: SqOptional | _: SqUnion => true
       case _ => false
     }
-    optsTrailing && g.elems.exists(_.isInstanceOf[SqTriple]) && g.elems.forall {
+    bearing && g.elems.forall {
       case t: SqTriple => t.p match {
         case PredIri(_) | PredVar(_) | PredPath(_) => true
         case _ => false
       }
+      // top-level (NOT) EXISTS over a quad-compatible body re-enters the
+      // quad evaluator with ?g in the correlation key (r6); EXISTS nested
+      // deeper inside an expression still needs the per-graph loop
+      case SqFilter(EExists(g2, _)) => quadCompatible(g2)
+      case SqFilter(ENot(EExists(g2, _))) => quadCompatible(g2)
       case SqFilter(e) => !hasExists(e) && !hasFullFn(e)
       case SqBind(e, _) => !hasExists(e) && !hasFullFn(e)
       case SqOptional(g2) => quadCompatible(g2)
@@ -511,6 +516,16 @@ final class SparqlFrame(
       case _ => false
     }
   }
+
+  /** One row per named graph with `x` bound to the graph IRI — the
+    * quads-path image of the SPARQL empty solution Z inside GRAPH ?x. A
+    * leading OPTIONAL left-joins against THIS frame (so the join is keyed
+    * per graph and a graph whose optional part is empty still contributes
+    * its row of nulls), instead of falling back to the per-graph loop. */
+  private def graphSeedSol(x: String, base: DataFrame): Sol =
+    Sol(base.select(struct(col("g").as("v"), lit(0.toByte).as("k"),
+        lit("").as("dt"), lit("").as("lang")).as(x)).distinct(),
+      Set(x), Set.empty)
 
   /** Evaluate a quad-compatible GRAPH ?g block in ONE pass: every triple
     * pattern becomes a [[quadPattern]] binding `x` from the quads g
@@ -524,7 +539,12 @@ final class SparqlFrame(
         case _ => joinSols(acc, quadPattern(t, x, base))
       }
       case (acc, SqOptional(g2)) =>
-        optionalJoinWith(acc, g2, (gg, seed) => evalQuadGroup(gg, x, base, seed))
+        // leading OPTIONAL: nothing has bound ?x yet, but SPARQL's
+        // LeftJoin(Z, A) is per graph — seed with the named-graph frame
+        // so the left side carries one row per graph (× the pre-bound seed)
+        val seeded = if (acc.vars.contains(x)) acc
+          else joinSols(acc, graphSeedSol(x, base))
+        optionalJoinWith(seeded, g2, (gg, seed) => evalQuadGroup(gg, x, base, seed))
       case (acc, SqUnion(branches)) =>
         unionSols(branches.map(b => evalQuadGroup(b, x, base, acc)))
       case (acc, SqBind(e, v)) =>
@@ -534,6 +554,10 @@ final class SparqlFrame(
       case (acc, _) => acc // filters applied below
     }
     g.elems.foldLeft(withPats) {
+      case (acc, SqFilter(EExists(g2, neg))) =>
+        existsFilterWith(acc, g2, neg, (gg, seed) => evalQuadGroup(gg, x, base, seed))
+      case (acc, SqFilter(ENot(EExists(g2, neg)))) =>
+        existsFilterWith(acc, g2, !neg, (gg, seed) => evalQuadGroup(gg, x, base, seed))
       case (acc, SqFilter(e)) => acc.copy(df = acc.df.filter(compileB(e, acc) === true))
       case (acc, _) => acc
     }
@@ -837,9 +861,18 @@ final class SparqlFrame(
   private def keyCond(l: DataFrame, r: DataFrame, varsS: Seq[String]): Column =
     varsS.map(x => l(x) <=> r("__x_" + x)).reduceOption(_ && _).getOrElse(lit(true))
 
-  private def existsFilter(cur: Sol, g: SqGroup, negated: Boolean): Sol = {
+  private def existsFilter(cur: Sol, g: SqGroup, negated: Boolean): Sol =
+    existsFilterWith(cur, g, negated, evalGroup)
+
+  /** existsFilter with a pluggable group evaluator — inside GRAPH ?g the
+    * quad path re-enters with quad-pattern evaluation, so the EXISTS body
+    * is correlated on EVERY current variable including ?g (keyedSeed
+    * copies them all into the __k_ join key): the semi/anti join is
+    * per-graph without a driver loop. */
+  private def existsFilterWith(cur: Sol, g: SqGroup, negated: Boolean,
+                               eval: (SqGroup, Sol) => Sol): Sol = {
     val (varsS, seed) = keyedSeed(cur)
-    val sub = evalGroup(g, seed)
+    val sub = eval(g, seed)
     val hits = sub.df.select(varsS.map(x => col("__k_" + x).as("__x_" + x)): _*).distinct()
     val joined = cur.df.join(hits, keyCond(cur.df, hits, varsS),
       if (negated) "left_anti" else "left_semi")

@@ -451,9 +451,10 @@ class SparqlFrameSpec extends AnyFunSuite {
   }
 
   test("GRAPH ?g with OPTIONAL before the required triple keeps empty-optional graphs") {
-    // a leading OPTIONAL cannot ride the single-pass join (its left join
-    // would not be per-graph yet) — the per-graph loop must handle it and
-    // g2 (no tag) must still appear with ?t unbound
+    // a leading OPTIONAL rides the single-pass join since r6: its left
+    // side is seeded with the named-graph frame, so the left join is
+    // per-graph from the first element and g2 (no tag) still appears with
+    // ?t unbound — per SPARQL algebra Join(LeftJoin(Z, tag), name)
     val trig =
       s"""@prefix ex: <$ex> .
          |GRAPH ex:g1 { ex:a ex:name "A" . ex:a ex:tag "T1" . }
@@ -470,6 +471,38 @@ class SparqlFrameSpec extends AnyFunSuite {
     val rows = frame.collect(res, Seq("g", "n", "t"))
     assert(rows.map(r => (r("n"), r.get("t"))) == Seq(
       (Lit("A"), Some(Lit("T1"))), (Lit("A2"), None)))
+    // OPTIONAL-only block: every named graph contributes a row (Z per
+    // graph), tag bound only where present
+    val only = frame.evalSelect(Sparql.parseQuery(
+      "SELECT ?g ?t WHERE { GRAPH ?g { OPTIONAL { ?s ex:tag ?t . } } } ORDER BY ?g",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val orows = frame.collect(only, Seq("g", "t"))
+    assert(orows.map(r => (r("g"), r.get("t"))) == Seq(
+      (Iri(ex + "g1"), Some(Lit("T1"))), (Iri(ex + "g2"), None)))
+  }
+
+  test("GRAPH ?g leading OPTIONAL at 100k graphs: fixed-size plan, no loop") {
+    // per-document-graph corpus with a LEADING optional — the exact shape
+    // that used to die at MaxGraphLoop — now compiles to one fixed-size
+    // plan (the only Unions are OPTIONAL's bounded matched/unmatched pair)
+    val many = QuadsDF.fromQuads(spark, (1 to 100000).flatMap(i =>
+      Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "name"), Lit(s"n$i"), Some(Iri(s"$ex/g$i")))) ++
+        (if (i % 2 == 0)
+           Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "tag"), Lit(s"t$i"), Some(Iri(s"$ex/g$i"))))
+         else Nil)))
+    val manyT = QuadsDF.defaultUnion(many)
+    val frame2 = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
+      Map.empty, None, None, Some(many))
+    val res2 = frame2.evalSelect(Sparql.parseQuery(
+      "SELECT ?g ?n ?t WHERE { GRAPH ?g { OPTIONAL { ?s ex:tag ?t . } ?s ex:name ?n . } }",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame2.unitSeed)
+    val unions = res2.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+    }
+    assert(unions.forall(_ <= 2) && unions.size <= 2,
+      s"per-graph branches leaked into the plan: union fan-outs $unions")
+    assert(res2.df.count() == 100000)
+    assert(res2.df.filter(res2.df("t").isNotNull).count() == 50000)
   }
 
   test("PInv of a COMPOSITE path evaluates the inverse, not the forward path") {
@@ -539,14 +572,70 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(res3.df.count() == 150000L) // a->b, b->c, a->c per graph
   }
 
-  test("GRAPH ?g with an EXISTS block fails loudly past MaxGraphLoop graphs") {
+  test("EXISTS inside GRAPH ?g correlates per graph on the quad path") {
+    // subject ex:a has a tag in g1 but NOT in g2 — union-graph evaluation
+    // of the EXISTS body would wrongly keep g2's row
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:name "A" . ex:a ex:tag "T1" . }
+         |GRAPH ex:g2 { ex:a ex:name "A2" . ex:b ex:name "B" . ex:b ex:tag "TB" . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    def q(txt: String, out: Seq[String]) = {
+      val res = frame.evalSelect(Sparql.parseQuery(txt, Map("ex" -> ex))
+        .asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+      frame.collect(res, out)
+    }
+    val ex1 = q("""SELECT ?g ?n WHERE { GRAPH ?g {
+      ?s ex:name ?n . FILTER EXISTS { ?s ex:tag ?t . } } } ORDER BY ?n""", Seq("g", "n"))
+    assert(ex1.map(r => (r("g"), r("n"))) == Seq(
+      (Iri(ex + "g1"), Lit("A")), (Iri(ex + "g2"), Lit("B"))))
+    val ex2 = q("""SELECT ?g ?n WHERE { GRAPH ?g {
+      ?s ex:name ?n . FILTER NOT EXISTS { ?s ex:tag ?t . } } } ORDER BY ?n""", Seq("g", "n"))
+    assert(ex2.map(r => (r("g"), r("n"))) == Seq((Iri(ex + "g2"), Lit("A2"))))
+  }
+
+  test("EXISTS inside GRAPH ?g at 10k graphs: one plan, no MaxGraphLoop") {
+    // 10k per-document graphs (10x MaxGraphLoop would be too slow to
+    // build driver-side; 10k > vocab scale proves the loop is not taken
+    // since the loop would still be legal here — assert plan shape too)
+    val n = 10000
+    val many = QuadsDF.fromQuads(spark, (1 to n).flatMap(i =>
+      Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "name"), Lit(s"n$i"), Some(Iri(s"$ex/g$i")))) ++
+        (if (i % 4 == 0)
+           Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "tag"), Lit(s"t$i"), Some(Iri(s"$ex/g$i"))))
+         else Nil)))
+    val manyT = QuadsDF.defaultUnion(many)
+    val frame = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
+      Map.empty, None, None, Some(many))
+    val res = frame.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?n WHERE { GRAPH ?g {
+        |  ?s ex:name ?n . FILTER EXISTS { ?s ex:tag ?t . } } }""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val unions = res.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+    }
+    assert(unions.isEmpty, s"per-graph branches leaked into the plan: $unions")
+    assert(res.df.count() == n / 4)
+    val neg = frame.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?n WHERE { GRAPH ?g {
+        |  ?s ex:name ?n . FILTER NOT EXISTS { ?s ex:tag ?t . } } }""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    assert(neg.df.count() == n - n / 4)
+  }
+
+  test("GRAPH ?g with a nested-GRAPH block fails loudly past MaxGraphLoop graphs") {
     val many = QuadsDF.fromQuads(spark, (1 to (SparqlFrame.MaxGraphLoop + 1)).map(i =>
       Quad(Iri(s"$ex/s$i"), Iri(ex + "p"), Iri(s"$ex/o$i"), Some(Iri(s"$ex/g$i")))))
     val manyT = QuadsDF.defaultUnion(many)
     val frame = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
       Map.empty, None, None, Some(many))
     val e = intercept[ReportableError](frame.evalSelect(Sparql.parseQuery(
-      "SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?o . FILTER EXISTS { ?o ex:p ?z . } } }",
+      """SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?o .
+        |  GRAPH ex:g1 { ?o ex:p ?z . } } }""".stripMargin,
       Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed))
     assert(e.getMessage.contains("named graphs") &&
       e.getMessage.contains(SparqlFrame.MaxGraphLoop.toString))
