@@ -238,6 +238,12 @@ object Queries {
   val qSubstringDedup: Q = (s, d) =>
     Dedup.substringDedup(t(s, d, "documents"), "doc_id", "text")
 
+  /** Substring-dedup REMOVAL: apply the detected spans with the keep-one
+    * (lowest doc id wins) policy; output is the cleaned corpus. Same
+    * SQL-expressible machinery + a token-filter pass -> DuckDB-checked. */
+  val qSubstringClean: Q = (s, d) =>
+    Dedup.substringDedupClean(t(s, d, "documents"), "doc_id", "text")
+
   /** Brute-force cosine top-k ANN (queries = vec_id < 8). Deterministic:
     * rank ties break on item_id on both engines, and the cosine arithmetic
     * is the proven bit-identical fold (q_embed_neardup), so the ranking is
@@ -798,6 +804,50 @@ object Queries {
         |SELECT id_a, id_b, MIN(pos_a) AS a_start, MAX(pos_a) + 20 AS a_end,
         |  MIN(pos_a) + d AS b_start, MAX(pos_a) + 20 + d AS b_end, COUNT(*) AS n_windows
         |FROM spans GROUP BY id_a, id_b, d, span""".stripMargin,
+    // removal half: same span pipeline, then the keep-one token filter
+    // (id_b loses [b_start, b_end); cuts union per doc; 1-based lambda
+    // index i matches the spans' 1-based token offsets)
+    "q_substring_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+        |), w0 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 19),
+        |    i -> struct_pack(pos := i,
+        |      fp := ('0x' || substr(md5(array_to_string(tk[i:i+19], ' ')), 1, 15))::BIGINT))) AS u
+        |  FROM t WHERE len(tk) >= 20
+        |), w AS (
+        |  SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0
+        |), rare AS (
+        |  SELECT fp FROM w GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+        |), m AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, b.pos - a.pos AS d, a.pos AS pos_a
+        |  FROM w a JOIN rare r ON a.fp = r.fp JOIN w b ON b.fp = a.fp
+        |  WHERE a.doc_id < b.doc_id
+        |), marked AS (
+        |  SELECT id_a, id_b, d, pos_a,
+        |    max(pos_a + 20) OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM m
+        |), spans AS (
+        |  SELECT id_a, id_b, d, pos_a,
+        |    SUM(CASE WHEN prev_end IS NULL OR pos_a > prev_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS span
+        |  FROM marked
+        |), agg AS (
+        |  SELECT id_a, id_b, d, MIN(pos_a) AS a_start, MAX(pos_a) + 20 AS a_end
+        |  FROM spans GROUP BY id_a, id_b, d, span
+        |), cuts AS (
+        |  SELECT id_b AS id, list(struct_pack(cs := a_start + d, ce := a_end + d)) AS cuts
+        |  FROM agg GROUP BY id_b
+        |), fin AS (
+        |  SELECT t.doc_id AS id, t.tk,
+        |    list_filter(t.tk, (x, i) -> c.cuts IS NULL OR
+        |      len(list_filter(c.cuts, s -> i >= s.cs AND i < s.ce)) = 0) AS kept
+        |  FROM t LEFT JOIN cuts c ON t.doc_id = c.id
+        |)
+        |SELECT id, COALESCE(array_to_string(kept, ' '), '') AS text_clean,
+        |  CAST(len(tk) - len(kept) AS BIGINT) AS n_cut
+        |FROM fin""".stripMargin,
     // brute-force top-k: same cosine fold as q_embed_neardup, rank ties
     // broken by item_id on both engines
     "q_ann_bruteforce" ->
@@ -852,6 +902,7 @@ object Queries {
     "q_simhash" -> qSimhash,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_substring_dedup" -> qSubstringDedup,
+    "q_substring_clean" -> qSubstringClean,
     "q_ann_bruteforce" -> qAnnBruteForce,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,

@@ -385,6 +385,40 @@ object Dedup {
       col("n_windows"))
   }
 
+  /** Apply [[substringDedup]]'s spans: the REMOVAL half of substring dedup
+    * (detection alone cleans nothing). Keep-one policy: a span's copy in
+    * the lower doc id survives; the higher doc id (`id_b` — always the
+    * larger by construction) loses tokens `[b_start, b_end)`. Cuts from
+    * several partners union per document (a token drops if ANY span covers
+    * it), so transitive chains resolve to "the smallest doc id keeps it".
+    *
+    * Per-doc cut lists are bounded by the same df-cap that bounds the span
+    * join, so they aggregate to a small array column and the removal is
+    * one codegen'd `transform`+`exists` pass over the token array — no
+    * second shuffle beyond the cut groupBy.
+    *
+    * Returns (id, text_clean, n_cut): cleaned text is token-joined (i.e.
+    * whitespace/case-normalized like every dedup operator here), n_cut =
+    * tokens removed. Documents without cuts pass through normalized. */
+  def substringDedupClean(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int = 20, stride: Int = 1, maxDf: Int = 20): DataFrame = {
+    val spans = substringDedup(docs, idCol, textCol, window, stride, maxDf)
+    val cuts = spans.groupBy(col("id_b").as("id"))
+      .agg(collect_list(struct(col("b_start").as("cs"), col("b_end").as("ce"))).as("cuts"))
+    val toks = widen(docs).select(col(idCol).as("id"),
+      split(lower(trim(col(textCol))), "\\s+").as("tk"))
+    toks.join(cuts, Seq("id"), "left")
+      .select(col("id"), col("tk"),
+        filter(
+          transform(col("tk"), (t, i) =>
+            when(col("cuts").isNotNull &&
+              exists(col("cuts"), c => (i + 1) >= c("cs") && (i + 1) < c("ce")),
+              lit(null)).otherwise(t)),
+          x => x.isNotNull).as("kept"))
+      .select(col("id"), array_join(col("kept"), " ").as("text_clean"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_cut"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (verify step
     * after LSH): explode-join-count, set semantics. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,

@@ -482,6 +482,21 @@ class OpsSpec extends AnyFunSuite {
     assert(spans(1).getAs[Long]("b_start") == 1L && spans(1).getAs[Long]("b_end") == 26L)
   }
 
+  test("substring dedup clean: later doc loses the shared run, earlier keeps it") {
+    val common = (0 until 25).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, "p0 p1 " + common + " s0 s1"), // common at tokens 3..27
+      (2L, "q0 " + common + " t0"), // common at tokens 2..26 -> cut here
+      (3L, (0 until 30).map(i => s"u$i").mkString(" "))) // untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedupClean(docs, "doc_id", "text")
+      .select($"id", $"text_clean", $"n_cut").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ("p0 p1 " + common + " s0 s1", 0L)) // keeper intact
+    assert(got(2L) == ("q0 t0", 25L)) // exactly the shared run removed
+    assert(got(3L)._2 == 0L)
+  }
+
   test("graft_dot returns null on ragged arrays, matching the HOF form") {
     ArrayDotProduct.ensure(spark)
     val df = Seq(
