@@ -244,6 +244,45 @@ object Queries {
   val qSubstringClean: Q = (s, d) =>
     Dedup.substringDedupClean(t(s, d, "documents"), "doc_id", "text")
 
+  /** Keep-one canonicalization of MinHash near-dup clusters (detect ->
+    * cluster -> pick survivor): LSH candidate pairs -> large-star/small-star
+    * connected components -> min doc id per cluster. Whole chain is the
+    * portable signature + plain joins, so DuckDB recomputes it (recursive
+    * min-reachability CTE) and the closure itself is hash-checked. */
+  val qMinhashCluster: Q = (s, d) =>
+    Dedup.minhashClusters(t(s, d, "documents"), "doc_id", "text")
+
+  /** Gopher repetition signals (line-level + top-bigram). The corpus is
+    * single-line, so the query first derives a deterministic multi-line
+    * text IN BOTH ENGINES (every " line " token becomes a newline — the
+    * tiny vocabulary makes derived lines repeat, which is the signal), then
+    * runs the table-form repetition operator over it. */
+  val qRepetition: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), replace(col("text"), lit(" line "), lit("\n")).as("text"))
+    TextOps.repetitionSignals(docs, "doc_id", "text")
+  }
+
+  /** PII/URL redaction: augment each document with deterministic synthetic
+    * PII (same expression in both engines; email dropped when doc_id%3=0,
+    * phone when doc_id%2=1, so zero-match paths are exercised), then
+    * redact. The redacted text is hash-compared character-for-character
+    * and the per-category counts ride along. */
+  val qRedact: Q = (s, d) => {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(""))
+        .otherwise(concat(lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com"))),
+      lit(" visit https://ex.com/p/"), col("doc_id").cast("string"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+      when(col("doc_id") % 2 === 1, lit(""))
+        .otherwise(concat(lit(" call +1 415 555 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
+    t(s, d, "documents").select(
+      col("doc_id") +: TextOps.redactPii(aug): _*)
+  }
+
   /** Brute-force cosine top-k ANN (queries = vec_id < 8). Deterministic:
     * rank ties break on item_id on both engines, and the cosine arithmetic
     * is the proven bit-identical fold (q_embed_neardup), so the ranking is
@@ -514,6 +553,34 @@ object Queries {
     s"SELECT lang, predicted, COUNT(*) AS cnt FROM (SELECT lang, (CASE $cases ELSE 'und' END) AS predicted FROM documents) GROUP BY lang, predicted"
   }
 
+  /** Shared CTE chain for the portable MinHash pipeline (tokens ->
+    * distinct 3-shingles -> md5 double-hash -> 16-min signature -> 4
+    * band keys), reused by q_minhash_lsh and q_minhash_cluster. */
+  private val minhashBandedCtes: String = {
+    val P = 2147483647L
+    val mins = (0 until 16).map(i =>
+      s"min((h1 + $i * h2) % $P) AS s_$i").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws(',', s_${4 * b}, s_${4 * b + 1}, " +
+        s"s_${4 * b + 2}, s_${4 * b + 3}) AS k FROM sig").mkString("\n  UNION ALL ")
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+       |  FROM toks WHERE len(tk) >= 3
+       |), h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+       |    (('0x' || substr(md5(s), 16, 15))::BIGINT % $P) AS h2
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id, $mins FROM h GROUP BY doc_id
+       |), banded AS (
+       |  $bandSelects
+       |)""".stripMargin
+  }
+
   private val stopwordsSql =
     "('the','a','of','and','to','in','is','it','le','la','el','der','die','und','et','de','y','que')"
 
@@ -744,33 +811,28 @@ object Queries {
     // full portable MinHash+LSH recomputed in SQL: md5-derived shingle
     // hashes, Kirsch-Mitzenmacher permutations mod 2^31-1, 4 bands of 4,
     // literal band keys, bucket self-join
-    "q_minhash_lsh" -> {
-      val P = 2147483647L
-      val mins = (0 until 16).map(i =>
-        s"min((h1 + $i * h2) % $P) AS s_$i").mkString(", ")
-      val bandSelects = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, concat_ws(',', s_${4 * b}, s_${4 * b + 1}, " +
-          s"s_${4 * b + 2}, s_${4 * b + 3}) AS k FROM sig").mkString("\n  UNION ALL ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents
-         |), sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
-         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-         |  FROM toks WHERE len(tk) >= 3
-         |), h AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-         |    (('0x' || substr(md5(s), 16, 15))::BIGINT % $P) AS h2
-         |  FROM sh
-         |), sig AS (
-         |  SELECT doc_id, $mins FROM h GROUP BY doc_id
-         |), banded AS (
-         |  $bandSelects
-         |)
+    "q_minhash_lsh" ->
+      s"""WITH $minhashBandedCtes
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_bands
          |FROM banded a JOIN banded b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2""".stripMargin
-    },
+         |GROUP BY 1, 2""".stripMargin,
+    // keep-one canonicalization: same banded CTEs -> distinct candidate
+    // pairs -> transitive closure as recursive min-reachability (exact:
+    // every node's canon = min id it can reach), mirroring the Spark
+    // side's star-contraction components
+    "q_minhash_cluster" ->
+      s"""WITH RECURSIVE $minhashBandedCtes, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach(id, x) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.id, e.v FROM reach r JOIN edges e ON r.x = e.u
+         |)
+         |SELECT id, MIN(x) AS canon FROM reach GROUP BY id""".stripMargin,
     // substring dedup recomputed end-to-end: same tokenization, 20-token
     // windows, md5-derived 60-bit fingerprints, [2,20] df-cap, diagonal
     // span merge via the same two window functions
@@ -848,6 +910,73 @@ object Queries {
         |SELECT id, COALESCE(array_to_string(kept, ' '), '') AS text_clean,
         |  CAST(len(tk) - len(kept) AS BIGINT) AS n_cut
         |FROM fin""".stripMargin,
+    // repetition signals over the same derived multi-line text: line
+    // counts per (doc, line), char-weighted dup fraction, deterministic
+    // top bigram via (count DESC, bigram ASC) row_number
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, replace(text, ' line ', chr(10)) AS text FROM documents
+        |), lines AS (
+        |  SELECT doc_id, trim(l) AS l FROM (
+        |    SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM base)
+        |  WHERE length(trim(l)) > 0
+        |), lc AS (
+        |  SELECT doc_id, l, count(*) AS c, length(l) AS len FROM lines GROUP BY doc_id, l
+        |), la AS (
+        |  SELECT doc_id,
+        |    round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup_line_frac,
+        |    round(sum((c - 1) * len)::DOUBLE / greatest(sum(c * len), 1), 4) AS dup_line_char_frac
+        |  FROM lc GROUP BY doc_id
+        |), bg0 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM base)
+        |  WHERE len(tk) >= 2
+        |), bgc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY doc_id, bg
+        |), topbg AS (
+        |  SELECT doc_id, bg, c FROM (
+        |    SELECT doc_id, bg, c,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+        |    FROM bgc)
+        |  WHERE rn = 1
+        |)
+        |SELECT b.doc_id AS id,
+        |  COALESCE(la.dup_line_frac, 0.0) AS dup_line_frac,
+        |  COALESCE(la.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+        |  COALESCE(topbg.bg, '') AS top_bigram,
+        |  COALESCE(round(topbg.c * length(topbg.bg)::DOUBLE /
+        |    greatest(length(regexp_replace(b.text, '\s', '', 'g')), 1), 4), 0.0) AS top_bigram_frac
+        |FROM base b
+        |LEFT JOIN la ON b.doc_id = la.doc_id
+        |LEFT JOIN topbg ON b.doc_id = topbg.doc_id""".stripMargin,
+    // PII redaction: same deterministic augmentation, same four RE2-safe
+    // patterns in the same order, counts taken on the string each pattern
+    // actually saw ('g' flag: replace ALL, matching Spark's regexp_replace)
+    "q_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '' ELSE ' contact u' || doc_id || '@example.com' END) ||
+        |    ' visit https://ex.com/p/' || doc_id ||
+        |    ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+        |    (CASE WHEN doc_id % 2 = 1 THEN '' ELSE ' call +1 415 555 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0') END)
+        |    AS t0
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, regexp_replace(t0, 'https?://\S+', '<URL>', 'g') AS t1,
+        |    len(regexp_extract_all(t0, 'https?://\S+')) AS n_url FROM aug
+        |), s2 AS (
+        |  SELECT doc_id, regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2,
+        |    n_url, len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3,
+        |    n_url, n_email, len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip FROM s2
+        |)
+        |SELECT doc_id, regexp_replace(t3, '\+?\d[\d ()-]{6,}\d', '<PHONE>', 'g') AS text_redacted,
+        |  CAST(n_url AS BIGINT) AS n_url, CAST(n_email AS BIGINT) AS n_email,
+        |  CAST(n_ip AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t3, '\+?\d[\d ()-]{6,}\d')) AS BIGINT) AS n_phone
+        |FROM s3""".stripMargin,
     // brute-force top-k: same cosine fold as q_embed_neardup, rank ties
     // broken by item_id on both engines
     "q_ann_bruteforce" ->
@@ -903,6 +1032,9 @@ object Queries {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_substring_dedup" -> qSubstringDedup,
     "q_substring_clean" -> qSubstringClean,
+    "q_minhash_cluster" -> qMinhashCluster,
+    "q_repetition" -> qRepetition,
+    "q_redact" -> qRedact,
     "q_ann_bruteforce" -> qAnnBruteForce,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,

@@ -419,6 +419,31 @@ object Dedup {
         (size(col("tk")) - size(col("kept"))).cast("long").as("n_cut"))
   }
 
+  /** Keep-one canonicalization of MinHash+LSH near-dup candidates: the
+    * step between detection and removal for DOCUMENT-level dedup (what
+    * [[substringDedupClean]] is for spans). Candidate pairs become
+    * undirected edges; transitive closure via the same large-star/
+    * small-star connected components the KG entity canonicalizer uses
+    * (log-round convergence, no label-propagation chains); each cluster's
+    * canonical survivor is its minimum doc id.
+    *
+    * Returns (id, canon) for every document that appears in at least one
+    * candidate pair — `id == canon` marks the survivor, every other row is
+    * a drop instruction. Documents with no near-dup candidate are trivial
+    * keepers and are omitted (at 100 TB that is the overwhelming majority;
+    * emitting them would turn a small instruction table into a full-corpus
+    * rewrite). Built on the portable signature so the whole chain —
+    * pairs AND closure — recomputes in DuckDB (recursive min-reachability
+    * CTE), making q_minhash_cluster hash-checked, unlike typical CC
+    * oracles that only test a known planted structure. */
+  def minhashClusters(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs = minhashLshPortable(docs, idCol, textCol, n, bands)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.kg.ConnectedComponents.run(docs.sparkSession, edges)
+      .select(col("id"), col("component").as("canon"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (verify step
     * after LSH): explode-join-count, set semantics. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -108,6 +109,88 @@ object TextOps {
       (symbolRatio(text) < 0.1) &&
       (stopwordRatio(text) > 0.03) &&
       (dupTrigramFraction(text) < 0.2)
+
+  /** Gopher repetition signals, table form — the line-level half of the
+    * repetition filter ([[dupTrigramFraction]] covers the n-gram half as an
+    * in-row expression; the line and top-bigram signals need per-doc
+    * GROUPed counts, so they are a table operator, not a Column).
+    *
+    * Signals per document:
+    *   - `dup_line_frac`: fraction of non-empty (trimmed) lines that are
+    *     repeats of an earlier identical line — `1 - distinct/total`;
+    *   - `dup_line_char_frac`: character-weighted version (characters in
+    *     the 2nd..nth copies of each repeated line over all line chars) —
+    *     catches one giant boilerplate block that the count-based signal
+    *     underweights;
+    *   - `top_bigram` / `top_bigram_frac`: the most frequent word 2-gram
+    *     (ties break lexicographically, so the pick is deterministic) and
+    *     the fraction of non-whitespace characters its occurrences cover.
+    *
+    * Shape at scale: explode lines / bigrams → two partial-aggregating
+    * groupBys keyed by (doc, line|bigram) → per-doc agg + one row_number
+    * window PARTITIONED by doc (never a global window). Per-key cardinality
+    * is bounded by document length, so no skew beyond AQE's reach; nothing
+    * is quadratic in lines (the naive in-row form is — that is why this is
+    * the table form). Docs with no qualifying lines/bigrams surface with
+    * 0.0 signals via the left join back to the corpus. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = widen(docs).select(col(idCol).as("id"), col(textCol).as("text"))
+    val lineCounts = base
+      .select(col("id"), explode(split(col("text"), "\n")).as("l0"))
+      .select(col("id"), trim(col("l0")).as("l"))
+      .filter(length(col("l")) > 0)
+      .groupBy(col("id"), col("l"))
+      .agg(count(lit(1)).as("c"), length(col("l")).cast("long").as("len"))
+    val lineAgg = lineCounts.groupBy(col("id")).agg(
+      round(lit(1.0d) - count(lit(1)).cast("double") / sum(col("c")), 4)
+        .as("dup_line_frac"),
+      round(sum((col("c") - 1) * col("len")).cast("double") /
+        greatest(sum(col("c") * col("len")), lit(1L)), 4).as("dup_line_char_frac"))
+    val bigramCounts = base
+      .select(col("id"), explode(Dedup.shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+    val topBigram = bigramCounts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("c").desc, col("bg").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("bg").as("top_bigram"), col("c").as("top_c"))
+    base.join(lineAgg, Seq("id"), "left").join(topBigram, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dup_line_frac"), lit(0.0d)).as("dup_line_frac"),
+        coalesce(col("dup_line_char_frac"), lit(0.0d)).as("dup_line_char_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(round(col("top_c") * length(col("top_bigram")).cast("double") /
+          greatest(length(regexp_replace(col("text"), "\\s", "")), lit(1)), 4),
+          lit(0.0d)).as("top_bigram_frac"))
+  }
+
+  // ----------------------------------------------------- PII redaction
+  /** PII/URL redaction patterns, applied in this order (later patterns see
+    * the earlier placeholders, so an email inside a URL is counted once as
+    * a URL, never double-redacted). Every regex is RE2-safe (no
+    * backreferences, no lookaround) so the identical pattern+order chain
+    * recomputes in DuckDB and q_redact is hash-checked end-to-end. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "url" -> "https?://\\S+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\+?\\d[\\d ()-]{6,}\\d")
+
+  /** Redact PII: returns (redacted text, per-category match counts) as a
+    * sequence of named Columns — `text_redacted`, then `n_<category>` in
+    * pattern order. Counts are taken on the intermediate string each
+    * pattern actually saw (post earlier replacements), so they sum to the
+    * number of placeholders inserted. One codegen'd projection — four
+    * regexp_replace + four regexp_count, no UDFs, no shuffle. */
+  def redactPii(text: Column): Seq[Column] = {
+    val steps = piiPatterns.scanLeft((text, lit(0L), "")) {
+      case ((cur, _, _), (cat, pat)) =>
+        (regexp_replace(cur, pat, s"<${cat.toUpperCase}>"),
+          regexp_count(cur, lit(pat)).cast("long"), cat)
+    }.drop(1)
+    steps.last._1.as("text_redacted") +:
+      steps.map { case (_, n, cat) => n.as(s"n_$cat") }
+  }
 
   /** HTML/boilerplate strip — the step every crawl corpus needs BEFORE any
     * quality signal ([[gopherKeep]] over raw markup sees tag soup as

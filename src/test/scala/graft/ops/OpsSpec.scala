@@ -497,6 +497,55 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L)._2 == 0L)
   }
 
+  test("minhash clusters: transitive chain collapses to one canon, outsider absent") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (5L, base), // chain 5~7~9 must all canonize to 5
+      (7L, base + " ok"),
+      (9L, base + " ok yes"),
+      (3L, "completely different words about spark dataframes and shuffles everywhere"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashClusters(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(5L, 7L, 9L)) // outsider 3 has no pair -> absent
+    assert(got.values.toSet == Set(5L)) // one cluster, min id canon
+  }
+
+  test("repetition signals: dup lines and top bigram computed per doc") {
+    val docs = Seq(
+      (1L, "spam spam\nham eggs\nspam spam\nspam spam"), // 4 lines, 1 distinct dup x3
+      (2L, "all lines differ\nno repeats here"),
+      (3L, "")) // empty doc -> all-zero signals via the left join
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("dup_line_frac"), r.getAs[Double]("dup_line_char_frac"),
+          r.getAs[String]("top_bigram"), r.getAs[Double]("top_bigram_frac"))).toMap
+    // doc 1: 4 lines, 2 distinct -> 1 - 2/4 = 0.5; dup chars = 2*9 over
+    // (3*9 + 8) = 18/35; top bigram "spam spam" x4 (bigrams cross line
+    // breaks: tokenization is \s+), 4*9 chars over 31 non-ws (overlap can
+    // push the fraction past 1 - it is a repetition score, not a share)
+    assert(got(1L)._1 == 0.5 && got(1L)._2 == math.rint(18.0 / 35 * 10000) / 10000)
+    assert(got(1L)._3 == "spam spam" && got(1L)._4 == math.rint(36.0 / 31 * 10000) / 10000)
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == 0.0)
+    assert(got(3L) == ((0.0, 0.0, "", 0.0)))
+  }
+
+  test("pii redaction: each category redacts and counts; clean text untouched") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-corp.io or x@y.co, see https://a.b/c?d=1 at 192.168.0.1 call +1 (415) 555-0042"),
+      (2L, "no pii in this perfectly ordinary sentence"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id") +: TextOps.redactPii(col("text")): _*)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val t1 = got(1L).getAs[String]("text_redacted")
+    assert(t1 == "mail <EMAIL> or <EMAIL>, see <URL> at <IP> call <PHONE>")
+    assert(got(1L).getAs[Long]("n_url") == 1 && got(1L).getAs[Long]("n_email") == 2 &&
+      got(1L).getAs[Long]("n_ip") == 1 && got(1L).getAs[Long]("n_phone") == 1)
+    assert(got(2L).getAs[String]("text_redacted") == "no pii in this perfectly ordinary sentence")
+    assert(Seq("n_url", "n_email", "n_ip", "n_phone").forall(c => got(2L).getAs[Long](c) == 0))
+  }
+
   test("graft_dot returns null on ragged arrays, matching the HOF form") {
     ArrayDotProduct.ensure(spark)
     val df = Seq(
