@@ -321,26 +321,32 @@ final class SparqlFrame(
       // scopes filters to the whole group, so this is if anything more
       // faithful than positional application). No driver loop, no
       // per-graph plan branch: a catalog of millions of per-document
-      // graphs compiles to the same fixed-size plan.
-      evalQuadGroup(g, x, quads.get.filter(col("g") =!= ""), cur)
+      // graphs compiles to the same fixed-size plan. A block that leaves
+      // ?x unbound (nested-GRAPH-only body) ranges over every named graph
+      // — SPARQL's cross product with the graph names.
+      val namedBase = quads.get.filter(col("g") =!= "")
+      val r = evalQuadGroup(g, x, namedBase, cur)
+      if (r.vars.contains(x)) r else joinSols(r, graphSeedSol(x, namedBase))
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
-      // non-quad-compatible block (nested GRAPH, subselects, EXISTS nested
-      // inside an expression): evaluates once per named graph with ?g
-      // bound to the graph IRI. That is a per-graph PLAN branch — fine for
-      // a vocab-scale catalog, wrong for per-document graphs — so past
+      // non-quad-compatible block (EXISTS nested inside an expression,
+      // GRAPH <iri> re-scoping, sub-selects with LIMIT/OFFSET or a global
+      // aggregate): evaluates once per named graph with ?g bound to the
+      // graph IRI. That is a per-graph PLAN branch — fine for a
+      // vocab-scale catalog, wrong for per-document graphs — so past
       // MaxGraphLoop graphs it fails loudly instead of building a silent
       // multi-thousand-branch plan.
       val names = QuadsDF.graphNames(quads.get)
       if (names.size > maxGraphLoop)
         throw new ReportableError(
-          s"GRAPH ?$x over a block with nested GRAPH / subselects / " +
-            s"expression-nested EXISTS evaluates per named graph, and this " +
-            s"dataset has ${names.size} named graphs (limit $maxGraphLoop; " +
-            "raise via ValidationOptions.maxGraphLoop or " +
-            "GRAFT_MAX_GRAPH_LOOP). Rewrite the block to triple patterns " +
-            "(incl. property paths), OPTIONAL/UNION/BIND, row-local " +
-            "FILTERs and top-level (NOT) EXISTS (the single-pass join " +
-            "path), or validate per graph slice.")
+          s"GRAPH ?$x over a block with expression-nested EXISTS, nested " +
+            s"GRAPH <iri>, or a LIMIT/OFFSET/global-aggregate sub-select " +
+            s"evaluates per named graph, and this dataset has " +
+            s"${names.size} named graphs (limit $maxGraphLoop; raise via " +
+            "ValidationOptions.maxGraphLoop or GRAFT_MAX_GRAPH_LOOP). " +
+            "Rewrite the block to triple patterns (incl. property paths), " +
+            "OPTIONAL/UNION/BIND, row-local FILTERs, top-level (NOT) " +
+            "EXISTS, nested GRAPH ?var, or GROUP BY sub-selects (the " +
+            "single-pass join path), or validate per graph slice.")
       val sols = names.map { nm =>
         val saved = activeT
         activeT = QuadsDF.graph(quads.get, Some(nm))
@@ -486,17 +492,27 @@ final class SparqlFrame(
   /** Shapes a GRAPH ?g block can take and still compile to the single-pass
     * quad-join plan: triple patterns (IRI/var/property-path predicate —
     * paths walk [[PathEvalQuads]], whose frontier carries the graph
-    * column), row-local FILTER/BIND, and OPTIONAL / UNION whose branches
-    * are themselves quad-compatible. EXISTS, sub-selects and nested GRAPH
-    * fall back to the per-graph loop (bounded by MaxGraphLoop). */
+    * column), row-local FILTER/BIND, OPTIONAL / UNION whose branches are
+    * themselves quad-compatible, nested GRAPH ?y over a quad-compatible
+    * body (re-scoping is just another quad evaluation on a fresh graph
+    * var), and sub-selects whose WHERE is quad-compatible and whose solution
+    * set is per-graph expressible (no LIMIT/OFFSET — those slice per graph —
+    * and no global aggregate, whose empty-group row exists even for graphs
+    * with no matches; GROUP BY aggregates ride the hidden graph key).
+    * EXISTS nested inside expressions, GRAPH <iri> re-scoping and the
+    * excluded sub-select shapes fall back to the per-graph loop (bounded
+    * by MaxGraphLoop). */
   private def quadCompatible(g: SqGroup): Boolean = {
-    // pattern-bearing: something must bind ?g per graph — a bare triple, or
-    // an OPTIONAL/UNION whose branches are themselves pattern-bearing
-    // (checked recursively below). A leading OPTIONAL is fine since r6: the
-    // fold seeds its left side with the named-graph frame (see
-    // evalQuadGroup), so the left join is per-graph from the first element.
+    // pattern-bearing: something must bind ?g per graph — a bare triple, an
+    // OPTIONAL/UNION whose branches are themselves pattern-bearing (checked
+    // recursively below), or a sub-select / nested GRAPH (the evaluator
+    // seeds ?g with the named-graph frame when the block leaves it
+    // unbound). A leading OPTIONAL is fine since r6: the fold seeds its
+    // left side with the named-graph frame (see evalQuadGroup), so the
+    // left join is per-graph from the first element.
     val bearing = g.elems.exists {
-      case _: SqTriple | _: SqOptional | _: SqUnion => true
+      case _: SqTriple | _: SqOptional | _: SqUnion | _: SqSubSelect => true
+      case SqGraphPat(TVar(_), _) => true
       case _ => false
     }
     bearing && g.elems.forall {
@@ -513,6 +529,15 @@ final class SparqlFrame(
       case SqBind(e, _) => !hasExists(e) && !hasFullFn(e)
       case SqOptional(g2) => quadCompatible(g2)
       case SqUnion(branches) => branches.forall(quadCompatible)
+      case SqGraphPat(TVar(_), g2) => quadCompatible(g2)
+      case SqSubSelect(sel) =>
+        val aggs = scala.collection.mutable.ListBuffer.empty[EAgg]
+        sel.proj.foreach { case PExpr(e, _) => collectAggs(e, aggs); case _ => }
+        sel.having.foreach(collectAggs(_, aggs))
+        sel.orderBy.foreach { case (e, _) => collectAggs(e, aggs) }
+        sel.limit.isEmpty && sel.offset.isEmpty &&
+          (sel.groupBy.nonEmpty || aggs.isEmpty) &&
+          quadCompatible(sel.where)
       case _ => false
     }
   }
@@ -546,11 +571,49 @@ final class SparqlFrame(
           else joinSols(acc, graphSeedSol(x, base))
         optionalJoinWith(seeded, g2, (gg, seed) => evalQuadGroup(gg, x, base, seed))
       case (acc, SqUnion(branches)) =>
-        unionSols(branches.map(b => evalQuadGroup(b, x, base, acc)))
+        // a branch that leaves ?x unbound (nested-GRAPH-only body) ranges
+        // over every named graph — seed it, don't null-fill it
+        unionSols(branches.map { b =>
+          val r = evalQuadGroup(b, x, base, acc)
+          if (r.vars.contains(x)) r else joinSols(r, graphSeedSol(x, base))
+        })
       case (acc, SqBind(e, v)) =>
         if (acc.vars.contains(v))
           throw new ReportableError(s"BIND would re-bind already-bound variable ?$v")
         Sol(acc.df.withColumn(v, compileT(e, acc)), acc.vars + v, acc.maybeNull)
+      case (acc, SqGraphPat(TVar(y), g2)) =>
+        // nested GRAPH re-scopes the active graph: it evaluates against
+        // the full named-graphs frame on its own graph var, independent of
+        // ?x (the dispatch site seeds ?x afterwards if nothing binds it —
+        // SPARQL's cross product of outer graph names with the inner
+        // solutions). Same-var nesting (GRAPH ?x inside GRAPH ?x) falls
+        // out of the shared-variable join.
+        val r = evalQuadGroup(g2, y, base, acc)
+        if (r.vars.contains(y)) r else joinSols(r, graphSeedSol(y, base))
+      case (acc, SqSubSelect(sel)) =>
+        // per-graph sub-select in ONE pass: the inner WHERE evaluates on a
+        // hidden graph var that `project` carries through grouping and
+        // DISTINCT (the `keep` channel — the same one SHACL pre-binding
+        // attribution uses), so aggregates group per graph, DISTINCT
+        // dedups per graph, and the projected result joins back on ?x
+        // plus shared projected vars. Sub-selects see the pre-bound seed
+        // (rootSeed), not the outer block's partial solution, per SPARQL
+        // bottom-up evaluation.
+        val hv = s"__gsub_$x"
+        val inner0 = evalQuadGroup(sel.where, hv, base, rootSeed)
+        val inner = if (inner0.vars.contains(hv)) inner0
+          else joinSols(inner0, graphSeedSol(hv, base))
+        val sub = project(sel, inner, keep = Set(hv))
+        val merged =
+          if (sub.vars.contains(x))
+            // the sub-select itself projects a var named ?x: per SPARQL it
+            // is the same variable, so it must be compatible with (and is
+            // then overridden by) the graph binding
+            Sol(sub.df.filter(col(x).isNull || col(x) === col(hv))
+              .withColumn(x, col(hv)).drop(hv), sub.vars - hv, sub.maybeNull - x - hv)
+          else Sol(sub.df.withColumnRenamed(hv, x), sub.vars - hv + x,
+            if (sub.maybeNull.contains(hv)) sub.maybeNull - hv + x else sub.maybeNull)
+        joinSols(acc, merged)
       case (acc, _) => acc // filters applied below
     }
     g.elems.foldLeft(withPats) {

@@ -23,7 +23,12 @@ object ScaleProbe {
     val cpus = args(0).toInt
     val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", math.max(cpus, 16).toString)
+      // shuffle parallelism scales with cores (2-4x slots, standard cluster
+      // sizing): a fixed partition count lets one straggler partition idle
+      // the extra cores of the larger config at every wave boundary, which
+      // reads as a serial fraction in the N -> 4N scaling evidence
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", math.max(cpus * 4, 16).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

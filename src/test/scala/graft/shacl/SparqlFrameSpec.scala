@@ -505,6 +505,96 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(res2.df.filter(res2.df("t").isNotNull).count() == 50000)
   }
 
+  test("GRAPH ?g sub-selects ride the quad path: per-graph GROUP BY, projection, fallback") {
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:name "A" . ex:a ex:tag "T1" . ex:a ex:tag "T2" .
+         |              ex:b ex:name "B" . }
+         |GRAPH ex:g2 { ex:a ex:name "A2" . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    def q(txt: String, out: Seq[String]) = {
+      val res = frame.evalSelect(Sparql.parseQuery(txt, Map("ex" -> ex))
+        .asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+      frame.collect(res, out)
+    }
+    // GROUP BY sub-select aggregates PER GRAPH (g1: a has 2 tags; b has no
+    // tag group so the join drops it; g2: no tags at all)
+    val agg = q("""SELECT ?g ?s ?n WHERE { GRAPH ?g {
+      ?s ex:name ?x . { SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t . } GROUP BY ?s } } }""",
+      Seq("g", "s", "n"))
+    assert(agg.map(r => (r("g"), r("s"), r("n"))) ==
+      Seq((Iri(ex + "g1"), Iri(ex + "a"), Lit("2", XSD.integer))))
+    // sub-select projecting an unbound ?g: compatible with (and overridden
+    // by) the graph binding
+    val proj = q("""SELECT ?g ?s WHERE { GRAPH ?g {
+      { SELECT ?g ?s WHERE { ?s ex:tag ?t . } } } } ORDER BY ?g ?s""",
+      Seq("g", "s"))
+    assert(proj.map(r => (r("g"), r("s"))).distinct ==
+      Seq((Iri(ex + "g1"), Iri(ex + "a"))))
+    // LIMIT sub-select cannot slice per graph on the join path -> the
+    // per-graph loop still answers it (first name per graph in order)
+    val lim = q("""SELECT ?g ?s WHERE { GRAPH ?g {
+      { SELECT ?s WHERE { ?s ex:name ?x . } ORDER BY ?s LIMIT 1 } } } ORDER BY ?g""",
+      Seq("g", "s"))
+    assert(lim.map(r => (r("g"), r("s"))) ==
+      Seq((Iri(ex + "g1"), Iri(ex + "a")), (Iri(ex + "g2"), Iri(ex + "a"))))
+  }
+
+  test("nested GRAPH ?h inside GRAPH ?g: inner re-scopes, outer ranges over all graphs") {
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:p ex:b . }
+         |GRAPH ex:g2 { ex:c ex:p ex:d . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    val res = frame.evalSelect(Sparql.parseQuery(
+      "SELECT ?g ?h ?s WHERE { GRAPH ?g { GRAPH ?h { ?s ex:p ?o . } } } ORDER BY ?g ?h",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val rows = frame.collect(res, Seq("g", "h", "s"))
+    // inner GRAPH ignores the outer active graph; ?g is the cross product
+    // with the named-graph catalog (SPARQL: P is independent of g)
+    assert(rows.map(r => (r("g"), r("h"), r("s"))).toSet == Set(
+      (Iri(ex + "g1"), Iri(ex + "g1"), Iri(ex + "a")),
+      (Iri(ex + "g1"), Iri(ex + "g2"), Iri(ex + "c")),
+      (Iri(ex + "g2"), Iri(ex + "g1"), Iri(ex + "a")),
+      (Iri(ex + "g2"), Iri(ex + "g2"), Iri(ex + "c"))))
+    // same-var nesting degenerates to the inner scoping via the shared join
+    val same = frame.evalSelect(Sparql.parseQuery(
+      "SELECT ?g ?s WHERE { GRAPH ?g { GRAPH ?g { ?s ex:p ?o . } } } ORDER BY ?g",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val srows = frame.collect(same, Seq("g", "s"))
+    assert(srows.map(r => (r("g"), r("s"))) ==
+      Seq((Iri(ex + "g1"), Iri(ex + "a")), (Iri(ex + "g2"), Iri(ex + "c"))))
+  }
+
+  test("GRAPH ?g GROUP BY sub-select at 10k graphs: fixed-size plan, no loop") {
+    val many = QuadsDF.fromQuads(spark, (1 to 10000).flatMap(i =>
+      Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "name"), Lit(s"n$i"), Some(Iri(s"$ex/g$i"))),
+        Quad(Iri(s"$ex/s$i"), Iri(ex + "tag"), Lit(s"t$i"), Some(Iri(s"$ex/g$i")))) ++
+        (if (i % 2 == 0)
+           Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "tag"), Lit(s"u$i"), Some(Iri(s"$ex/g$i"))))
+         else Nil)))
+    val manyT = QuadsDF.defaultUnion(many)
+    val frame2 = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
+      Map.empty, None, None, Some(many))
+    val res2 = frame2.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?s ?n WHERE { GRAPH ?g {
+        ?s ex:name ?x . { SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t . } GROUP BY ?s } } }""",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame2.unitSeed)
+    val unions = res2.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+    }
+    assert(unions.isEmpty, s"per-graph branches leaked into the plan: $unions")
+    assert(res2.df.count() == 10000)
+  }
+
   test("PInv of a COMPOSITE path evaluates the inverse, not the forward path") {
     // parsers normalize PInv to leaf level, so build the AST directly:
     // a p b . b q c .  — inverse of (p/q) anchored at c must reach a
