@@ -22,7 +22,13 @@ object PlanCheck {
         // df-capped inverted-index ngram join (AQE broadcasts the rare +
         // array tables), IVF with literal-centroid assignment (no window
         // or crossJoin on the items side), portable simhash
-        "q_ngram_jaccard", "q_ann_ivf", "q_simhash")
+        "q_ngram_jaccard", "q_ann_ivf", "q_simhash",
+        // r6: substring dedup (df-capped fingerprint join + diagonal span
+        // windows partitioned by pair, never global), its removal half
+        // (cut-list groupBy + one codegen transform/filter pass),
+        // repetition signals (two keyed groupBys + per-doc window),
+        // redaction (pure codegen projection, zero shuffles)
+        "q_substring_dedup", "q_substring_clean", "q_repetition", "q_redact")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
