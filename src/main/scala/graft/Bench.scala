@@ -105,7 +105,8 @@ object Bench {
       }
       (dt, load)
     }
-    val retimeSec = sys.env.getOrElse("SPARK_GRAFT_RETIME_SEC", "1.5").toDouble
+    val retimeSec = sys.env.get("SPARK_GRAFT_RETIME_SEC")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(1.5)
     val pass1 = named.map { case (n, f) => n -> timeOne(f) }.toMap
     val toRetime = named.filter { case (n, _) => pass1(n)._1 > retimeSec }
     val pass2 = toRetime.map { case (n, f) => n -> timeOne(f) }.toMap

@@ -847,7 +847,7 @@ object Queries {
         |), w AS (
         |  SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0
         |), rare AS (
-        |  SELECT fp FROM w GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+        |  SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20
         |), m AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, b.pos - a.pos AS d, a.pos AS pos_a
         |  FROM w a JOIN rare r ON a.fp = r.fp JOIN w b ON b.fp = a.fp
@@ -880,7 +880,7 @@ object Queries {
         |), w AS (
         |  SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0
         |), rare AS (
-        |  SELECT fp FROM w GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+        |  SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20
         |), m AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, b.pos - a.pos AS d, a.pos AS pos_a
         |  FROM w a JOIN rare r ON a.fp = r.fp JOIN w b ON b.fp = a.fp

@@ -64,16 +64,16 @@ final class TripleStore(spark: SparkSession, root: String) {
     val frame =
       try Some(spark.read.parquet(dataPath))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    frame match {
+    val df = frame match {
       case None => ensureFormatMarker(); return
       case Some(df) if !df.schema.fieldNames.contains("p_part") =>
         throw new IllegalStateException(
           s"TripleStore at $root has a data dir without a p_part partition " +
             "column — not a store this version can adopt. Re-export and " +
             "rewrite into a fresh store.")
-      case Some(_) => ()
+      case Some(df) => df // reuse: a second read would re-list + re-infer
     }
-    val mismatched = spark.read.parquet(dataPath)
+    val mismatched = df
       // cast defends against partition-type inference: all-numeric p_part
       // values read back as ints and the typed select would throw
       .select($"p_part".cast("string").as("p_part"), $"p").distinct()

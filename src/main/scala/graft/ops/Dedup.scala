@@ -320,10 +320,12 @@ object Dedup {
     *      each document and fingerprint it (md5-derived 60-bit hash of the
     *      window text — plain SQL arithmetic both engines compute
     *      bit-identically, like [[minhashSigPortable]]);
-    *   2. df-cap the posting lists to [2, maxDf] fingerprints (same
-    *      blocking as [[ngramJaccardJoin]]: boilerplate windows that occur
-    *      everywhere never fan out, so the candidate join is bounded per
-    *      fingerprint);
+    *   2. df-cap the posting lists to fingerprints seen in [2, maxDf]
+    *      DISTINCT documents (same blocking as [[ngramJaccardJoin]]:
+    *      boilerplate windows that occur everywhere never fan out, so the
+    *      candidate join is bounded per fingerprint; counting documents,
+    *      not occurrences, keeps an intra-document repeat from masking
+    *      that window's cross-document duplicates);
     *   3. bucket self-join on the fingerprint → window matches
     *      (id_a, pos_a, id_b, pos_b), deduped;
     *   4. merge matches into maximal duplicated spans along each DIAGONAL
@@ -360,7 +362,11 @@ object Dedup {
             16, 10).cast("long").as("fp")))).as("w"))
       .select(col("id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
       .localCheckpoint()
-    val rare = wins.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    // df = DISTINCT documents (true document frequency): an intra-document
+    // repeat must neither trip the cap (masking that window's genuine
+    // cross-document duplicates) nor qualify a window no second document
+    // shares (r6 self-review finding #3)
+    val rare = wins.groupBy(col("fp")).agg(countDistinct(col("id")).as("df"))
       .filter(col("df").between(2, maxDf)).select(col("fp"))
     val posting = wins.join(rare, "fp")
     val matches = posting.select(col("fp"), col("id").as("id_a"), col("pos").as("pos_a"))

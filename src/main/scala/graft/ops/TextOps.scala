@@ -134,7 +134,14 @@ object TextOps {
     * the table form). Docs with no qualifying lines/bigrams surface with
     * 0.0 signals via the left join back to the corpus. */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = widen(docs).select(col(idCol).as("id"), col(textCol).as("text"))
+    // base feeds three branches of one DAG (lines, bigrams, final join);
+    // it stays LAZY on purpose — each branch re-scans the source with
+    // column pruning, which at corpus scale beats materializing the text
+    // column (a localCheckpoint here would store the whole corpus to
+    // evaluate three cheap projections). The final join carries only
+    // (id, nw), never text.
+    val base = widen(docs).select(col(idCol).as("id"), col(textCol).as("text"),
+      length(regexp_replace(col(textCol), "\\s", "")).as("nw"))
     val lineCounts = base
       .select(col("id"), explode(split(col("text"), "\n")).as("l0"))
       .select(col("id"), trim(col("l0")).as("l"))
@@ -154,14 +161,14 @@ object TextOps {
         Window.partitionBy(col("id")).orderBy(col("c").desc, col("bg").asc)))
       .filter(col("rn") === 1)
       .select(col("id"), col("bg").as("top_bigram"), col("c").as("top_c"))
-    base.join(lineAgg, Seq("id"), "left").join(topBigram, Seq("id"), "left")
+    base.select(col("id"), col("nw"))
+      .join(lineAgg, Seq("id"), "left").join(topBigram, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("dup_line_frac"), lit(0.0d)).as("dup_line_frac"),
         coalesce(col("dup_line_char_frac"), lit(0.0d)).as("dup_line_char_frac"),
         coalesce(col("top_bigram"), lit("")).as("top_bigram"),
         coalesce(round(col("top_c") * length(col("top_bigram")).cast("double") /
-          greatest(length(regexp_replace(col("text"), "\\s", "")), lit(1)), 4),
-          lit(0.0d)).as("top_bigram_frac"))
+          greatest(col("nw"), lit(1)), 4), lit(0.0d)).as("top_bigram_frac"))
   }
 
   // ----------------------------------------------------- PII redaction

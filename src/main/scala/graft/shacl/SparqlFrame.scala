@@ -183,16 +183,25 @@ final class SparqlFrame(
     case other => other
   }
 
-  /** If the query aggregates, run the groupBy/agg and (HAVING) filter;
-    * otherwise return the solution untouched. */
-  private def aggregateStep(q: SqSelect, g: Sol, keep: Set[String]): Sol = {
+  /** Every aggregate a SELECT references (projections, HAVING, ORDER BY)
+    * — shared by [[aggregateStep]] and the quad path's sub-select
+    * compatibility check so the predicate can never drift from what
+    * aggregation actually collects. */
+  private def selectAggs(q: SqSelect): List[EAgg] = {
     val found = scala.collection.mutable.ListBuffer.empty[EAgg]
     q.proj.foreach { case PExpr(e, _) => collectAggs(e, found); case _ => }
     q.having.foreach(collectAggs(_, found))
     q.orderBy.foreach { case (e, _) => collectAggs(e, found) }
+    found.toList
+  }
+
+  /** If the query aggregates, run the groupBy/agg and (HAVING) filter;
+    * otherwise return the solution untouched. */
+  private def aggregateStep(q: SqSelect, g: Sol, keep: Set[String]): Sol = {
+    val found = selectAggs(q)
     if (found.isEmpty && q.groupBy.isEmpty) return g
     val groupCols = (q.groupBy ++ keep.toSeq.sorted).distinct.filter(g.vars.contains)
-    val aggExprs = found.toList.distinct.zipWithIndex.map { case (a, i) =>
+    val aggExprs = found.distinct.zipWithIndex.map { case (a, i) =>
       val name = s"__agg_$i"
       aggNames(a) = name
       val c: Column = a match {
@@ -512,7 +521,7 @@ final class SparqlFrame(
     // left join is per-graph from the first element.
     val bearing = g.elems.exists {
       case _: SqTriple | _: SqOptional | _: SqUnion | _: SqSubSelect => true
-      case SqGraphPat(TVar(_), _) => true
+      case SqGraphPat(TVar(v), _) => v != "shapesGraph"
       case _ => false
     }
     bearing && g.elems.forall {
@@ -529,14 +538,12 @@ final class SparqlFrame(
       case SqBind(e, _) => !hasExists(e) && !hasFullFn(e)
       case SqOptional(g2) => quadCompatible(g2)
       case SqUnion(branches) => branches.forall(quadCompatible)
-      case SqGraphPat(TVar(_), g2) => quadCompatible(g2)
+      // GRAPH $shapesGraph must re-enter evalGroup (it swaps activeT to
+      // the shapes frame, not a data graph) — per-graph loop handles it
+      case SqGraphPat(TVar(v), g2) => v != "shapesGraph" && quadCompatible(g2)
       case SqSubSelect(sel) =>
-        val aggs = scala.collection.mutable.ListBuffer.empty[EAgg]
-        sel.proj.foreach { case PExpr(e, _) => collectAggs(e, aggs); case _ => }
-        sel.having.foreach(collectAggs(_, aggs))
-        sel.orderBy.foreach { case (e, _) => collectAggs(e, aggs) }
         sel.limit.isEmpty && sel.offset.isEmpty &&
-          (sel.groupBy.nonEmpty || aggs.isEmpty) &&
+          (sel.groupBy.nonEmpty || selectAggs(sel).isEmpty) &&
           quadCompatible(sel.where)
       case _ => false
     }
@@ -548,9 +555,7 @@ final class SparqlFrame(
     * per graph and a graph whose optional part is empty still contributes
     * its row of nulls), instead of falling back to the per-graph loop. */
   private def graphSeedSol(x: String, base: DataFrame): Sol =
-    Sol(base.select(struct(col("g").as("v"), lit(0.toByte).as("k"),
-        lit("").as("dt"), lit("").as("lang")).as(x)).distinct(),
-      Set(x), Set.empty)
+    Sol(base.select(iriT(col("g")).as(x)).distinct(), Set(x), Set.empty)
 
   /** Evaluate a quad-compatible GRAPH ?g block in ONE pass: every triple
     * pattern becomes a [[quadPattern]] binding `x` from the quads g
@@ -616,7 +621,14 @@ final class SparqlFrame(
         joinSols(acc, merged)
       case (acc, _) => acc // filters applied below
     }
-    g.elems.foldLeft(withPats) {
+    // seed ?x BEFORE the filter fold: a block whose only patterns are
+    // nested GRAPH ?h binds h but not x, and SPARQL scopes the group's
+    // FILTERs over the solution WITH ?x bound per graph — evaluating them
+    // against an unbound x (or correlating EXISTS without it) is silently
+    // wrong (r6 self-review finding #1)
+    val withG = if (withPats.vars.contains(x)) withPats
+      else joinSols(withPats, graphSeedSol(x, base))
+    g.elems.foldLeft(withG) {
       case (acc, SqFilter(EExists(g2, neg))) =>
         existsFilterWith(acc, g2, neg, (gg, seed) => evalQuadGroup(gg, x, base, seed))
       case (acc, SqFilter(ENot(EExists(g2, neg)))) =>
@@ -631,8 +643,7 @@ final class SparqlFrame(
   private def quadPattern(t: SqTriple, gVar: String, base0: DataFrame): Sol = {
     var base = base0
     val sources = scala.collection.mutable.ListBuffer.empty[(String, Column)]
-    sources += gVar -> struct(col("g").as("v"), lit(0.toByte).as("k"),
-      lit("").as("dt"), lit("").as("lang"))
+    sources += gVar -> iriT(col("g"))
     t.s match {
       case TVar(x) => sources += x -> col("s")
       case TConst(n) => base = base.filter(col("s") === termLit(n))
@@ -640,8 +651,7 @@ final class SparqlFrame(
     t.p match {
       case PredIri(i) => base = base.filter(col("p") === i)
       case PredVar(x) =>
-        sources += x -> struct(col("p").as("v"), lit(0.toByte).as("k"),
-          lit("").as("dt"), lit("").as("lang"))
+        sources += x -> iriT(col("p"))
       case other => throw new IllegalStateException(s"quadPattern: $other") // bgpOnly guards
     }
     t.o match {
@@ -674,8 +684,7 @@ final class SparqlFrame(
     t.p match {
       case PredIri(i) => base = base.filter(col("p") === i)
       case PredVar(x) =>
-        sources += x -> struct(col("p").as("v"), lit(0.toByte).as("k"),
-          lit("").as("dt"), lit("").as("lang"))
+        sources += x -> iriT(col("p"))
       case PredShapePath => // handled above
     }
     t.o match {
@@ -783,8 +792,7 @@ final class SparqlFrame(
     * falls out of the shared-variable join, same as quadPattern. */
   private def quadPathPattern(t: SqTriple, gVar: String, base: DataFrame,
                               cur: Sol, path: PathIR): Sol = {
-    def gT(c: Column) = struct(c.as("v"), lit(0.toByte).as("k"),
-      lit("").as("dt"), lit("").as("lang"))
+    def gT(c: Column) = iriT(c)
     def boundSide(term: SqTerm): Boolean = term match {
       case TVar(x) => cur.vars.contains(x)
       case TConst(_) => true
@@ -1255,6 +1263,12 @@ final class SparqlFrame(
 
   private def strT(c: Column): Column =
     struct(c.as("v"), lit(2.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
+
+  /** IRI term struct from a plain string column — THE encoding every
+    * graph/predicate variable binding uses; the quad path's seed frames
+    * join against quad-pattern-bound columns, so all sites must share it. */
+  private def iriT(c: Column): Column =
+    struct(c.as("v"), lit(0.toByte).as("k"), lit("").as("dt"), lit("").as("lang"))
 
   private def boolT(b: Column): Column =
     when(b.isNull, nullT).otherwise(struct(

@@ -416,7 +416,8 @@ class OpsSpec extends AnyFunSuite {
       "a</p><p>b",
       // entity decode incl. double-escape: &amp;lt; is literal &lt;
       "x &amp;lt; y &nbsp; &quot;q&quot; &#39;s &gt;",
-      // malformed: unclosed tag (no >) stays literal; unclosed comment eats rest
+      // malformed: unclosed tag (no >) stays literal; an unclosed comment
+      // SURVIVES verbatim (the regex needs a closing --> to match)
       "<div class=\"x hello",
       "keep <!-- never closed so the rest drops",
       // SCRIPT case-insensitive, multiline content
@@ -480,6 +481,19 @@ class OpsSpec extends AnyFunSuite {
     // runB: doc1 tokens 31..55, doc2 tokens 1..25
     assert(spans(1).getAs[Long]("a_start") == 31L && spans(1).getAs[Long]("a_end") == 56L)
     assert(spans(1).getAs[Long]("b_start") == 1L && spans(1).getAs[Long]("b_end") == 26L)
+  }
+
+  test("substring dedup: intra-document repeats do not mask cross-document duplicates") {
+    // doc 1 repeats a 20-token run 21 times (window occurrences >> maxDf);
+    // doc 2 shares it once. df counts DISTINCT documents (= 2), so the
+    // pair must still surface — r6 self-review #3
+    val run = (0 until 20).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 21).map(_ => run).mkString(" ")),
+      (2L, "z0 z1 " + run + " z2 z3")).toDF("doc_id", "text")
+    val spans = Dedup.substringDedup(docs, "doc_id", "text").collect()
+    assert(spans.nonEmpty, "intra-doc repetition suppressed the cross-doc duplicate")
+    assert(spans.forall(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
   }
 
   test("substring dedup clean: later doc loses the shared run, earlier keeps it") {

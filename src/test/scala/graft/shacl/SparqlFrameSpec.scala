@@ -572,6 +572,40 @@ class SparqlFrameSpec extends AnyFunSuite {
     val srows = frame.collect(same, Seq("g", "s"))
     assert(srows.map(r => (r("g"), r("s"))) ==
       Seq((Iri(ex + "g1"), Iri(ex + "a")), (Iri(ex + "g2"), Iri(ex + "c"))))
+    // group FILTERs see the SEEDED ?g (r6 self-review #1): a block whose
+    // only pattern is nested GRAPH must still bind ?g before FILTER runs
+    val filt = frame.evalSelect(Sparql.parseQuery(
+      "SELECT ?g ?h WHERE { GRAPH ?g { GRAPH ?h { ?s ex:p ?o . } FILTER(?g != ?h) } }",
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val frows = frame.collect(filt, Seq("g", "h"))
+    assert(frows.map(r => (r("g"), r("h"))).toSet == Set(
+      (Iri(ex + "g1"), Iri(ex + "g2")), (Iri(ex + "g2"), Iri(ex + "g1"))))
+  }
+
+  test("nested GRAPH $shapesGraph inside GRAPH ?g keeps the shapes-frame special case") {
+    // $shapesGraph re-scoping must NOT ride the quad path (it swaps to the
+    // shapes triples frame, not a named data graph) — r6 self-review #2
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:p ex:b . }
+         |GRAPH ex:g2 { ex:c ex:p ex:d . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val shapes = TriplesDF.fromMemGraph(spark, TurtleParser.parseGraph(
+      s"""@prefix ex: <$ex> . ex:shape1 ex:q "S" .""", "http://test/"))
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      Some(shapes), Some(quads))
+    val res = frame.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?s ?sh ?v WHERE { GRAPH ?g { ?s ex:p ?o .
+        |  GRAPH ?shapesGraph { ?sh ex:q ?v . } } } ORDER BY ?g""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val rows = frame.collect(res, Seq("g", "s", "sh", "v"))
+    // shapes triple must come from the SHAPES frame (ex:shape1/"S"), and
+    // ?g must range over the data graphs only
+    assert(rows.map(r => (r("g"), r("s"), r("sh"), r("v"))) == Seq(
+      (Iri(ex + "g1"), Iri(ex + "a"), Iri(ex + "shape1"), Lit("S")),
+      (Iri(ex + "g2"), Iri(ex + "c"), Iri(ex + "shape1"), Lit("S"))))
   }
 
   test("GRAPH ?g GROUP BY sub-select at 10k graphs: fixed-size plan, no loop") {
