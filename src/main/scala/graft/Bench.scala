@@ -117,17 +117,18 @@ object Bench {
     val results = finals.map { case (n, (t, _)) => n -> t }
     val qLoads = finals.map { case (n, (_, l)) => n -> l }
     // candidate-set evidence for the approximate ANN paths (VERDICT r5
-    // #5): bucket/cell occupancy AT BENCH SCALE with the same parameters
-    // as q_ann_lsh (bits=12, tables=4) / q_ann_ivf (nlist=64) — the CI
-    // recall tests pin quality, these numbers pin the bounded-fan-out
-    // claim (a query scans ≤ tables×max_bucket resp. ~nprobe×max_cell
-    // candidates, never the full table)
+    // #5): bucket/cell occupancy AT BENCH SCALE on the portable-signature /
+    // portable-quantizer paths q_ann_lsh (bits=12, tables=4) and q_ann_ivf
+    // (nlist=64) actually run (r6: the queries moved to the DuckDB-oracled
+    // portable twins) — the CI recall tests pin quality, these numbers pin
+    // the bounded-fan-out claim (a query scans ≤ tables×max_bucket resp.
+    // ~nprobe×max_cell candidates, never the full table)
     val (nEmb, lshMaxBucket, lshBuckets, ivfMaxCell, ivfCells) = try {
       import org.apache.spark.sql.functions.{col, count, lit, max}
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val l = graft.ops.Similarity.lshBucketSizes(emb, "vec_id", "embedding",
+      val l = graft.ops.Similarity.lshBucketSizesPortable(emb, "vec_id", "embedding",
         bits = 12, tables = 4).agg(max(col("n")), count(lit(1))).collect()(0)
-      val v = graft.ops.Similarity.ivfCellSizes(emb, "vec_id", "embedding",
+      val v = graft.ops.Similarity.ivfCellSizesPortable(emb, "vec_id", "embedding",
         nlist = 64).agg(max(col("n")), count(lit(1))).collect()(0)
       (emb.count(), l.getLong(0), l.getLong(1), v.getLong(0), v.getLong(1))
     } catch { case _: Throwable => (-1L, -1L, -1L, -1L, -1L) }

@@ -293,19 +293,25 @@ object Queries {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("item_id"))
   }
 
-  /** LSH-bucketed ANN (the scale path; recall measured in tests). */
+  /** LSH-bucketed ANN over the PORTABLE integer signatures (md5 weights,
+    * floor(x·2^20) quantization): signatures, candidate set, cosine verify
+    * and ranks all recompute bit-identically in DuckDB, so the approximate
+    * scale path itself is rows+schema+hash oracled (the r5 portable-MinHash
+    * pattern); recall vs brute force stays pinned in OpsSpec. */
   val qAnnLsh: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
-      .select(col("q_id"), col("rank"), col("item_id"))
+    Similarity.lshTopKPortable(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("item_id"))
   }
 
-  /** IVF-bucketed ANN (the second scale path: coarse quantizer + probed
-    * cells; recall-tested in OpsSpec, approximate → rows-only check). */
+  /** IVF-bucketed ANN over the PORTABLE quantizer (md5-ordered centroid
+    * sample, round-6 cell ranking): centroid choice, probed cells, candidate
+    * set and ranks recompute bit-identically in DuckDB → full hash oracle;
+    * recall vs brute force stays pinned in OpsSpec. */
   val qAnnIvf: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
-      .select(col("q_id"), col("rank"), col("item_id"))
+    Similarity.ivfTopKPortable(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("item_id"))
   }
 
   /** SPARQL frontend end-to-end: the nation/region tables lift into a
@@ -996,11 +1002,86 @@ object Queries {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, item_id) AS rank
         |  FROM scored
         |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, item_id FROM ranked WHERE rank <= 5""".stripMargin,
+    // portable RHP LSH: integer-quantized components (floor(x*2^20) — exact
+    // in doubles) × md5-derived integer weights make every projection an
+    // EXACT int64 sum, so signatures / candidates / ranks recompute
+    // bit-identically here; the cosine verify is the proven round-6 fold
+    "q_ann_lsh" ->
+      """WITH dims0 AS (
+        |  SELECT vec_id AS id, unnest(generate_series(1, len(embedding))) AS d1,
+        |    unnest(embedding) AS x
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT id, d1 - 1 AS d, CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS xi
+        |  FROM dims0
+        |), w AS (
+        |  SELECT t.t, b.b, dd.d,
+        |    ('0x' || substr(md5(t.t || ':' || b.b || ':' || dd.d), 1, 15))::BIGINT % 1001 - 500 AS w
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS t) t,
+        |       (SELECT unnest(generate_series(0, 11)) AS b) b,
+        |       (SELECT DISTINCT d FROM dims) dd
+        |), proj AS (
+        |  SELECT dims.id, w.t, w.b, SUM(dims.xi * w.w) AS p
+        |  FROM dims JOIN w ON w.d = dims.d GROUP BY 1, 2, 3
+        |), sig AS (
+        |  SELECT id, t AS tbl,
+        |    SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS sig
+        |  FROM proj GROUP BY 1, 2
+        |), v AS (
+        |  SELECT vec_id, embedding, greatest(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS nrm
+        |  FROM embeddings
+        |), cand AS (
+        |  SELECT DISTINCT q.id AS q_id, i.id AS item_id
+        |  FROM sig q JOIN sig i ON q.tbl = i.tbl AND q.sig = i.sig AND i.id <> q.id
+        |  WHERE q.id < 8
+        |), scored AS (
+        |  SELECT c.q_id, c.item_id,
+        |    round(list_sum(list_transform(list_zip(qv.embedding, iv.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (qv.nrm * iv.nrm), 6) AS cos
+        |  FROM cand c JOIN v qv ON qv.vec_id = c.q_id JOIN v iv ON iv.vec_id = c.item_id
+        |), ranked AS (
+        |  SELECT q_id, item_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, item_id FROM ranked WHERE rank <= 5""".stripMargin,
+    // portable IVF: centroids = the md5-ordered sample (no Lloyd float
+    // averaging — not cross-engine-reproducible), cells ranked by the proven
+    // round-6 cosine with ties toward the smaller cell id
+    "q_ann_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding, greatest(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS nrm
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
+        |    embedding AS c_vec, nrm AS c_nrm
+        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 64
+        |), ac AS (
+        |  SELECT v.vec_id, c.cell,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      round(list_sum(list_transform(list_zip(v.embedding, c.c_vec),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (v.nrm * c.c_nrm), 6) DESC,
+        |      c.cell) AS rn
+        |  FROM v CROSS JOIN cents c
+        |), ia AS (SELECT vec_id, cell FROM ac WHERE rn <= 4),
+        |qa AS (SELECT vec_id, cell FROM ac WHERE rn <= 16 AND vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, i.vec_id AS item_id
+        |  FROM qa q JOIN ia i ON i.cell = q.cell AND i.vec_id <> q.vec_id
+        |), scored AS (
+        |  SELECT c.q_id, c.item_id,
+        |    round(list_sum(list_transform(list_zip(qv.embedding, iv.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (qv.nrm * iv.nrm), 6) AS cos
+        |  FROM cand c JOIN v qv ON qv.vec_id = c.q_id JOIN v iv ON iv.vec_id = c.item_id
+        |), ranked AS (
+        |  SELECT q_id, item_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored
+        |)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, item_id FROM ranked WHERE rank <= 5""".stripMargin
-    // q_ann_lsh / q_ann_ivf remain rows-only: random-hyperplane / IVF
-    // bucketing is xxhash64-seeded (a Spark kernel with no DuckDB
-    // equivalent) and deliberately approximate — quality is pinned by
-    // recall-vs-brute-force asserts in OpsSpec instead.
   )
 
   val all: Map[String, Q] = Map(

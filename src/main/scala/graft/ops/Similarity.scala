@@ -105,6 +105,46 @@ object Similarity {
       .select(col("id"), col("pos").as("tbl"), col("col").as("sig"))
   }
 
+  /** Plan-time md5-derived integer hyperplane weight for (table, bit, dim):
+    * first 60 bits of md5("t:b:d") mod 1001, shifted to [-500, 500]. Computed
+    * on the driver (tables×bits×dim values — catalog-scale) and inlined as
+    * literals, so the executors do ZERO hashing; a SQL engine recomputes the
+    * identical numbers from its own md5 (`('0x'||substr(md5(k),1,15))::BIGINT
+    * % 1001 - 500`), which is what makes the portable signature
+    * DuckDB-oracle-able end to end. */
+  private[ops] def mdWeight(t: Int, b: Int, d: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t:$b:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1001L - 500L
+  }
+
+  /** Portable twin of [[rhpSigTable]]: components quantized to integers
+    * (`floor(x * 2^20)` — exact in doubles, identical in any engine) and
+    * integer hyperplane weights, so every projection is an EXACT int64 sum —
+    * associative, partition-order-independent (the float fast path's
+    * documented near-zero sign-bit wobble cannot happen here) and
+    * bit-identical in DuckDB. Same explode + partial-aggregating-sums shape
+    * as the fast path; the weight lookup is an O(1) element_at into a
+    * plan-time literal array instead of a runtime xxhash64. `dim` bounds the
+    * literal weight arrays (pass max embedding length). */
+  def rhpSigTablePortable(docs: DataFrame, idCol: String, vecCol: String,
+                          bits: Int, tables: Int, dim: Int): DataFrame = {
+    val dims = widen(docs).select(col(idCol).as("id"), posexplode_outer(col(vecCol)))
+      .select(col("id"), col("pos").as("d"),
+        floor(col("col").cast("double") * lit(1048576.0d)).as("xi"))
+    val sums = for (t <- 0 until tables; b <- 0 until bits) yield {
+      val w = typedLit((0 until dim).map(dd => mdWeight(t, b, dd)))
+      sum(col("xi") * element_at(w, col("d") + 1)).as(s"p_${t}_$b")
+    }
+    dims.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"), posexplode(array((0 until tables).map { t =>
+        (0 until bits).map(b =>
+          when(col(s"p_${t}_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce[Column](_ bitwiseOR _)
+      }: _*)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("sig"))
+  }
+
   /** Banded multi-table LSH ANN: `tables` independent `bits`-bit signature
     * tables; a (query, item) pair is a candidate when ANY table collides
     * (recall ≈ 1-(1-p^bits)^tables, tunable to data scale: more bits →
@@ -128,6 +168,34 @@ object Similarity {
       .select(col("q_id"), col("item_id"),
         cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
       .distinct() // a pair may collide in several tables
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[lshTopK]] over the portable integer signatures — identical join /
+    * verify / rank shape, but every stage (signature, candidate set, cosine,
+    * rank) is recomputable bit-identically in DuckDB, so the query is
+    * rows+schema+hash oracle-able despite being an approximate scale path
+    * (the oracle recomputes the SAME approximation, the r5 portable-MinHash
+    * pattern). Costs one driver action to read the embedding dim for the
+    * literal weight arrays. */
+  def lshTopKPortable(items: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    ArrayDotProduct.ensure(items.sparkSession)
+    val dim = items.agg(max(size(col(vecCol)))).head.getInt(0)
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
+      nrm(col(vecCol)).as("item_nrm"))
+      .join(rhpSigTablePortable(items, idCol, vecCol, bits, tables, dim)
+        .withColumnRenamed("id", "item_id"), "item_id")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      nrm(col(vecCol)).as("q_nrm"))
+      .join(rhpSigTablePortable(queries, idCol, vecCol, bits, tables, dim)
+        .withColumnRenamed("id", "q_id"), "q_id")
+    val scored = it.join(broadcast(q), Seq("tbl", "sig"))
+      .filter(col("q_id") =!= col("item_id"))
+      .select(col("q_id"), col("item_id"),
+        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
+      .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -159,6 +227,21 @@ object Similarity {
     cents
   }
 
+  /** Portable twin of [[ivfCentroids]]: the nlist hash-order sample with md5
+    * as the order key and NO Lloyd refinement — float mean aggregation is
+    * not cross-engine-reproducible (partial-aggregation order), while the
+    * sample itself is (`ORDER BY md5(CAST(id AS VARCHAR)) LIMIT nlist` reads
+    * identically in any engine; md5 renders lowercase hex everywhere, so the
+    * string order agrees). Returns (cell, c_vec). */
+  def ivfCentroidsPortable(items: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int): DataFrame = {
+    val w = Window.orderBy(col("__h"))
+    items.select(col(idCol).as("__cid"), col(vecCol).as("c_vec"))
+      .withColumn("__h", md5(col("__cid").cast("string")))
+      .orderBy(col("__h")).limit(nlist)
+      .withColumn("cell", row_number().over(w)).select(col("cell"), col("c_vec"))
+  }
+
   /** Assign every row its `nprobe` nearest cells (by cosine), with ZERO
     * shuffle: the centroid table is bounded (nlist), so it collects to a
     * literal array and each row derives its top cells via one transform +
@@ -178,8 +261,13 @@ object Similarity {
     cents.select(col("cell").cast("int"), col("c_vec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
 
+  /** `roundCos` ranks cells by round(cos, 6) instead of the raw double —
+    * the portable paths use it so the cell ranking rides the proven
+    * round-to-6 cross-engine cosine contract (ties break toward the smaller
+    * cell id identically on both sides). */
   private def assignCellsLocal(df: DataFrame, local: Array[(Int, Array[Float])],
-                               idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+                               idCol: String, vecCol: String, nprobe: Int,
+                               roundCos: Boolean = false): DataFrame = {
     val centArr = array(local.map { case (cell, vec) =>
       struct(lit(cell).as("cell"), typedLit(vec).as("c_vec"),
         lit(math.max(math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum), 1e-12))
@@ -187,10 +275,12 @@ object Similarity {
     }: _*)
     widen(df).select(col(idCol), col(vecCol).as("__vec"), nrm(col(vecCol)).as("__nrm"))
       .select(col(idCol), col("__vec"),
-        explode(slice(reverse(array_sort(transform(centArr, c =>
-          struct((call_function("graft_dot", col("__vec"), c("c_vec")) /
-            (col("__nrm") * c("c_nrm"))).as("cc"),
-            (-c("cell")).as("nc"))))), 1, nprobe)).as("__top"))
+        explode(slice(reverse(array_sort(transform(centArr, c => {
+          val cc = call_function("graft_dot", col("__vec"), c("c_vec")) /
+            (col("__nrm") * c("c_nrm"))
+          struct((if (roundCos) round(cc, 6) else cc).as("cc"),
+            (-c("cell")).as("nc"))
+        }))), 1, nprobe)).as("__top"))
       .select(col(idCol), col("__vec"), (-col("__top")("nc")).as("cell"))
   }
 
@@ -226,6 +316,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[ivfTopK]] over the portable quantizer: md5-ordered centroid sample
+    * (no Lloyd step), cell ranking on round(cos, 6) — every stage
+    * (centroids, item/query cell assignment, candidate set, verify, rank)
+    * recomputes bit-identically in DuckDB, making this approximate scale
+    * path rows+schema+hash oracle-able. Driver-side centroid norms use the
+    * same in-index-order double fold as the SQL `list_sum`, so they agree to
+    * the last bit. */
+  def ivfTopKPortable(items: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 16,
+                      itemProbe: Int = 4): DataFrame = {
+    ArrayDotProduct.ensure(items.sparkSession)
+    val cents = collectCents(ivfCentroidsPortable(items, idCol, vecCol, nlist))
+    val it = assignCellsLocal(items, cents, idCol, vecCol, nprobe = itemProbe,
+        roundCos = true)
+      .select(col(idCol).as("item_id"), col("__vec").as("item_vec"),
+        nrm(col("__vec")).as("item_nrm"), col("cell"))
+    val q = assignCellsLocal(queries, cents, idCol, vecCol, nprobe,
+        roundCos = true)
+      .select(col(idCol).as("q_id"), col("__vec").as("q_vec"),
+        nrm(col("__vec")).as("q_nrm"), col("cell"))
+    val scored = it.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("item_id"))
+      .select(col("q_id"), col("item_id"),
+        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Cell-occupancy diagnostics under the IVF quantizer: (cell, n) for the
     * single-nearest-cell assignment — a query at nprobe probes scores at
     * most nprobe × max(n) candidates, so max(n) is the real bound to
@@ -244,4 +363,23 @@ object Similarity {
     rhpSigTable(items, idCol, vecCol, bits, tables)
       .groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("n"))
+
+  /** [[lshBucketSizes]] over the portable integer signatures — the path
+    * [[lshTopKPortable]] (and q_ann_lsh) actually runs. */
+  def lshBucketSizesPortable(items: DataFrame, idCol: String, vecCol: String,
+                             bits: Int = 12, tables: Int = 4): DataFrame = {
+    val dim = items.agg(max(size(col(vecCol)))).head.getInt(0)
+    rhpSigTablePortable(items, idCol, vecCol, bits, tables, dim)
+      .groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[ivfCellSizes]] under the portable quantizer — the cells
+    * [[ivfTopKPortable]] (and q_ann_ivf) actually probes. */
+  def ivfCellSizesPortable(items: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int = 64): DataFrame = {
+    val cents = collectCents(ivfCentroidsPortable(items, idCol, vecCol, nlist))
+    assignCellsLocal(items, cents, idCol, vecCol, nprobe = 1, roundCos = true)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+  }
 }

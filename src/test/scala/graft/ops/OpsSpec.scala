@@ -268,6 +268,38 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall vs brute force $recall < 0.9")
   }
 
+  test("portable ANN twins: partition-invariant signatures + recall pinned") {
+    val items = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // integer projections make the portable signature EXACT — invariant
+    // under partitioning (the float fast path documents a near-zero
+    // sign-bit wobble under re-partitioning; the twin must have none,
+    // that's what licenses its DuckDB hash oracle)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Similarity.rhpSigTablePortable(df, "vec_id", "embedding", 12, 4, 64)
+        .collect().map(_.toString).toSet
+    assert(sigs(items.repartition(1)) == sigs(items.repartition(7)))
+    // planted-neighbor recall through the portable LSH (same bar as the
+    // xxhash64 fast path)
+    val planted = items.orderBy($"vec_id").limit(20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          x + (pmod(xxhash64(i.cast("string")), lit(100L)).cast("float") / 5000.0f))
+          .as("embedding"))
+    val lsh = Similarity.lshTopKPortable(items, planted, "vec_id", "embedding", 5)
+    val lshHits = lsh.filter($"item_id" === $"q_id" - 100000L)
+      .select($"q_id").distinct().count()
+    assert(lshHits >= 18, s"portable LSH recall $lshHits/20 < 18/20")
+    // portable IVF vs exact brute force at the q_ann_ivf defaults
+    val q = items.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"item_id").collect().map(_.toString).toSet
+    val exact = pairs(Similarity.bruteForceTopK(items, q, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopKPortable(items, q, "vec_id", "embedding", 5))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"portable IVF recall vs brute force $recall < 0.9")
+  }
+
   // little-endian writers for hand-built containers in the tests below
   private def le16(b: Array[Byte], i: Int, v: Int): Unit = {
     b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
