@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Sampling, Similarity, TextOps}
 import graft.kg.ConnectedComponents
 
 /** The operator showcase the driver's DuckDB oracle checks at sf0.01.
@@ -282,6 +282,25 @@ object Queries {
     t(s, d, "documents").select(
       col("doc_id") +: TextOps.redactPii(aug): _*)
   }
+
+  /** Benchmark decontamination: docs with doc_id % 7 == 0 play the eval
+    * suite; every other doc is flagged iff it shares a 13-token window
+    * with one of them. Fingerprints are the substring-dedup md5 hashes, so
+    * hit positions and bench-doc counts recompute exactly in DuckDB. */
+  val qDecontaminate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Dedup.decontaminate(docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", "doc_id", "text")
+  }
+
+  /** Deterministic stratified sampling (mixture weights by language):
+    * en 0.5 / de 0.25 / everything else 0.1 — the kept set is a pure md5
+    * function of doc_id, bit-identical in DuckDB, invariant under
+    * partitioning and re-runs. */
+  val qSampleStrata: Q = (s, d) =>
+    Sampling.sampleStratified(
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("source")),
+      "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)
 
   /** Brute-force cosine top-k ANN (queries = vec_id < 8). Deterministic:
     * rank ties break on item_id on both engines, and the cosine arithmetic
@@ -983,6 +1002,36 @@ object Queries {
         |  CAST(n_ip AS BIGINT) AS n_ip,
         |  CAST(len(regexp_extract_all(t3, '\+?\d[\d ()-]{6,}\d')) AS BIGINT) AS n_phone
         |FROM s3""".stripMargin,
+    // benchmark decontamination: same tokenizer + md5 window fingerprints
+    // as the substring-dedup oracles; bench = doc_id % 7 = 0, n = 13
+    "q_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+        |), wins AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(tk) - 12)) AS pos,
+        |    unnest(list_transform(generate_series(1, len(tk) - 12),
+        |      i -> ('0x' || substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15))::BIGINT)) AS fp
+        |  FROM tk WHERE len(tk) >= 13
+        |), bfp AS (
+        |  SELECT DISTINCT fp, doc_id AS bench_id FROM wins WHERE doc_id % 7 = 0
+        |)
+        |SELECT w.doc_id AS id, count(DISTINCT w.pos) AS n_hits,
+        |  count(DISTINCT b.bench_id) AS n_bench
+        |FROM wins w JOIN bfp b USING (fp)
+        |WHERE w.doc_id % 7 <> 0
+        |GROUP BY 1""".stripMargin,
+    // deterministic stratified sampling: bucket = first 60 bits of
+    // md5(doc_id) mod 10^6, kept iff bucket < per-lang rate in ppm
+    "q_sample_strata" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bucket,
+        |    CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |         ELSE 100000 END AS BIGINT) AS rate_ppm
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, source, bucket, rate_ppm FROM b
+        |WHERE bucket < rate_ppm""".stripMargin,
     // brute-force top-k: same cosine fold as q_embed_neardup, rank ties
     // broken by item_id on both engines
     "q_ann_bruteforce" ->
@@ -1116,6 +1165,8 @@ object Queries {
     "q_minhash_cluster" -> qMinhashCluster,
     "q_repetition" -> qRepetition,
     "q_redact" -> qRedact,
+    "q_decontaminate" -> qDecontaminate,
+    "q_sample_strata" -> qSampleStrata,
     "q_ann_bruteforce" -> qAnnBruteForce,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,

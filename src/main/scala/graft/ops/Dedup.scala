@@ -425,6 +425,47 @@ object Dedup {
         (size(col("tk")) - size(col("kept"))).cast("long").as("n_cut"))
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * `n`-token window with an evaluation/benchmark corpus — the standard
+    * 13-gram membership test every serious pretraining pipeline runs so
+    * eval answers don't leak into the training set. Window fingerprints
+    * are the same md5-derived 60-bit hashes as [[substringDedup]], so the
+    * whole check recomputes bit-identically in any SQL engine.
+    *
+    * Shape at scale: the benchmark side is SMALL (eval suites are
+    * thousands of documents, not billions) — its DISTINCT (fp, bench_id)
+    * table broadcasts; the corpus side streams ONCE through tokenize →
+    * window → hash-join. No self-join, no df-cap needed (fan-out is
+    * bounded by the bench set, not the corpus).
+    *
+    * Returns one row per CONTAMINATED document: (id, n_hits = matched
+    * window positions, n_bench = distinct benchmark docs sharing a
+    * window). Clean documents are absent — removal is a left-anti join
+    * against this table, mirroring how [[substringDedupClean]] applies
+    * spans. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, benchIdCol: String, benchTextCol: String,
+                    n: Int = 13): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens (got $n)")
+    def wins(df: DataFrame, id: String, text: String) =
+      widen(df).select(col(id).as("id"),
+        split(lower(trim(col(text))), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - n + 1),
+          i => struct(i.cast("long").as("pos"),
+            conv(substring(md5(array_join(slice(col("tk"), i, lit(n)), " ")), 1, 15),
+              16, 10).cast("long").as("fp")))).as("w"))
+        .select(col("id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+    val b = wins(bench, benchIdCol, benchTextCol)
+      .select(col("fp"), col("id").as("bench_id")).distinct()
+    wins(docs, idCol, textCol)
+      .join(broadcast(b), "fp")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("pos")).as("n_hits"),
+        countDistinct(col("bench_id")).as("n_bench"))
+  }
+
   /** Keep-one canonicalization of MinHash+LSH near-dup candidates: the
     * step between detection and removal for DOCUMENT-level dedup (what
     * [[substringDedupClean]] is for spans). Candidate pairs become

@@ -28,7 +28,10 @@ object PlanCheck {
         // (cut-list groupBy + one codegen transform/filter pass),
         // repetition signals (two keyed groupBys + per-doc window),
         // redaction (pure codegen projection, zero shuffles)
-        "q_substring_dedup", "q_substring_clean", "q_repetition", "q_redact")
+        "q_substring_dedup", "q_substring_clean", "q_repetition", "q_redact",
+        // late r6: decontamination (bench fp set broadcast, corpus streams
+        // once), stratified sampling (single codegen filter, zero shuffle)
+        "q_decontaminate", "q_sample_strata")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -300,6 +300,52 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"portable IVF recall vs brute force $recall < 0.9")
   }
 
+  test("decontamination flags docs sharing a 13-gram with the bench set") {
+    val run = (1 to 13).map(i => s"b$i").mkString(" ")
+    val bench = Seq((100L, s"intro words $run outro")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"x $run y"), // one full 13-token run -> one hit
+      (2L, (1 to 12).map(i => s"b$i").mkString(" ") + " z a b c"), // 12 shared only
+      (3L, s"$run mid $run")) // the run twice -> two hit positions, one bench doc
+      .toDF("doc_id", "text")
+    val r = Dedup.decontaminate(docs, bench, "doc_id", "text", "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((1L, 1L)), s"doc 1: ${r.get(1L)}")
+    assert(!r.contains(2L), "a 12-token overlap must NOT flag at n=13")
+    assert(r(3L) == ((2L, 1L)), s"doc 3: ${r.get(3L)}")
+  }
+
+  test("stratified sampling: pure hash of id — exact, auditable, partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang", $"source")
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val kept = Sampling.sampleStratified(docs, "doc_id", "lang", rates, 0.1)
+    val rows = kept.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.toString).toSet ==
+      Sampling.sampleStratified(docs.repartition(5), "doc_id", "lang", rates, 0.1)
+        .collect().map(_.toString).toSet)
+    // every decision recomputes from the id alone (soundness), and every
+    // dropped row fails the same test (completeness)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 1000000L
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket") == bucket(r.getLong(0)))
+      assert(r.getAs[Long]("bucket") < r.getAs[Long]("rate_ppm"))
+    }
+    val keptIds = rows.map(_.getLong(0)).toSet
+    docs.collect().foreach { r =>
+      if (!keptIds.contains(r.getLong(0))) {
+        val ppm = math.round(rates.getOrElse(r.getString(1), 0.1) * 1e6)
+        assert(bucket(r.getLong(0)) >= ppm,
+          s"doc ${r.getLong(0)} (${r.getString(1)}) dropped but bucket < rate")
+      }
+    }
+  }
+
   // little-endian writers for hand-built containers in the tests below
   private def le16(b: Array[Byte], i: Int, v: Int): Unit = {
     b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
