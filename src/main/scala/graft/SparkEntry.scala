@@ -16,7 +16,8 @@ object SparkEntry {
     * training-data ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
-  /** DuckDB-equivalent SQL for every hash-comparable query; hash-kernel
-    * queries (xxhash64-based LSH/SimHash/ANN) are rows-only checked. */
+  /** DuckDB-equivalent SQL for EVERY registry query (47/47): the hash
+    * kernels ride md5-derived portable twins whose signatures, candidate
+    * sets and ranks recompute bit-identically in DuckDB. */
   def oracleSql: Map[String, String] = Queries.oracle
 }
