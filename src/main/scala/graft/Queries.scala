@@ -283,14 +283,18 @@ object Queries {
       col("doc_id") +: TextOps.redactPii(aug): _*)
   }
 
-  /** Benchmark decontamination: docs with doc_id % 7 == 0 play the eval
+  /** Benchmark decontamination: docs with doc_id % 7 == 0 (capped below
+    * id 70,000 so the synthetic eval suite stays SMALL at any soak scale —
+    * decontaminate broadcasts the bench fingerprints; the cap is a no-op
+    * at every oracle/bench sf, where all ids are below it) play the eval
     * suite; every other doc is flagged iff it shares a 13-token window
     * with one of them. Fingerprints are the substring-dedup md5 hashes, so
     * hit positions and bench-doc counts recompute exactly in DuckDB. */
   val qDecontaminate: Q = (s, d) => {
     val docs = t(s, d, "documents")
-    Dedup.decontaminate(docs.filter(col("doc_id") % 7 =!= 0),
-      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", "doc_id", "text")
+    val isBench = col("doc_id") % 7 === 0 && col("doc_id") < 70000L
+    Dedup.decontaminate(docs.filter(!isBench), docs.filter(isBench),
+      "doc_id", "text", "doc_id", "text")
   }
 
   /** Deterministic stratified sampling (mixture weights by language):
@@ -1003,7 +1007,9 @@ object Queries {
         |  CAST(len(regexp_extract_all(t3, '\+?\d[\d ()-]{6,}\d')) AS BIGINT) AS n_phone
         |FROM s3""".stripMargin,
     // benchmark decontamination: same tokenizer + md5 window fingerprints
-    // as the substring-dedup oracles; bench = doc_id % 7 = 0, n = 13
+    // as the substring-dedup oracles; bench = doc_id % 7 = 0 capped below
+    // id 70k (keeps the broadcast side small at soak scale; no-op here),
+    // n = 13
     "q_decontaminate" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
@@ -1013,12 +1019,13 @@ object Queries {
         |      i -> ('0x' || substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15))::BIGINT)) AS fp
         |  FROM tk WHERE len(tk) >= 13
         |), bfp AS (
-        |  SELECT DISTINCT fp, doc_id AS bench_id FROM wins WHERE doc_id % 7 = 0
+        |  SELECT DISTINCT fp, doc_id AS bench_id FROM wins
+        |  WHERE doc_id % 7 = 0 AND doc_id < 70000
         |)
         |SELECT w.doc_id AS id, count(DISTINCT w.pos) AS n_hits,
         |  count(DISTINCT b.bench_id) AS n_bench
         |FROM wins w JOIN bfp b USING (fp)
-        |WHERE w.doc_id % 7 <> 0
+        |WHERE NOT (w.doc_id % 7 = 0 AND w.doc_id < 70000)
         |GROUP BY 1""".stripMargin,
     // deterministic stratified sampling: bucket = first 60 bits of
     // md5(doc_id) mod 10^6, kept iff bucket < per-lang rate in ppm
@@ -1103,7 +1110,7 @@ object Queries {
       """WITH v AS (
         |  SELECT vec_id, embedding, greatest(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS nrm
-        |  FROM embeddings
+        |  FROM embeddings WHERE len(embedding) > 0
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
         |    embedding AS c_vec, nrm AS c_nrm

@@ -45,6 +45,32 @@ object Similarity {
   /** Guarded per-row norm column (matches cosine()'s greatest(..., 1e-12)). */
   private[ops] def nrm(vec: Column): Column = greatest(norm(vec), lit(1e-12))
 
+  /** Shared candidate verify + rank: exact cosine on the joined candidate
+    * pairs, per-query row_number (ties toward the smaller item_id), top-k.
+    * Every ANN path — both fast scale paths AND both portable twins — ends
+    * here, so a fix to the verify/rank contract cannot desynchronize a
+    * twin from the DuckDB oracle that mirrors it. Expects the item side
+    * as (item_id, item_vec, item_nrm, joinCols...) and the (small,
+    * broadcastable) query side as (q_id, q_vec, q_nrm, joinCols...). */
+  private def verifyTopK(it: DataFrame, q: DataFrame,
+                         joinCols: Seq[String], k: Int): DataFrame = {
+    val scored = it.join(broadcast(q), joinCols)
+      .filter(col("q_id") =!= col("item_id"))
+      .select(col("q_id"), col("item_id"),
+        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
+      .distinct() // a pair may collide in several tables / probed cells
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Max embedding length of a frame (0 when the frame is empty or every
+    * vector is null — downstream literal weight arrays come out empty
+    * instead of the probe throwing). One tiny driver action. */
+  private def maxDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.agg(max(size(col(vecCol)))).head
+    if (r.isNullAt(0)) 0 else r.getInt(0)
+  }
+
   /** Brute-force cosine top-k: every (query, item) pair via broadcast of the
     * (small) query side, windowed rank per query. */
   def bruteForceTopK(items: DataFrame, queries: DataFrame, idCol: String,
@@ -129,7 +155,11 @@ object Similarity {
     * literal weight arrays (pass max embedding length). */
   def rhpSigTablePortable(docs: DataFrame, idCol: String, vecCol: String,
                           bits: Int, tables: Int, dim: Int): DataFrame = {
-    val dims = widen(docs).select(col(idCol).as("id"), posexplode_outer(col(vecCol)))
+    // plain posexplode: the portable twin EXCLUDES empty/null embeddings
+    // (they have no meaningful cosine; the SQL oracle's unnest drops them
+    // identically — keeping them Spark-side, as the fast path does for
+    // diagnostics, would break the bit-identical parity contract)
+    val dims = widen(docs).select(col(idCol).as("id"), posexplode(col(vecCol)))
       .select(col("id"), col("pos").as("d"),
         floor(col("col").cast("double") * lit(1048576.0d)).as("xi"))
     val sums = for (t <- 0 until tables; b <- 0 until bits) yield {
@@ -163,13 +193,7 @@ object Similarity {
       nrm(col(vecCol)).as("q_nrm"))
       .join(rhpSigTable(queries, idCol, vecCol, bits, tables)
         .withColumnRenamed("id", "q_id"), "q_id")
-    val scored = it.join(broadcast(q), Seq("tbl", "sig"))
-      .filter(col("q_id") =!= col("item_id"))
-      .select(col("q_id"), col("item_id"),
-        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
-      .distinct() // a pair may collide in several tables
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    verifyTopK(it, q, Seq("tbl", "sig"), k)
   }
 
   /** [[lshTopK]] over the portable integer signatures — identical join /
@@ -177,27 +201,24 @@ object Similarity {
     * rank) is recomputable bit-identically in DuckDB, so the query is
     * rows+schema+hash oracle-able despite being an approximate scale path
     * (the oracle recomputes the SAME approximation, the r5 portable-MinHash
-    * pattern). Costs one driver action to read the embedding dim for the
-    * literal weight arrays. */
+    * pattern). Costs one tiny driver action per frame to read each side's
+    * own max embedding dim (per-frame, so a query longer than every item
+    * still projects over ALL its dimensions — the weights are a pure
+    * function of (t, b, d), independent of the probe). Empty/null
+    * embeddings are excluded (no signature rows — see
+    * [[rhpSigTablePortable]]). */
   def lshTopKPortable(items: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
     ArrayDotProduct.ensure(items.sparkSession)
-    val dim = items.agg(max(size(col(vecCol)))).head.getInt(0)
     val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
       nrm(col(vecCol)).as("item_nrm"))
-      .join(rhpSigTablePortable(items, idCol, vecCol, bits, tables, dim)
-        .withColumnRenamed("id", "item_id"), "item_id")
+      .join(rhpSigTablePortable(items, idCol, vecCol, bits, tables,
+        maxDim(items, vecCol)).withColumnRenamed("id", "item_id"), "item_id")
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       nrm(col(vecCol)).as("q_nrm"))
-      .join(rhpSigTablePortable(queries, idCol, vecCol, bits, tables, dim)
-        .withColumnRenamed("id", "q_id"), "q_id")
-    val scored = it.join(broadcast(q), Seq("tbl", "sig"))
-      .filter(col("q_id") =!= col("item_id"))
-      .select(col("q_id"), col("item_id"),
-        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
-      .distinct()
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .join(rhpSigTablePortable(queries, idCol, vecCol, bits, tables,
+        maxDim(queries, vecCol)).withColumnRenamed("id", "q_id"), "q_id")
+    verifyTopK(it, q, Seq("tbl", "sig"), k)
   }
 
   // ------------------------------------------------------------------ IVF
@@ -209,11 +230,8 @@ object Similarity {
   def ivfCentroids(items: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 1): DataFrame = {
     ArrayDotProduct.ensure(items.sparkSession)
-    val w = Window.orderBy(col("__h"))
-    var cents = items.select(col(idCol).as("__cid"), col(vecCol).as("c_vec"))
-      .withColumn("__h", xxhash64(col("__cid").cast("string")))
-      .orderBy(col("__h")).limit(nlist)
-      .withColumn("cell", row_number().over(w)).select(col("cell"), col("c_vec"))
+    var cents = seedSample(items, idCol, vecCol, nlist,
+      c => xxhash64(c.cast("string")))
     for (_ <- 0 until iters) {
       val assigned = assignCells(items, cents, idCol, vecCol, nprobe = 1)
       cents = assigned
@@ -234,10 +252,19 @@ object Similarity {
     * identically in any engine; md5 renders lowercase hex everywhere, so the
     * string order agrees). Returns (cell, c_vec). */
   def ivfCentroidsPortable(items: DataFrame, idCol: String, vecCol: String,
-                           nlist: Int): DataFrame = {
+                           nlist: Int): DataFrame =
+    seedSample(items.filter(size(col(vecCol)) > 0), idCol, vecCol, nlist,
+      c => md5(c.cast("string")))
+
+  /** Hash-order seed sample shared by both quantizers: nlist rows ordered
+    * by hashOf(id), numbered into cells. The order key is the ONLY
+    * difference between the fast (xxhash64) and portable (md5) quantizer
+    * seeds — one body so they cannot drift. */
+  private def seedSample(items: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int, hashOf: Column => Column): DataFrame = {
     val w = Window.orderBy(col("__h"))
     items.select(col(idCol).as("__cid"), col(vecCol).as("c_vec"))
-      .withColumn("__h", md5(col("__cid").cast("string")))
+      .withColumn("__h", hashOf(col("__cid")))
       .orderBy(col("__h")).limit(nlist)
       .withColumn("cell", row_number().over(w)).select(col("cell"), col("c_vec"))
   }
@@ -307,13 +334,7 @@ object Similarity {
     val q = assignCellsLocal(queries, cents, idCol, vecCol, nprobe)
       .select(col(idCol).as("q_id"), col("__vec").as("q_vec"),
         nrm(col("__vec")).as("q_nrm"), col("cell"))
-    val scored = it.join(broadcast(q), Seq("cell"))
-      .filter(col("q_id") =!= col("item_id"))
-      .select(col("q_id"), col("item_id"),
-        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
-      .distinct() // a pair may meet in several probed cells
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    verifyTopK(it, q, Seq("cell"), k)
   }
 
   /** [[ivfTopK]] over the portable quantizer: md5-ordered centroid sample
@@ -322,27 +343,23 @@ object Similarity {
     * recomputes bit-identically in DuckDB, making this approximate scale
     * path rows+schema+hash oracle-able. Driver-side centroid norms use the
     * same in-index-order double fold as the SQL `list_sum`, so they agree to
-    * the last bit. */
+    * the last bit. Empty/null embeddings are excluded on both sides
+    * (centroid sample, items, queries) — the SQL twin filters them the
+    * same way, and a zero-length vector has no meaningful cell anyway. */
   def ivfTopKPortable(items: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 16,
                       itemProbe: Int = 4): DataFrame = {
     ArrayDotProduct.ensure(items.sparkSession)
     val cents = collectCents(ivfCentroidsPortable(items, idCol, vecCol, nlist))
-    val it = assignCellsLocal(items, cents, idCol, vecCol, nprobe = itemProbe,
-        roundCos = true)
+    val it = assignCellsLocal(items.filter(size(col(vecCol)) > 0), cents,
+        idCol, vecCol, nprobe = itemProbe, roundCos = true)
       .select(col(idCol).as("item_id"), col("__vec").as("item_vec"),
         nrm(col("__vec")).as("item_nrm"), col("cell"))
-    val q = assignCellsLocal(queries, cents, idCol, vecCol, nprobe,
-        roundCos = true)
+    val q = assignCellsLocal(queries.filter(size(col(vecCol)) > 0), cents,
+        idCol, vecCol, nprobe, roundCos = true)
       .select(col(idCol).as("q_id"), col("__vec").as("q_vec"),
         nrm(col("__vec")).as("q_nrm"), col("cell"))
-    val scored = it.join(broadcast(q), Seq("cell"))
-      .filter(col("q_id") =!= col("item_id"))
-      .select(col("q_id"), col("item_id"),
-        cosinePre(col("q_vec"), col("item_vec"), col("q_nrm"), col("item_nrm")).as("cos"))
-      .distinct()
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("item_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    verifyTopK(it, q, Seq("cell"), k)
   }
 
   /** Cell-occupancy diagnostics under the IVF quantizer: (cell, n) for the
@@ -367,12 +384,10 @@ object Similarity {
   /** [[lshBucketSizes]] over the portable integer signatures — the path
     * [[lshTopKPortable]] (and q_ann_lsh) actually runs. */
   def lshBucketSizesPortable(items: DataFrame, idCol: String, vecCol: String,
-                             bits: Int = 12, tables: Int = 4): DataFrame = {
-    val dim = items.agg(max(size(col(vecCol)))).head.getInt(0)
-    rhpSigTablePortable(items, idCol, vecCol, bits, tables, dim)
+                             bits: Int = 12, tables: Int = 4): DataFrame =
+    rhpSigTablePortable(items, idCol, vecCol, bits, tables, maxDim(items, vecCol))
       .groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** [[ivfCellSizes]] under the portable quantizer — the cells
     * [[ivfTopKPortable]] (and q_ann_ivf) actually probes. */

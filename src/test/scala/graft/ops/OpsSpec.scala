@@ -298,6 +298,26 @@ class OpsSpec extends AnyFunSuite {
     val ivf = pairs(Similarity.ivfTopKPortable(items, q, "vec_id", "embedding", 5))
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"portable IVF recall vs brute force $recall < 0.9")
+    // an empty embedding yields NO portable signature rows (parity with
+    // the SQL oracle's unnest, which drops it — unlike the fast path,
+    // which keeps it for diagnostics) and doesn't break the IVF twin
+    val withEmpty = items.limit(3).unionByName(
+      spark.range(1).select(lit(999999L).as("vec_id"),
+        array().cast("array<float>").as("embedding")))
+    assert(Similarity.rhpSigTablePortable(withEmpty, "vec_id", "embedding", 12, 4, 64)
+      .filter($"id" === 999999L).count() == 0)
+    assert(Similarity.ivfTopKPortable(withEmpty, withEmpty, "vec_id", "embedding",
+      2, nlist = 2, nprobe = 2, itemProbe = 1)
+      .filter($"q_id" === 999999L || $"item_id" === 999999L).count() == 0)
+    // per-frame dim probe: a query longer than every item projects over
+    // ALL its dimensions without an out-of-bounds, and an empty frame
+    // yields an empty result instead of an NPE from the dim probe
+    val longQ = spark.range(1).select(lit(888888L).as("vec_id"),
+      typedLit((0 until 128).map(_.toFloat / 128f)).cast("array<float>").as("embedding"))
+    assert(Similarity.lshTopKPortable(items, longQ, "vec_id", "embedding", 5)
+      .count() >= 0)
+    val none = items.filter(lit(false))
+    assert(Similarity.lshTopKPortable(none, none, "vec_id", "embedding", 5).count() == 0)
   }
 
   test("decontamination flags docs sharing a 13-gram with the bench set") {
