@@ -90,7 +90,13 @@ final class SparqlFrame(
 
   private var rootSeed: Sol = _
 
-  private def project(q: SqSelect, g0: Sol, keep: Set[String]): Sol = {
+  /** `sliceBy`: the quad path's per-graph sub-select slice — when set,
+    * OFFSET/LIMIT rank WITHIN each value of that (hidden graph) column
+    * instead of slicing the whole frame, because inside GRAPH ?g the
+    * sub-select is one evaluation PER GRAPH and SPARQL's Slice applies to
+    * each evaluation separately. */
+  private def project(q: SqSelect, g0: Sol, keep: Set[String],
+                      sliceBy: Option[String] = None): Sol = {
     // GROUP BY / aggregate projections: aggregate calls in projections and
     // HAVING are lifted into one Spark aggregation keyed by the GROUP BY
     // vars ∪ the pre-bound attribution vars (the reference evaluates each
@@ -149,9 +155,28 @@ final class SparqlFrame(
           .filter(col("__ord_rnk") === 1).drop("__ord_rnk")
       }
     }
-    if (keys.nonEmpty) df = df.orderBy(keys: _*)
-    q.offset.foreach(n => df = df.offset(n))
-    q.limit.foreach(n => df = df.limit(n))
+    sliceBy.filter(_ => q.offset.nonEmpty || q.limit.nonEmpty) match {
+      case Some(hv) =>
+        // rank within each graph by the ORDER BY keys; without ORDER BY,
+        // SPARQL permits ANY k solutions, so an arbitrary-but-deterministic
+        // whole-row order keeps results (and tests) reproducible. The
+        // global sort is skipped — solution order cannot survive the join
+        // back into the outer block anyway.
+        val ordKeys0 = if (keys.nonEmpty) keys
+          else all.filterNot(_ == hv).sorted.map(c => col(c).asc)
+        val ordKeys = if (ordKeys0.nonEmpty) ordKeys0 else Seq(lit(1).asc)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(hv))
+          .orderBy(ordKeys: _*)
+        df = df.withColumn("__slice_rnk", row_number().over(w))
+        val lo = q.offset.getOrElse(0)
+        if (lo > 0) df = df.filter(col("__slice_rnk") > lo)
+        q.limit.foreach(n => df = df.filter(col("__slice_rnk") <= lo + n))
+        df = df.drop("__slice_rnk")
+      case None =>
+        if (keys.nonEmpty) df = df.orderBy(keys: _*)
+        q.offset.foreach(n => df = df.offset(n))
+        q.limit.foreach(n => df = df.limit(n))
+    }
     if (ordCols.nonEmpty) df = df.select(all.map(col): _*)
     Sol(df, all.toSet, g.maybeNull.intersect(all.toSet))
   }
@@ -338,8 +363,9 @@ final class SparqlFrame(
       if (r.vars.contains(x)) r else joinSols(r, graphSeedSol(x, namedBase))
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
       // non-quad-compatible block (EXISTS nested inside an expression,
-      // GRAPH <iri> re-scoping, sub-selects with LIMIT/OFFSET or a global
-      // aggregate): evaluates once per named graph with ?g bound to the
+      // GRAPH <iri> re-scoping, or a global-aggregate sub-select, whose
+      // empty-group row exists even for matchless graphs — a per-graph
+      // groupBy cannot emit it): evaluates once per named graph with ?g bound to the
       // graph IRI. That is a per-graph PLAN branch — fine for a
       // vocab-scale catalog, wrong for per-document graphs — so past
       // MaxGraphLoop graphs it fails loudly instead of building a silent
@@ -348,14 +374,15 @@ final class SparqlFrame(
       if (names.size > maxGraphLoop)
         throw new ReportableError(
           s"GRAPH ?$x over a block with expression-nested EXISTS, nested " +
-            s"GRAPH <iri>, or a LIMIT/OFFSET/global-aggregate sub-select " +
+            s"GRAPH <iri>, or a global-aggregate sub-select " +
             s"evaluates per named graph, and this dataset has " +
             s"${names.size} named graphs (limit $maxGraphLoop; raise via " +
             "ValidationOptions.maxGraphLoop or GRAFT_MAX_GRAPH_LOOP). " +
             "Rewrite the block to triple patterns (incl. property paths), " +
             "OPTIONAL/UNION/BIND, row-local FILTERs, top-level (NOT) " +
-            "EXISTS, nested GRAPH ?var, or GROUP BY sub-selects (the " +
-            "single-pass join path), or validate per graph slice.")
+            "EXISTS, nested GRAPH ?var, or GROUP BY / LIMIT-OFFSET " +
+            "sub-selects (the single-pass join path), or validate per " +
+            "graph slice.")
       val sols = names.map { nm =>
         val saved = activeT
         activeT = QuadsDF.graph(quads.get, Some(nm))
@@ -505,12 +532,13 @@ final class SparqlFrame(
     * themselves quad-compatible, nested GRAPH ?y over a quad-compatible
     * body (re-scoping is just another quad evaluation on a fresh graph
     * var), and sub-selects whose WHERE is quad-compatible and whose solution
-    * set is per-graph expressible (no LIMIT/OFFSET — those slice per graph —
-    * and no global aggregate, whose empty-group row exists even for graphs
-    * with no matches; GROUP BY aggregates ride the hidden graph key).
-    * EXISTS nested inside expressions, GRAPH <iri> re-scoping and the
-    * excluded sub-select shapes fall back to the per-graph loop (bounded
-    * by MaxGraphLoop). */
+    * set is per-graph expressible: GROUP BY aggregates ride the hidden
+    * graph key, and OFFSET/LIMIT rank per graph (project's sliceBy). The
+    * one excluded sub-select shape is a GLOBAL aggregate (no GROUP BY):
+    * its empty-group row exists even for graphs with no matches — a
+    * per-graph groupBy cannot emit it. EXISTS nested inside expressions,
+    * GRAPH <iri> re-scoping and global-aggregate sub-selects fall back to
+    * the per-graph loop (bounded by MaxGraphLoop). */
   private def quadCompatible(g: SqGroup): Boolean = {
     // pattern-bearing: something must bind ?g per graph — a bare triple, an
     // OPTIONAL/UNION whose branches are themselves pattern-bearing (checked
@@ -542,8 +570,7 @@ final class SparqlFrame(
       // the shapes frame, not a data graph) — per-graph loop handles it
       case SqGraphPat(TVar(v), g2) => v != "shapesGraph" && quadCompatible(g2)
       case SqSubSelect(sel) =>
-        sel.limit.isEmpty && sel.offset.isEmpty &&
-          (sel.groupBy.nonEmpty || selectAggs(sel).isEmpty) &&
+        (sel.groupBy.nonEmpty || selectAggs(sel).isEmpty) &&
           quadCompatible(sel.where)
       case _ => false
     }
@@ -608,7 +635,7 @@ final class SparqlFrame(
         val inner0 = evalQuadGroup(sel.where, hv, base, rootSeed)
         val inner = if (inner0.vars.contains(hv)) inner0
           else joinSols(inner0, graphSeedSol(hv, base))
-        val sub = project(sel, inner, keep = Set(hv))
+        val sub = project(sel, inner, keep = Set(hv), sliceBy = Some(hv))
         val merged =
           if (sub.vars.contains(x))
             // the sub-select itself projects a var named ?x: per SPARQL it

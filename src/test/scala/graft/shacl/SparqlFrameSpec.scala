@@ -535,13 +535,52 @@ class SparqlFrameSpec extends AnyFunSuite {
       Seq("g", "s"))
     assert(proj.map(r => (r("g"), r("s"))).distinct ==
       Seq((Iri(ex + "g1"), Iri(ex + "a"))))
-    // LIMIT sub-select cannot slice per graph on the join path -> the
-    // per-graph loop still answers it (first name per graph in order)
-    val lim = q("""SELECT ?g ?s WHERE { GRAPH ?g {
+    // LIMIT/OFFSET sub-selects slice PER GRAPH on the quad path (late-r6
+    // lift: project's sliceBy ranks within the hidden graph var) — first
+    // name per graph in ORDER BY order, one plan, no per-graph Union
+    val limSol = frame.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?s WHERE { GRAPH ?g {
       { SELECT ?s WHERE { ?s ex:name ?x . } ORDER BY ?s LIMIT 1 } } } ORDER BY ?g""",
-      Seq("g", "s"))
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    assert(limSol.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "LIMIT sub-select took the per-graph loop")
+    val lim = frame.collect(limSol, Seq("g", "s"))
     assert(lim.map(r => (r("g"), r("s"))) ==
       Seq((Iri(ex + "g1"), Iri(ex + "a")), (Iri(ex + "g2"), Iri(ex + "a"))))
+    // OFFSET skips per graph: the SECOND name exists only in g1
+    val off = q("""SELECT ?g ?s WHERE { GRAPH ?g {
+      { SELECT ?s WHERE { ?s ex:name ?x . } ORDER BY ?s LIMIT 1 OFFSET 1 } } }""",
+      Seq("g", "s"))
+    assert(off.map(r => (r("g"), r("s"))) == Seq((Iri(ex + "g1"), Iri(ex + "b"))))
+    // no ORDER BY: any one solution per graph is conformant — assert the
+    // count and that the pick is deterministic across evaluations
+    val any1 = q("""SELECT ?g ?s WHERE { GRAPH ?g {
+      { SELECT ?s WHERE { ?s ex:name ?x . } LIMIT 1 } } }""", Seq("g", "s"))
+    val any2 = q("""SELECT ?g ?s WHERE { GRAPH ?g {
+      { SELECT ?s WHERE { ?s ex:name ?x . } LIMIT 1 } } }""", Seq("g", "s"))
+    assert(any1.size == 2 && any1 == any2)
+  }
+
+  test("GRAPH ?g LIMIT sub-select at 10k graphs: one plan, top-1 per graph") {
+    val n = 10000
+    val many = QuadsDF.fromQuads(spark, (1 to n).flatMap(i =>
+      Seq(Quad(Iri(s"$ex/s${i}a"), Iri(ex + "name"), Lit(s"n${i}a"), Some(Iri(s"$ex/g$i"))),
+        Quad(Iri(s"$ex/s${i}b"), Iri(ex + "name"), Lit(s"n${i}b"), Some(Iri(s"$ex/g$i"))))))
+    val manyT = QuadsDF.defaultUnion(many)
+    val frame = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
+      Map.empty, None, None, Some(many))
+    val res = frame.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?s WHERE { GRAPH ?g {
+        |  { SELECT ?s WHERE { ?s ex:name ?x . } ORDER BY ?s LIMIT 1 } } }""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val unions = res.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+    }
+    assert(unions.isEmpty, s"per-graph branches leaked into the plan: $unions")
+    assert(res.df.count() == n)
+    // ORDER BY ?s ascending -> every survivor is the 'a' subject
+    assert(res.df.filter(res.df("s")("v").endsWith("b")).count() == 0)
   }
 
   test("nested GRAPH ?h inside GRAPH ?g: inner re-scopes, outer ranges over all graphs") {
