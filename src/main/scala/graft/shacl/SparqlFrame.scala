@@ -362,10 +362,10 @@ final class SparqlFrame(
       val r = evalQuadGroup(g, x, namedBase, cur)
       if (r.vars.contains(x)) r else joinSols(r, graphSeedSol(x, namedBase))
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
-      // non-quad-compatible block (EXISTS nested inside an expression,
-      // GRAPH <iri> re-scoping, or a global-aggregate sub-select, whose
-      // empty-group row exists even for matchless graphs — a per-graph
-      // groupBy cannot emit it): evaluates once per named graph with ?g bound to the
+      // non-quad-compatible block (EXISTS nested inside an expression, a
+      // global-aggregate sub-select — whose empty-group row exists even
+      // for matchless graphs, which a per-graph groupBy cannot emit — or
+      // a GRAPH nested under GRAPH <iri>): evaluates once per named graph with ?g bound to the
       // graph IRI. That is a per-graph PLAN branch — fine for a
       // vocab-scale catalog, wrong for per-document graphs — so past
       // MaxGraphLoop graphs it fails loudly instead of building a silent
@@ -373,16 +373,16 @@ final class SparqlFrame(
       val names = QuadsDF.graphNames(quads.get)
       if (names.size > maxGraphLoop)
         throw new ReportableError(
-          s"GRAPH ?$x over a block with expression-nested EXISTS, nested " +
-            s"GRAPH <iri>, or a global-aggregate sub-select " +
+          s"GRAPH ?$x over a block with expression-nested EXISTS, a " +
+            s"global-aggregate sub-select, or GRAPH nested under GRAPH <iri> " +
             s"evaluates per named graph, and this dataset has " +
             s"${names.size} named graphs (limit $maxGraphLoop; raise via " +
             "ValidationOptions.maxGraphLoop or GRAFT_MAX_GRAPH_LOOP). " +
             "Rewrite the block to triple patterns (incl. property paths), " +
             "OPTIONAL/UNION/BIND, row-local FILTERs, top-level (NOT) " +
-            "EXISTS, nested GRAPH ?var, or GROUP BY / LIMIT-OFFSET " +
-            "sub-selects (the single-pass join path), or validate per " +
-            "graph slice.")
+            "EXISTS, nested GRAPH ?var / GRAPH <iri>, or GROUP BY / " +
+            "LIMIT-OFFSET sub-selects (the single-pass join path), or " +
+            "validate per graph slice.")
       val sols = names.map { nm =>
         val saved = activeT
         activeT = QuadsDF.graph(quads.get, Some(nm))
@@ -536,9 +536,12 @@ final class SparqlFrame(
     * graph key, and OFFSET/LIMIT rank per graph (project's sliceBy). The
     * one excluded sub-select shape is a GLOBAL aggregate (no GROUP BY):
     * its empty-group row exists even for graphs with no matches — a
-    * per-graph groupBy cannot emit it. EXISTS nested inside expressions,
-    * GRAPH <iri> re-scoping and global-aggregate sub-selects fall back to
-    * the per-graph loop (bounded by MaxGraphLoop). */
+    * per-graph groupBy cannot emit it. Nested GRAPH <iri> rides the path
+    * too (one evaluation over the frame filtered to that graph), unless a
+    * further GRAPH nests inside it (that one must range over ALL named
+    * graphs again). EXISTS nested inside expressions, global-aggregate
+    * sub-selects and GRAPH-under-GRAPH-<iri> fall back to the per-graph
+    * loop (bounded by MaxGraphLoop). */
   private def quadCompatible(g: SqGroup): Boolean = {
     // pattern-bearing: something must bind ?g per graph — a bare triple, an
     // OPTIONAL/UNION whose branches are themselves pattern-bearing (checked
@@ -550,6 +553,7 @@ final class SparqlFrame(
     val bearing = g.elems.exists {
       case _: SqTriple | _: SqOptional | _: SqUnion | _: SqSubSelect => true
       case SqGraphPat(TVar(v), _) => v != "shapesGraph"
+      case SqGraphPat(TConst(_: graft.rdf.Iri), _) => true
       case _ => false
     }
     bearing && g.elems.forall {
@@ -569,11 +573,31 @@ final class SparqlFrame(
       // GRAPH $shapesGraph must re-enter evalGroup (it swaps activeT to
       // the shapes frame, not a data graph) — per-graph loop handles it
       case SqGraphPat(TVar(v), g2) => v != "shapesGraph" && quadCompatible(g2)
+      // nested GRAPH <iri> re-scopes to ONE fixed graph: a single quad
+      // evaluation over the frame filtered to that graph (late r6). A
+      // further GRAPH nested inside it must range over ALL named graphs
+      // again, which the filtered frame cannot express — keep those on
+      // the loop.
+      case SqGraphPat(TConst(_: graft.rdf.Iri), g2) =>
+        quadCompatible(g2) && !hasGraphPat(g2)
       case SqSubSelect(sel) =>
         (sel.groupBy.nonEmpty || selectAggs(sel).isEmpty) &&
           quadCompatible(sel.where)
       case _ => false
     }
+  }
+
+  /** Any GRAPH pattern anywhere under the group (used to keep nested
+    * GRAPH-inside-GRAPH-<iri> off the single-pass path — see
+    * quadCompatible). */
+  private def hasGraphPat(g: SqGroup): Boolean = g.elems.exists {
+    case _: SqGraphPat => true
+    case SqOptional(g2) => hasGraphPat(g2)
+    case SqUnion(bs) => bs.exists(hasGraphPat)
+    case SqSubSelect(sel) => hasGraphPat(sel.where)
+    case SqFilter(EExists(g2, _)) => hasGraphPat(g2)
+    case SqFilter(ENot(EExists(g2, _))) => hasGraphPat(g2)
+    case _ => false
   }
 
   /** One row per named graph with `x` bound to the graph IRI — the
@@ -622,6 +646,16 @@ final class SparqlFrame(
         // out of the shared-variable join.
         val r = evalQuadGroup(g2, y, base, acc)
         if (r.vars.contains(y)) r else joinSols(r, graphSeedSol(y, base))
+      case (acc, SqGraphPat(TConst(i: graft.rdf.Iri), g2)) =>
+        // nested GRAPH <iri> re-scopes to ONE fixed graph, independent of
+        // the outer ?x entirely: a single quad evaluation over the frame
+        // filtered to that graph (the hidden var binds the constant on
+        // every row and drops out; the dispatch site seeds ?x afterwards
+        // when nothing else binds it — SPARQL's cross product of the
+        // outer graph names with the inner solutions)
+        val y = s"__gconst_$x"
+        val r = evalQuadGroup(g2, y, base.filter(col("g") === i.value), acc)
+        Sol(r.df.drop(y), r.vars - y, r.maybeNull - y)
       case (acc, SqSubSelect(sel)) =>
         // per-graph sub-select in ONE pass: the inner WHERE evaluates on a
         // hidden graph var that `project` carries through grouping and

@@ -790,15 +790,53 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(neg.df.count() == n - n / 4)
   }
 
-  test("GRAPH ?g with a nested-GRAPH block fails loudly past MaxGraphLoop graphs") {
+  test("nested GRAPH <iri> rides the quad path: one filtered evaluation, no loop") {
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:b ex:p ex:c . }
+         |GRAPH ex:g2 { ex:a ex:p ex:b . ex:b ex:p ex:z . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    // ?o must continue in g1 SPECIFICALLY: g2's b->z must not satisfy the
+    // inner block, and the outer ?g ranges over graphs with a matching ?s
+    val sol = frame.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?s ?z WHERE { GRAPH ?g { ?s ex:p ?o .
+        |  GRAPH ex:g1 { ?o ex:p ?z . } } } ORDER BY ?g ?s""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    assert(sol.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "nested GRAPH <iri> took the per-graph loop")
+    val rows = frame.collect(sol, Seq("g", "s", "z"))
+    assert(rows.map(r => (r("g"), r("s"), r("z"))) ==
+      Seq((Iri(ex + "g2"), Iri(ex + "a"), Iri(ex + "c"))))
+    // scale shape: the same nesting over MaxGraphLoop+1 graphs — the exact
+    // query that used to die at the loud bound — now compiles single-pass
+    val many = QuadsDF.fromQuads(spark,
+      (1 to (SparqlFrame.MaxGraphLoop + 1)).map(i =>
+        Quad(Iri(s"$ex/s$i"), Iri(ex + "p"), Iri(s"$ex/o$i"), Some(Iri(s"$ex/g$i")))) :+
+        Quad(Iri(s"$ex/o7"), Iri(ex + "p"), Iri(s"$ex/z7"), Some(Iri(ex + "g1"))))
+    val manyT = QuadsDF.defaultUnion(many)
+    val frame2 = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
+      Map.empty, None, None, Some(many))
+    val res2 = frame2.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?o .
+        |  GRAPH ex:g1 { ?o ex:p ?z . } } }""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame2.unitSeed)
+    assert(res2.df.count() == 1) // only s7's object continues in g1
+  }
+
+  test("GRAPH ?g with a global-aggregate sub-select fails loudly past MaxGraphLoop graphs") {
     val many = QuadsDF.fromQuads(spark, (1 to (SparqlFrame.MaxGraphLoop + 1)).map(i =>
       Quad(Iri(s"$ex/s$i"), Iri(ex + "p"), Iri(s"$ex/o$i"), Some(Iri(s"$ex/g$i")))))
     val manyT = QuadsDF.defaultUnion(many)
     val frame = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
       Map.empty, None, None, Some(many))
     val e = intercept[ReportableError](frame.evalSelect(Sparql.parseQuery(
-      """SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?o .
-        |  GRAPH ex:g1 { ?o ex:p ?z . } } }""".stripMargin,
+      """SELECT ?g ?n WHERE { GRAPH ?g {
+        |  { SELECT (COUNT(?s) AS ?n) WHERE { ?s ex:p ?o . } } } }""".stripMargin,
       Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed))
     assert(e.getMessage.contains("named graphs") &&
       e.getMessage.contains(SparqlFrame.MaxGraphLoop.toString))
