@@ -283,6 +283,25 @@ object Queries {
       col("doc_id") +: TextOps.redactPii(aug): _*)
   }
 
+  /** URL canonicalization: four deterministic raw-URL variants per doc
+    * exercise every rule (case, default port, fragment, utm/fbclid strip,
+    * separator tidy, root slash); the canonical form recomputes
+    * character-for-character in DuckDB. Path collisions (doc_id % 50)
+    * make the canon column a working URL-dedup key. */
+  val qUrlCanon: Q = (s, d) => {
+    val raw = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://Example.COM:443/p/"), (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string"), lit("#sec")))
+      .when(col("doc_id") % 4 === 1, lit("http://Ex.ORG:80/"))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("http://ex.org/q?a="), (col("doc_id") % 9).cast("string"),
+          lit("&utm_campaign=x&b=2")))
+      .otherwise(concat(lit("https://sub.ex.org/a/b?id="),
+        (col("doc_id") % 25).cast("string")))
+    t(s, d, "documents").select(col("doc_id"), raw.as("url_raw"),
+      TextOps.urlCanon(raw).as("url_canon"))
+  }
+
   /** Benchmark decontamination: docs with doc_id % 7 == 0 (capped below
     * id 70,000 so the synthetic eval suite stays SMALL at any soak scale —
     * decontaminate broadcasts the bench fingerprints; the cap is a no-op
@@ -1006,6 +1025,38 @@ object Queries {
         |  CAST(n_ip AS BIGINT) AS n_ip,
         |  CAST(len(regexp_extract_all(t3, '\+?\d[\d ()-]{6,}\d')) AS BIGINT) AS n_phone
         |FROM s3""".stripMargin,
+    // URL canonicalization: identical regex chain, DuckDB backrefs are \1
+    // and the 'g' flag replaces all matches (Spark replaces all by default)
+    "q_url_canon" ->
+      """WITH aug AS (
+        |  SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN 'HTTPS://Example.COM:443/p/' || (doc_id % 50) ||
+        |      '?utm_source=feed&id=' || (doc_id % 50) || '#sec'
+        |    WHEN 1 THEN 'http://Ex.ORG:80/'
+        |    WHEN 2 THEN 'http://ex.org/q?a=' || (doc_id % 9) || '&utm_campaign=x&b=2'
+        |    ELSE 'https://sub.ex.org/a/b?id=' || (doc_id % 25) END AS url
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS u FROM aug
+        |), s2 AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) ||
+        |    substr(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS u
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, url, regexp_replace(regexp_replace(u,
+        |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2', 'g'),
+        |    '^(https://[^/:?#]+):443([/?#]|$)', '\1\2', 'g') AS u FROM s2
+        |), s4 AS (
+        |  SELECT doc_id, url, regexp_replace(u,
+        |    '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g') AS u FROM s3
+        |), s5 AS (
+        |  SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(u,
+        |    '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS u FROM s4
+        |)
+        |SELECT doc_id, url AS url_raw,
+        |  regexp_replace(u, '^(https?://[^/?#]+)/([?#]|$)', '\1\2', 'g') AS url_canon
+        |FROM s5""".stripMargin,
     // benchmark decontamination: same tokenizer + md5 window fingerprints
     // as the substring-dedup oracles; bench = doc_id % 7 = 0 capped below
     // id 70k (keeps the broadcast side small at soak scale; no-op here),
@@ -1172,6 +1223,7 @@ object Queries {
     "q_minhash_cluster" -> qMinhashCluster,
     "q_repetition" -> qRepetition,
     "q_redact" -> qRedact,
+    "q_url_canon" -> qUrlCanon,
     "q_decontaminate" -> qDecontaminate,
     "q_sample_strata" -> qSampleStrata,
     "q_ann_bruteforce" -> qAnnBruteForce,

@@ -226,4 +226,36 @@ object TextOps {
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** URL canonicalization — the normalizer in front of URL-level dedup,
+    * the cheapest dedup a crawl pipeline runs (two fetches of one page
+    * differ only in case, default port, fragment, and tracking params far
+    * more often than in content). Standard steps, each a plain RE2-safe
+    * regex (the identical chain recomputes in DuckDB with the 'g' flag —
+    * q_url_canon is hash-checked):
+    *   1. drop the `#fragment` (never sent to the server);
+    *   2. lowercase scheme + authority ONLY (paths are case-sensitive);
+    *   3. strip the scheme's default port (`http…:80`, `https…:443` —
+    *      a non-default port like :8443 survives);
+    *   4. drop tracking params (`utm_*`, `fbclid`, `gclid`) and tidy the
+    *      separators they leave behind (`?&`, `&&`, trailing `?`/`&`);
+    *   5. drop a bare root-path slash (`http://x.com/` = `http://x.com`).
+    * Non-URL strings pass through mostly untouched (step 2 extracts
+    * nothing, the rest match nothing). Not a full RFC 3986 resolver —
+    * no percent-decoding or dot-segment removal (documented limit; both
+    * alter semantics when applied blindly). */
+  def urlCanon(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val headPat = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val head = regexp_extract(noFrag, headPat, 0)
+    val lowered = concat(lower(head), noFrag.substr(length(head) + 1, length(noFrag)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    val noTrack = regexp_replace(noPort,
+      "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
+    val tidy = regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    regexp_replace(tidy, "^(https?://[^/?#]+)/([?#]|$)", "$1$2")
+  }
 }

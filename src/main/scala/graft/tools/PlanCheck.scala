@@ -31,7 +31,7 @@ object PlanCheck {
         "q_substring_dedup", "q_substring_clean", "q_repetition", "q_redact",
         // late r6: decontamination (bench fp set broadcast, corpus streams
         // once), stratified sampling (single codegen filter, zero shuffle)
-        "q_decontaminate", "q_sample_strata")
+        "q_decontaminate", "q_sample_strata", "q_url_canon")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -366,6 +366,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("url canonicalization: case/port/fragment/tracking/root-slash rules") {
+    val cases = Seq(
+      "HTTPS://Example.COM:443/p/7?utm_source=feed&id=7#sec" -> "https://example.com/p/7?id=7",
+      "http://Ex.ORG:80/" -> "http://ex.org",
+      "http://ex.org/q?a=1&utm_campaign=x&b=2" -> "http://ex.org/q?a=1&b=2",
+      "https://sub.ex.org/a/b?id=3" -> "https://sub.ex.org/a/b?id=3",
+      "not a url at all" -> "not a url at all", // pass-through
+      "http://x.com/?utm_a=1&utm_b=2" -> "http://x.com", // all params tracking
+      "https://x.com:8443/keep:port?fbclid=abc" -> "https://x.com:8443/keep:port",
+      "https://x.com/CaseSensitive/Path" -> "https://x.com/CaseSensitive/Path")
+    val got = cases.map(_._1).toDF("url")
+      .select($"url", TextOps.urlCanon($"url").as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) == want, s"$raw -> ${got(raw)} (want $want)") }
+  }
+
   // little-endian writers for hand-built containers in the tests below
   private def le16(b: Array[Byte], i: Int, v: Int): Unit = {
     b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
