@@ -96,12 +96,13 @@ final class SparqlFrame(
     * sub-select is one evaluation PER GRAPH and SPARQL's Slice applies to
     * each evaluation separately. */
   private def project(q: SqSelect, g0: Sol, keep: Set[String],
-                      sliceBy: Option[String] = None): Sol = {
+                      sliceBy: Option[String] = None,
+                      fillEmpty: Option[DataFrame] = None): Sol = {
     // GROUP BY / aggregate projections: aggregate calls in projections and
     // HAVING are lifted into one Spark aggregation keyed by the GROUP BY
     // vars ∪ the pre-bound attribution vars (the reference evaluates each
     // query per focus node, so a "global" aggregate is per-focus there)
-    val g = aggregateStep(q, g0, keep)
+    val g = aggregateStep(q, g0, keep, fillEmpty)
     val projVars = scala.collection.mutable.LinkedHashSet.empty[String]
     var df = g.df
     q.proj.foreach {
@@ -222,7 +223,15 @@ final class SparqlFrame(
 
   /** If the query aggregates, run the groupBy/agg and (HAVING) filter;
     * otherwise return the solution untouched. */
-  private def aggregateStep(q: SqSelect, g: Sol, keep: Set[String]): Sol = {
+  /** `fillEmpty`: catalog frame (one term column named like the single
+    * `keep` var) whose rows must ALL appear in a global-aggregate result —
+    * the quad path's per-graph image of SPARQL's "an aggregate over zero
+    * solutions still yields one row". Missing groups get each aggregate's
+    * empty-group value (COUNT/SUM → 0, GROUP_CONCAT → "", MIN/MAX/AVG/
+    * SAMPLE → unbound), joined in BEFORE HAVING so `HAVING(?n = 0)` can
+    * select exactly the matchless graphs. */
+  private def aggregateStep(q: SqSelect, g: Sol, keep: Set[String],
+                            fillEmpty: Option[DataFrame] = None): Sol = {
     val found = selectAggs(q)
     if (found.isEmpty && q.groupBy.isEmpty) return g
     val groupCols = (q.groupBy ++ keep.toSeq.sorted).distinct.filter(g.vars.contains)
@@ -260,7 +269,23 @@ final class SparqlFrame(
       if (aggExprs.isEmpty) g.df.select(groupCols.map(col): _*).distinct()
       else if (groupCols.isEmpty) g.df.agg(aggExprs.head, aggExprs.tail: _*)
       else g.df.groupBy(groupCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
-    var sol = Sol(grouped, groupCols.toSet ++ aggNames.values, Set.empty)
+    val filled = fillEmpty match {
+      case Some(cat) if q.groupBy.isEmpty && aggExprs.nonEmpty &&
+          keep.size == 1 && groupCols == keep.toSeq =>
+        val zero = numToTerm(lit(0).cast("decimal(38,10)"))
+        val fills = found.distinct.map { a =>
+          val name = aggNames(a)
+          (a.fn match {
+            case "COUNT" | "SUM" => coalesce(col(name), zero)
+            case "GROUP_CONCAT" => coalesce(col(name), strT(lit("")))
+            case _ => col(name) // MIN/MAX/AVG/SAMPLE over {} = unbound
+          }).as(name)
+        }
+        cat.join(grouped, keep.toSeq, "left")
+          .select(col(keep.head) +: fills: _*)
+      case _ => grouped
+    }
+    var sol = Sol(filled, groupCols.toSet ++ aggNames.values, Set.empty)
     q.having.foreach { h =>
       sol = sol.copy(df = sol.df.filter(compileB(rewriteAggs(h, sol), sol) === true))
     }
@@ -362,10 +387,10 @@ final class SparqlFrame(
       val r = evalQuadGroup(g, x, namedBase, cur)
       if (r.vars.contains(x)) r else joinSols(r, graphSeedSol(x, namedBase))
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
-      // non-quad-compatible block (EXISTS nested inside an expression, a
-      // global-aggregate sub-select — whose empty-group row exists even
-      // for matchless graphs, which a per-graph groupBy cannot emit — or
-      // a GRAPH nested under GRAPH <iri>): evaluates once per named graph with ?g bound to the
+      // non-quad-compatible block (EXISTS nested inside an expression, or
+      // a GRAPH nested under GRAPH <iri>, which must range over ALL named
+      // graphs while the constant re-scope filters the frame): evaluates
+      // once per named graph with ?g bound to the
       // graph IRI. That is a per-graph PLAN branch — fine for a
       // vocab-scale catalog, wrong for per-document graphs — so past
       // MaxGraphLoop graphs it fails loudly instead of building a silent
@@ -373,16 +398,15 @@ final class SparqlFrame(
       val names = QuadsDF.graphNames(quads.get)
       if (names.size > maxGraphLoop)
         throw new ReportableError(
-          s"GRAPH ?$x over a block with expression-nested EXISTS, a " +
-            s"global-aggregate sub-select, or GRAPH nested under GRAPH <iri> " +
+          s"GRAPH ?$x over a block with expression-nested EXISTS or " +
+            s"GRAPH nested under GRAPH <iri> " +
             s"evaluates per named graph, and this dataset has " +
             s"${names.size} named graphs (limit $maxGraphLoop; raise via " +
             "ValidationOptions.maxGraphLoop or GRAFT_MAX_GRAPH_LOOP). " +
             "Rewrite the block to triple patterns (incl. property paths), " +
             "OPTIONAL/UNION/BIND, row-local FILTERs, top-level (NOT) " +
-            "EXISTS, nested GRAPH ?var / GRAPH <iri>, or GROUP BY / " +
-            "LIMIT-OFFSET sub-selects (the single-pass join path), or " +
-            "validate per graph slice.")
+            "EXISTS, nested GRAPH ?var / GRAPH <iri>, or sub-selects " +
+            "(the single-pass join path), or validate per graph slice.")
       val sols = names.map { nm =>
         val saved = activeT
         activeT = QuadsDF.graph(quads.get, Some(nm))
@@ -531,17 +555,15 @@ final class SparqlFrame(
     * column), row-local FILTER/BIND, OPTIONAL / UNION whose branches are
     * themselves quad-compatible, nested GRAPH ?y over a quad-compatible
     * body (re-scoping is just another quad evaluation on a fresh graph
-    * var), and sub-selects whose WHERE is quad-compatible and whose solution
-    * set is per-graph expressible: GROUP BY aggregates ride the hidden
-    * graph key, and OFFSET/LIMIT rank per graph (project's sliceBy). The
-    * one excluded sub-select shape is a GLOBAL aggregate (no GROUP BY):
-    * its empty-group row exists even for graphs with no matches — a
-    * per-graph groupBy cannot emit it. Nested GRAPH <iri> rides the path
-    * too (one evaluation over the frame filtered to that graph), unless a
-    * further GRAPH nests inside it (that one must range over ALL named
-    * graphs again). EXISTS nested inside expressions, global-aggregate
-    * sub-selects and GRAPH-under-GRAPH-<iri> fall back to the per-graph
-    * loop (bounded by MaxGraphLoop). */
+    * var), and EVERY sub-select whose WHERE is quad-compatible: GROUP BY
+    * aggregates ride the hidden graph key, OFFSET/LIMIT rank per graph
+    * (project's sliceBy), and global aggregates per-graph-ize via
+    * aggregateStep's fillEmpty (matchless graphs get SPARQL's empty-group
+    * row). Nested GRAPH <iri> rides the path too (one evaluation over the
+    * frame filtered to that graph), unless a further GRAPH nests inside it
+    * (that one must range over ALL named graphs again). EXISTS nested
+    * inside expressions and GRAPH-under-GRAPH-<iri> fall back to the
+    * per-graph loop (bounded by MaxGraphLoop). */
   private def quadCompatible(g: SqGroup): Boolean = {
     // pattern-bearing: something must bind ?g per graph — a bare triple, an
     // OPTIONAL/UNION whose branches are themselves pattern-bearing (checked
@@ -580,9 +602,12 @@ final class SparqlFrame(
       // the loop.
       case SqGraphPat(TConst(_: graft.rdf.Iri), g2) =>
         quadCompatible(g2) && !hasGraphPat(g2)
-      case SqSubSelect(sel) =>
-        (sel.groupBy.nonEmpty || selectAggs(sel).isEmpty) &&
-          quadCompatible(sel.where)
+      // sub-selects ride the hidden graph key: GROUP BY aggregates group
+      // per graph, OFFSET/LIMIT rank per graph (project's sliceBy), and a
+      // GLOBAL aggregate per-graph-izes via aggregateStep's fillEmpty
+      // (matchless graphs get the SPARQL empty-group row: COUNT/SUM 0,
+      // GROUP_CONCAT "", the rest unbound)
+      case SqSubSelect(sel) => quadCompatible(sel.where)
       case _ => false
     }
   }
@@ -669,7 +694,8 @@ final class SparqlFrame(
         val inner0 = evalQuadGroup(sel.where, hv, base, rootSeed)
         val inner = if (inner0.vars.contains(hv)) inner0
           else joinSols(inner0, graphSeedSol(hv, base))
-        val sub = project(sel, inner, keep = Set(hv), sliceBy = Some(hv))
+        val sub = project(sel, inner, keep = Set(hv), sliceBy = Some(hv),
+          fillEmpty = Some(graphSeedSol(hv, base).df))
         val merged =
           if (sub.vars.contains(x))
             // the sub-select itself projects a var named ?x: per SPARQL it

@@ -828,15 +828,78 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(res2.df.count() == 1) // only s7's object continues in g1
   }
 
-  test("GRAPH ?g with a global-aggregate sub-select fails loudly past MaxGraphLoop graphs") {
+  test("global-aggregate sub-select inside GRAPH ?g: per-graph with empty-group rows") {
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:name "A" . ex:a ex:tag "T1" . ex:a ex:tag "T2" .
+         |              ex:a ex:num 7 . ex:a ex:num 3 .
+         |              ex:b ex:name "B" . }
+         |GRAPH ex:g2 { ex:a ex:name "A2" . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    def q(txt: String, out: Seq[String]) = {
+      val res = frame.evalSelect(Sparql.parseQuery(txt, Map("ex" -> ex))
+        .asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+      frame.collect(res, out)
+    }
+    // COUNT over {} = 0: g2 has no tags but its rows must still appear
+    val cnt = q("""SELECT ?g ?x ?n WHERE { GRAPH ?g { ?s ex:name ?x .
+      { SELECT (COUNT(?t) AS ?n) WHERE { ?q ex:tag ?t . } } } } ORDER BY ?x""",
+      Seq("g", "x", "n"))
+    assert(cnt.map(r => (r("x"), r("n"))) == Seq(
+      (Lit("A"), Lit("2", XSD.integer)), (Lit("A2"), Lit("0", XSD.integer)),
+      (Lit("B"), Lit("2", XSD.integer))))
+    // projection expressions over the filled aggregate: COUNT + 1
+    val plus = q("""SELECT ?g ?x ?m WHERE { GRAPH ?g { ?s ex:name ?x .
+      { SELECT (COUNT(?t) + 1 AS ?m) WHERE { ?q ex:tag ?t . } } } } ORDER BY ?x""",
+      Seq("g", "x", "m"))
+    assert(plus.map(r => r("m")) == Seq(
+      Lit("3", XSD.integer), Lit("1", XSD.integer), Lit("3", XSD.integer)))
+    // MIN over {} is unbound — the row exists, the var does not bind
+    // (bound per graph where values exist: min(7, 3) = 3 in g1)
+    val mn = q("""SELECT ?g ?x ?mn WHERE { GRAPH ?g { ?s ex:name ?x .
+      { SELECT (MIN(?v) AS ?mn) WHERE { ?q ex:num ?v . } } } } ORDER BY ?x""",
+      Seq("g", "x", "mn"))
+    assert(mn.map(r => (r("x"), r.get("mn").map(_.asInstanceOf[Lit].lex))) == Seq(
+      (Lit("A"), Some("3")), (Lit("A2"), None), (Lit("B"), Some("3"))))
+    // HAVING runs AFTER the fill: n = 0 selects exactly the matchless graph
+    val hav = q("""SELECT ?g ?x ?n WHERE { GRAPH ?g { ?s ex:name ?x .
+      { SELECT (COUNT(?t) AS ?n) WHERE { ?q ex:tag ?t . } HAVING (COUNT(?t) = 0) } } }""",
+      Seq("g", "x", "n"))
+    assert(hav.map(r => (r("g"), r("x"))) == Seq((Iri(ex + "g2"), Lit("A2"))))
+    // scale shape: 10k graphs, one fixed-size plan, zero-count rows filled
+    val n = 10000
+    val many = QuadsDF.fromQuads(spark, (1 to n).flatMap(i =>
+      Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "name"), Lit(s"n$i"), Some(Iri(s"$ex/g$i")))) ++
+        (if (i % 4 == 0)
+           Seq(Quad(Iri(s"$ex/s$i"), Iri(ex + "tag"), Lit(s"t$i"), Some(Iri(s"$ex/g$i"))))
+         else Nil)))
+    val manyT = QuadsDF.defaultUnion(many)
+    val frame2 = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
+      Map.empty, None, None, Some(many))
+    val res2 = frame2.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?n WHERE { GRAPH ?g { ?s ex:name ?x .
+        |  { SELECT (COUNT(?t) AS ?n) WHERE { ?q ex:tag ?t . } } } }""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame2.unitSeed)
+    assert(res2.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "global-agg sub-select took the per-graph loop")
+    assert(res2.df.count() == n)
+    assert(res2.df.filter(res2.df("n")("v") === "0").count() == n - n / 4)
+  }
+
+  test("GRAPH ?g with GRAPH-under-GRAPH-<iri> fails loudly past MaxGraphLoop graphs") {
     val many = QuadsDF.fromQuads(spark, (1 to (SparqlFrame.MaxGraphLoop + 1)).map(i =>
       Quad(Iri(s"$ex/s$i"), Iri(ex + "p"), Iri(s"$ex/o$i"), Some(Iri(s"$ex/g$i")))))
     val manyT = QuadsDF.defaultUnion(many)
     val frame = new SparqlFrame(spark, manyT, PathEval.step(manyT, _, _),
       Map.empty, None, None, Some(many))
     val e = intercept[ReportableError](frame.evalSelect(Sparql.parseQuery(
-      """SELECT ?g ?n WHERE { GRAPH ?g {
-        |  { SELECT (COUNT(?s) AS ?n) WHERE { ?s ex:p ?o . } } } }""".stripMargin,
+      """SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?o .
+        |  GRAPH ex:g1 { GRAPH ?h { ?o ex:p ?z . } } } }""".stripMargin,
       Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed))
     assert(e.getMessage.contains("named graphs") &&
       e.getMessage.contains(SparqlFrame.MaxGraphLoop.toString))
