@@ -1048,14 +1048,20 @@ object Queries {
         |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2', 'g'),
         |    '^(https://[^/:?#]+):443([/?#]|$)', '\1\2', 'g') AS u FROM s2
         |), s4 AS (
-        |  SELECT doc_id, url, regexp_replace(u,
-        |    '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g') AS u FROM s3
+        |  SELECT doc_id, url, regexp_extract(u, '^[^?]*', 0) AS base,
+        |    CASE WHEN length(u) > length(regexp_extract(u, '^[^?]*', 0))
+        |      THEN substr(u, length(regexp_extract(u, '^[^?]*', 0)) + 2) ELSE '' END AS qs
+        |  FROM s3
         |), s5 AS (
-        |  SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(u,
-        |    '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS u FROM s4
+        |  SELECT doc_id, url, base,
+        |    regexp_replace(regexp_replace(regexp_replace(qs,
+        |      '(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '\1', 'g'),
+        |      '&&+', '&', 'g'), '^&+|&+$', '', 'g') AS qs
+        |  FROM s4
         |)
         |SELECT doc_id, url AS url_raw,
-        |  regexp_replace(u, '^(https?://[^/?#]+)/([?#]|$)', '\1\2', 'g') AS url_canon
+        |  regexp_replace(base || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END),
+        |    '^(https?://[^/?#]+)/([?#]|$)', '\1\2', 'g') AS url_canon
         |FROM s5""".stripMargin,
     // benchmark decontamination: same tokenizer + md5 window fingerprints
     // as the substring-dedup oracles; bench = doc_id % 7 = 0 capped below

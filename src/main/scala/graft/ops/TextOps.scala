@@ -238,7 +238,10 @@ object TextOps {
     *   3. strip the scheme's default port (`http…:80`, `https…:443` —
     *      a non-default port like :8443 survives);
     *   4. drop tracking params (`utm_*`, `fbclid`, `gclid`) and tidy the
-    *      separators they leave behind (`?&`, `&&`, trailing `?`/`&`);
+    *      separators they leave behind — operating ONLY on the query
+    *      component (after the first `?`): `&` is legal inside an RFC 3986
+    *      path segment, so a path like `/a&utm_b=2/c` must pass through
+    *      untouched rather than corrupt the dedup key;
     *   5. drop a bare root-path slash (`http://x.com/` = `http://x.com`).
     * Non-URL strings pass through mostly untouched (step 2 extracts
     * nothing, the rest match nothing). Not a full RFC 3986 resolver —
@@ -252,10 +255,14 @@ object TextOps {
     val noPort = regexp_replace(
       regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
       "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
-    val noTrack = regexp_replace(noPort,
-      "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
-    val tidy = regexp_replace(regexp_replace(regexp_replace(noTrack,
-      "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    val base = regexp_extract(noPort, "^[^?]*", 0)
+    val qs = when(length(noPort) > length(base),
+      noPort.substr(length(base) + 2, length(noPort))).otherwise(lit(""))
+    val qs2 = regexp_replace(qs,
+      "(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "$1")
+    val qs3 = regexp_replace(regexp_replace(qs2, "&&+", "&"), "^&+|&+$", "")
+    val tidy = concat(base,
+      when(qs3 =!= "", concat(lit("?"), qs3)).otherwise(lit("")))
     regexp_replace(tidy, "^(https?://[^/?#]+)/([?#]|$)", "$1$2")
   }
 }

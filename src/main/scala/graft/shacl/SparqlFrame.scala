@@ -179,7 +179,16 @@ final class SparqlFrame(
         q.limit.foreach(n => df = df.limit(n))
     }
     if (ordCols.nonEmpty) df = df.select(all.map(col): _*)
-    Sol(df, all.toSet, g.maybeNull.intersect(all.toSet))
+    // a projection alias built over a maybeNull aggregate column (the
+    // fillEmpty unbound-on-empty-group kinds) is itself maybeNull — null
+    // arithmetic stays null, and the downstream join must treat the alias
+    // as SPARQL-compatible-when-unbound, not strict-equality-drop it
+    val aggNullable = q.proj.collect { case PExpr(e, as) =>
+      val ags = scala.collection.mutable.ListBuffer.empty[EAgg]
+      collectAggs(e, ags)
+      Option.when(ags.exists(a => aggNames.get(a).exists(g.maybeNull.contains)))(as)
+    }.flatten.toSet
+    Sol(df, all.toSet, (g.maybeNull ++ aggNullable).intersect(all.toSet))
   }
 
   // ------------------------------------------------------ aggregation
@@ -227,9 +236,12 @@ final class SparqlFrame(
     * `keep` var) whose rows must ALL appear in a global-aggregate result —
     * the quad path's per-graph image of SPARQL's "an aggregate over zero
     * solutions still yields one row". Missing groups get each aggregate's
-    * empty-group value (COUNT/SUM → 0, GROUP_CONCAT → "", MIN/MAX/AVG/
-    * SAMPLE → unbound), joined in BEFORE HAVING so `HAVING(?n = 0)` can
-    * select exactly the matchless graphs. */
+    * empty-group value per SPARQL 18.5.1 (COUNT/SUM/AVG → 0 — Avg({}) = 0
+    * by definition, matching rdflib — GROUP_CONCAT → "", MIN/MAX/SAMPLE →
+    * unbound), joined in BEFORE HAVING so `HAVING(?n = 0)` can select
+    * exactly the matchless graphs. The unbound-fillable aggregate columns
+    * are marked maybeNull so a shared alias joins SPARQL-compatibly
+    * upstream instead of strict-equality-dropping the filled row. */
   private def aggregateStep(q: SqSelect, g: Sol, keep: Set[String],
                             fillEmpty: Option[DataFrame] = None): Sol = {
     val found = selectAggs(q)
@@ -269,23 +281,26 @@ final class SparqlFrame(
       if (aggExprs.isEmpty) g.df.select(groupCols.map(col): _*).distinct()
       else if (groupCols.isEmpty) g.df.agg(aggExprs.head, aggExprs.tail: _*)
       else g.df.groupBy(groupCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
-    val filled = fillEmpty match {
+    val (filled, fillNullable) = fillEmpty match {
       case Some(cat) if q.groupBy.isEmpty && aggExprs.nonEmpty &&
           keep.size == 1 && groupCols == keep.toSeq =>
         val zero = numToTerm(lit(0).cast("decimal(38,10)"))
         val fills = found.distinct.map { a =>
           val name = aggNames(a)
           (a.fn match {
-            case "COUNT" | "SUM" => coalesce(col(name), zero)
+            case "COUNT" | "SUM" | "AVG" => coalesce(col(name), zero)
             case "GROUP_CONCAT" => coalesce(col(name), strT(lit("")))
-            case _ => col(name) // MIN/MAX/AVG/SAMPLE over {} = unbound
+            case _ => col(name) // MIN/MAX/SAMPLE over {} = unbound
           }).as(name)
         }
-        cat.join(grouped, keep.toSeq, "left")
-          .select(col(keep.head) +: fills: _*)
-      case _ => grouped
+        val nullable = found.distinct
+          .filter(a => !Set("COUNT", "SUM", "AVG", "GROUP_CONCAT")(a.fn))
+          .map(aggNames(_)).toSet
+        (cat.join(grouped, keep.toSeq, "left")
+          .select(col(keep.head) +: fills: _*), nullable)
+      case _ => (grouped, Set.empty[String])
     }
-    var sol = Sol(filled, groupCols.toSet ++ aggNames.values, Set.empty)
+    var sol = Sol(filled, groupCols.toSet ++ aggNames.values, fillNullable)
     q.having.foreach { h =>
       sol = sol.copy(df = sol.df.filter(compileB(rewriteAggs(h, sol), sol) === true))
     }

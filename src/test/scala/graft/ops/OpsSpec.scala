@@ -375,7 +375,11 @@ class OpsSpec extends AnyFunSuite {
       "not a url at all" -> "not a url at all", // pass-through
       "http://x.com/?utm_a=1&utm_b=2" -> "http://x.com", // all params tracking
       "https://x.com:8443/keep:port?fbclid=abc" -> "https://x.com:8443/keep:port",
-      "https://x.com/CaseSensitive/Path" -> "https://x.com/CaseSensitive/Path")
+      "https://x.com/CaseSensitive/Path" -> "https://x.com/CaseSensitive/Path",
+      // '&' is legal in a path segment: no query part -> nothing stripped
+      "http://x.com/a&utm_b=2/c" -> "http://x.com/a&utm_b=2/c",
+      // but the same text in the QUERY is a tracking param and drops
+      "http://x.com/p?a=1&utm_b=2/c" -> "http://x.com/p?a=1")
     val got = cases.map(_._1).toDF("url")
       .select($"url", TextOps.urlCanon($"url").as("canon"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap

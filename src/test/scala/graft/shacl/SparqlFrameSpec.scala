@@ -834,7 +834,7 @@ class SparqlFrameSpec extends AnyFunSuite {
          |GRAPH ex:g1 { ex:a ex:name "A" . ex:a ex:tag "T1" . ex:a ex:tag "T2" .
          |              ex:a ex:num 7 . ex:a ex:num 3 .
          |              ex:b ex:name "B" . }
-         |GRAPH ex:g2 { ex:a ex:name "A2" . }
+         |GRAPH ex:g2 { ex:a ex:name "A2" . ex:a ex:hasMin 9 . }
          |""".stripMargin
     val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
     val T = QuadsDF.defaultUnion(quads)
@@ -865,6 +865,19 @@ class SparqlFrameSpec extends AnyFunSuite {
       Seq("g", "x", "mn"))
     assert(mn.map(r => (r("x"), r.get("mn").map(_.asInstanceOf[Lit].lex))) == Seq(
       (Lit("A"), Some("3")), (Lit("A2"), None), (Lit("B"), Some("3"))))
+    // AVG over {} = 0 per SPARQL 18.5.1.4 (NOT unbound — rdflib agrees)
+    val av = q("""SELECT ?g ?x ?a WHERE { GRAPH ?g { ?s ex:name ?x .
+      { SELECT (AVG(?v) AS ?a) WHERE { ?q ex:num ?v . } } } } ORDER BY ?x""",
+      Seq("g", "x", "a"))
+    assert(av.map(r => r("a").asInstanceOf[Lit].lex.toDouble) == Seq(5.0, 0.0, 5.0))
+    // an unbound filled aggregate joins SPARQL-compatibly with an outer
+    // binding of the same name (maybeNull, not strict-equality-drop):
+    // only g2 binds ?mn2 from data, and its sub-select MIN is unbound
+    val shared = q("""SELECT ?g ?mn2 WHERE { GRAPH ?g { ?s ex:hasMin ?mn2 .
+      { SELECT (MIN(?v) AS ?mn2) WHERE { ?q ex:num ?v . } } } }""",
+      Seq("g", "mn2"))
+    assert(shared.map(r => (r("g"), r("mn2").asInstanceOf[Lit].lex)) ==
+      Seq((Iri(ex + "g2"), "9")))
     // HAVING runs AFTER the fill: n = 0 selects exactly the matchless graph
     val hav = q("""SELECT ?g ?x ?n WHERE { GRAPH ?g { ?s ex:name ?x .
       { SELECT (COUNT(?t) AS ?n) WHERE { ?q ex:tag ?t . } HAVING (COUNT(?t) = 0) } } }""",
