@@ -324,6 +324,13 @@ final class SparqlFrame(
     case t: SqTriple => joinSols(cur, triplePattern(t, cur))
     case SqFilter(EExists(g, neg)) => existsFilter(cur, g, neg)
     case SqFilter(ENot(EExists(g, neg))) => existsFilter(cur, g, !neg)
+    case SqFilter(e) if hasExists(e) =>
+      // EXISTS nested inside the expression: materialize markers, then
+      // filter on the rewritten expression (full-fn lift composes after)
+      val (e1, s1) = liftExists(e, cur, evalGroup)
+      val (e2, s2) = if (hasFullFn(e1)) liftFnCalls(e1, s1) else (e1, s1)
+      val filtered = s2.df.filter(compileB(e2, s2) === true)
+      Sol(filtered.select(cur.vars.toSeq.sorted.map(col): _*), cur.vars, cur.maybeNull)
     case SqFilter(e) if hasFullFn(e) =>
       val (e2, lifted) = liftFnCalls(e, cur)
       val filtered = lifted.df.filter(compileB(e2, lifted) === true)
@@ -333,7 +340,12 @@ final class SparqlFrame(
     case SqBind(e, v) =>
       if (cur.vars.contains(v))
         throw new ReportableError(s"BIND would re-bind already-bound variable ?$v")
-      if (hasFullFn(e)) {
+      if (hasExists(e)) {
+        val (e1, s1) = liftExists(e, cur, evalGroup)
+        val (e2, s2) = if (hasFullFn(e1)) liftFnCalls(e1, s1) else (e1, s1)
+        val df = s2.df.withColumn(v, compileT(e2, s2))
+        Sol(df.select((cur.vars + v).toSeq.sorted.map(col): _*), cur.vars + v, cur.maybeNull)
+      } else if (hasFullFn(e)) {
         val (e2, lifted) = liftFnCalls(e, cur)
         val df = lifted.df.withColumn(v, compileT(e2, lifted))
         Sol(df.select((cur.vars + v).toSeq.sorted.map(col): _*), cur.vars + v, cur.maybeNull)
@@ -402,9 +414,10 @@ final class SparqlFrame(
       val r = evalQuadGroup(g, x, namedBase, cur)
       if (r.vars.contains(x)) r else joinSols(r, graphSeedSol(x, namedBase))
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
-      // non-quad-compatible block (EXISTS nested inside an expression, or
-      // a GRAPH nested under GRAPH <iri>, which must range over ALL named
-      // graphs while the constant re-scope filters the frame): evaluates
+      // non-quad-compatible block (BIND over an EXISTS — BIND folds before
+      // ?g seeds, so the EXISTS cannot correlate per graph — or a GRAPH
+      // nested under GRAPH <iri>, which must range over ALL named graphs
+      // while the constant re-scope filters the frame): evaluates
       // once per named graph with ?g bound to the
       // graph IRI. That is a per-graph PLAN branch — fine for a
       // vocab-scale catalog, wrong for per-document graphs — so past
@@ -413,7 +426,7 @@ final class SparqlFrame(
       val names = QuadsDF.graphNames(quads.get)
       if (names.size > maxGraphLoop)
         throw new ReportableError(
-          s"GRAPH ?$x over a block with expression-nested EXISTS or " +
+          s"GRAPH ?$x over a block with BIND-over-EXISTS or " +
             s"GRAPH nested under GRAPH <iri> " +
             s"evaluates per named graph, and this dataset has " +
             s"${names.size} named graphs (limit $maxGraphLoop; raise via " +
@@ -550,6 +563,18 @@ final class SparqlFrame(
     case _ => false
   }
 
+  /** Every EXISTS body anywhere inside the expression (quadCompatible
+    * checks each one rides the quad path before lifting the filter). */
+  private def existsGroups(e: SqExpr): List[SqGroup] = e match {
+    case EExists(g, _) => List(g)
+    case EBin(_, l, r) => existsGroups(l) ++ existsGroups(r)
+    case ENot(x) => existsGroups(x)
+    case ENeg(x) => existsGroups(x)
+    case ECall(_, as) => as.flatMap(existsGroups)
+    case EFnIri(_, as) => as.flatMap(existsGroups)
+    case _ => Nil
+  }
+
   /** Is the group a plain BGP (triple patterns with non-path predicates)
     * plus row-local filters (no EXISTS — those re-enter group evaluation
     * and need per-graph scoping)? Those evaluate against the quads frame
@@ -598,12 +623,16 @@ final class SparqlFrame(
         case PredIri(_) | PredVar(_) | PredPath(_) => true
         case _ => false
       }
-      // top-level (NOT) EXISTS over a quad-compatible body re-enters the
-      // quad evaluator with ?g in the correlation key (r6); EXISTS nested
-      // deeper inside an expression still needs the per-graph loop
+      // (NOT) EXISTS — top-level or nested inside the filter expression —
+      // re-enters the quad evaluator with ?g in the correlation key
+      // (top-level as a semi/anti join, nested via liftExists markers),
+      // as long as every EXISTS body is itself quad-compatible
       case SqFilter(EExists(g2, _)) => quadCompatible(g2)
       case SqFilter(ENot(EExists(g2, _))) => quadCompatible(g2)
-      case SqFilter(e) => !hasExists(e) && !hasFullFn(e)
+      case SqFilter(e) =>
+        existsGroups(e).forall(quadCompatible) && !hasFullFn(e)
+      // BIND folds with the patterns BEFORE ?g is seeded, so an EXISTS
+      // inside it cannot correlate per graph there — loop keeps it
       case SqBind(e, _) => !hasExists(e) && !hasFullFn(e)
       case SqOptional(g2) => quadCompatible(g2)
       case SqUnion(branches) => branches.forall(quadCompatible)
@@ -735,6 +764,15 @@ final class SparqlFrame(
         existsFilterWith(acc, g2, neg, (gg, seed) => evalQuadGroup(gg, x, base, seed))
       case (acc, SqFilter(ENot(EExists(g2, neg)))) =>
         existsFilterWith(acc, g2, !neg, (gg, seed) => evalQuadGroup(gg, x, base, seed))
+      case (acc, SqFilter(e)) if hasExists(e) =>
+        // expression-nested EXISTS: markers materialize through the quad
+        // evaluator, so the correlation key carries ?x (seeded above) and
+        // each EXISTS body scopes per graph — single-pass, like the
+        // top-level cases
+        val (e2, lifted) = liftExists(e, acc,
+          (gg, seed) => evalQuadGroup(gg, x, base, seed))
+        val filtered = lifted.df.filter(compileB(e2, lifted) === true)
+        Sol(filtered.select(acc.vars.toSeq.sorted.map(col): _*), acc.vars, acc.maybeNull)
       case (acc, SqFilter(e)) => acc.copy(df = acc.df.filter(compileB(e, acc) === true))
       case (acc, _) => acc
     }
@@ -1037,6 +1075,42 @@ final class SparqlFrame(
   private def existsFilter(cur: Sol, g: SqGroup, negated: Boolean): Sol =
     existsFilterWith(cur, g, negated, evalGroup)
 
+  /** Materialize every EXISTS inside an EXPRESSION (`EXISTS{} || …`,
+    * `IF(EXISTS{}, …)`, `BIND(EXISTS{} AS ?b)`) as a correlated boolean
+    * TERM column on `cur` — the same keyedSeed correlation the top-level
+    * EXISTS filter uses, but as a left join + hit flag so the row survives
+    * either way and the expression reads true/false — rewriting each
+    * EExists node to a reference to its marker var. The caller evaluates
+    * the rewritten expression, then projects the `__ex_*` markers away.
+    * This is SPARQL's EXISTS-anywhere-in-an-expression, which both
+    * evaluation paths previously rejected. */
+  private def liftExists(e: SqExpr, cur: Sol,
+                         eval: (SqGroup, Sol) => Sol): (SqExpr, Sol) = {
+    var acc = cur
+    var n = acc.df.columns.count(_.startsWith("__ex_"))
+    def walk(x: SqExpr): SqExpr = x match {
+      case EExists(g, neg) =>
+        val name = s"__ex_$n"; n += 1
+        val (varsS, seed) = keyedSeed(acc)
+        val sub = eval(g, seed)
+        val hits = sub.df.select(varsS.map(v => col("__k_" + v).as("__x_" + v)): _*)
+          .distinct().withColumn("__hit", lit(true))
+        val flag = coalesce(col("__hit"), lit(false))
+        val joined = acc.df.join(hits, keyCond(acc.df, hits, varsS), "left")
+          .withColumn(name, boolT(if (neg) !flag else flag))
+          .drop("__hit" +: varsS.map("__x_" + _): _*)
+        acc = Sol(joined, acc.vars + name, acc.maybeNull)
+        EVar(name)
+      case EBin(op, l, r) => EBin(op, walk(l), walk(r))
+      case ENot(y) => ENot(walk(y))
+      case ENeg(y) => ENeg(walk(y))
+      case ECall(f, args) => ECall(f, args.map(walk))
+      case EFnIri(f, args) => EFnIri(f, args.map(walk))
+      case other => other
+    }
+    (walk(e), acc)
+  }
+
   /** existsFilter with a pluggable group evaluator — inside GRAPH ?g the
     * quad path re-enters with quad-pattern evaluation, so the EXISTS body
     * is correlated on EVERY current variable including ?g (keyedSeed
@@ -1157,7 +1231,11 @@ final class SparqlFrame(
             "in FILTER and BIND position (where they evaluate set-oriented).")
       }
     case EExists(_, _) =>
-      throw new ReportableError("EXISTS is only supported as a top-level FILTER")
+      // FILTER and BIND positions materialize EXISTS via liftExists before
+      // compiling; reaching here means an unsupported position (ORDER BY /
+      // HAVING / SELECT expressions)
+      throw new ReportableError(
+        "EXISTS is supported in FILTER and BIND expressions, not here")
   }
 
   private def langMatchesB(args: List[SqExpr], cur: Sol): Column = {

@@ -790,6 +790,48 @@ class SparqlFrameSpec extends AnyFunSuite {
     assert(neg.df.count() == n - n / 4)
   }
 
+  test("EXISTS nested inside expressions: ||, !, BIND, per-graph on the quad path") {
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:name "A" . ex:a ex:tag "T" . ex:b ex:name "B" . }
+         |GRAPH ex:g2 { ex:a ex:name "A2" . ex:a ex:flag "F" . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    def sol(txt: String) = frame.evalSelect(Sparql.parseQuery(txt, Map("ex" -> ex))
+      .asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    def q(txt: String, out: Seq[String]) = frame.collect(sol(txt), out)
+    // union-graph path: EXISTS || EXISTS inside one FILTER expression
+    val or = q("""SELECT ?s ?n WHERE { ?s ex:name ?n .
+      FILTER(EXISTS { ?s ex:tag ?t . } || EXISTS { ?s ex:flag ?f . }) } ORDER BY ?n""",
+      Seq("s", "n"))
+    assert(or.map(_("n")) == Seq(Lit("A"), Lit("A2"))) // b has neither
+    // BIND(EXISTS AS ?b): a boolean term per row, true/false both present
+    val bind = q("""SELECT ?n ?b WHERE { ?s ex:name ?n .
+      BIND(EXISTS { ?s ex:tag ?t . } AS ?b) } ORDER BY ?n""", Seq("n", "b"))
+    assert(bind.map(r => (r("n"), r("b"))) == Seq(
+      (Lit("A"), Lit("true", XSD.boolean)), (Lit("A2"), Lit("true", XSD.boolean)),
+      (Lit("B"), Lit("false", XSD.boolean))))
+    // quad path: EXISTS under || inside GRAPH ?g correlates PER GRAPH —
+    // ex:a has a tag in g1 only; g2's row survives via the other disjunct
+    val gqSol = sol("""SELECT ?g ?n WHERE { GRAPH ?g { ?s ex:name ?n .
+      FILTER(EXISTS { ?s ex:tag ?t . } || ?n = "A2") } } ORDER BY ?n""")
+    assert(gqSol.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "nested-EXISTS filter took the per-graph loop")
+    assert(frame.collect(gqSol, Seq("g", "n")).map(r => (r("g"), r("n"))) ==
+      Seq((Iri(ex + "g1"), Lit("A")), (Iri(ex + "g2"), Lit("A2"))))
+    // negation through ! inside the expression (not the top-level
+    // NOT EXISTS case): per-graph absence
+    val neg = q("""SELECT ?g ?n WHERE { GRAPH ?g { ?s ex:name ?n .
+      FILTER(!EXISTS { ?s ex:tag ?t . } && ?n != "X") } } ORDER BY ?n""",
+      Seq("g", "n"))
+    assert(neg.map(r => (r("g"), r("n"))) ==
+      Seq((Iri(ex + "g2"), Lit("A2")), (Iri(ex + "g1"), Lit("B"))))
+  }
+
   test("nested GRAPH <iri> rides the quad path: one filtered evaluation, no loop") {
     val trig =
       s"""@prefix ex: <$ex> .
