@@ -426,8 +426,10 @@ final class SparqlFrame(
       val names = QuadsDF.graphNames(quads.get)
       if (names.size > maxGraphLoop)
         throw new ReportableError(
-          s"GRAPH ?$x over a block with BIND-over-EXISTS or " +
-            s"GRAPH nested under GRAPH <iri> " +
+          s"GRAPH ?$x over a block outside the single-pass quad path " +
+            s"(BIND-over-EXISTS, GRAPH nested under GRAPH <iri>, " +
+            s"full-bodied SHACLFunction calls, or an EXISTS body that is " +
+            s"itself not quad-compatible) " +
             s"evaluates per named graph, and this dataset has " +
             s"${names.size} named graphs (limit $maxGraphLoop; raise via " +
             "ValidationOptions.maxGraphLoop or GRAFT_MAX_GRAPH_LOOP). " +
@@ -553,14 +555,22 @@ final class SparqlFrame(
   }
 
   // ---------------------------------------------------------- BGP joins
-  private def hasExists(e: SqExpr): Boolean = e match {
-    case _: EExists => true
-    case EBin(_, l, r) => hasExists(l) || hasExists(r)
-    case ENot(x) => hasExists(x)
-    case ENeg(x) => hasExists(x)
-    case ECall(_, as) => as.exists(hasExists)
-    case EFnIri(_, as) => as.exists(hasExists)
-    case _ => false
+  /** Defined via [[existsGroups]] — ONE traversal for both the dispatch
+    * sites (evalElem / evalQuadGroup) and the quadCompatible gate, so the
+    * two can never drift and misroute a filter into a path whose
+    * EXISTS-lift case doesn't fire. */
+  private def hasExists(e: SqExpr): Boolean = existsGroups(e).nonEmpty
+
+  /** Variables an expression references directly (EXISTS bodies excluded —
+    * their correlation is the lift's job, not the caller's). */
+  private def exprVars(e: SqExpr): Set[String] = e match {
+    case EVar(x) => Set(x)
+    case EBin(_, l, r) => exprVars(l) ++ exprVars(r)
+    case ENot(x) => exprVars(x)
+    case ENeg(x) => exprVars(x)
+    case ECall(_, as) => as.flatMap(exprVars).toSet
+    case EFnIri(_, as) => as.flatMap(exprVars).toSet
+    case _ => Set.empty
   }
 
   /** Every EXISTS body anywhere inside the expression (quadCompatible
@@ -601,9 +611,13 @@ final class SparqlFrame(
     * aggregateStep's fillEmpty (matchless graphs get SPARQL's empty-group
     * row). Nested GRAPH <iri> rides the path too (one evaluation over the
     * frame filtered to that graph), unless a further GRAPH nests inside it
-    * (that one must range over ALL named graphs again). EXISTS nested
-    * inside expressions and GRAPH-under-GRAPH-<iri> fall back to the
-    * per-graph loop (bounded by MaxGraphLoop). */
+    * (that one must range over ALL named graphs again). EXISTS — top-level
+    * or nested inside a FILTER expression — rides the path when every
+    * EXISTS body is itself quad-compatible (liftExists markers). What
+    * still falls back to the per-graph loop (bounded by MaxGraphLoop):
+    * BIND over an EXISTS, GRAPH-under-GRAPH-<iri>, full-bodied
+    * SHACLFunction calls in filters/binds, and filters whose EXISTS
+    * bodies are themselves non-quad-compatible. */
   private def quadCompatible(g: SqGroup): Boolean = {
     // pattern-bearing: something must bind ?g per graph — a bare triple, an
     // OPTIONAL/UNION whose branches are themselves pattern-bearing (checked
@@ -664,8 +678,12 @@ final class SparqlFrame(
     case SqOptional(g2) => hasGraphPat(g2)
     case SqUnion(bs) => bs.exists(hasGraphPat)
     case SqSubSelect(sel) => hasGraphPat(sel.where)
-    case SqFilter(EExists(g2, _)) => hasGraphPat(g2)
-    case SqFilter(ENot(EExists(g2, _))) => hasGraphPat(g2)
+    // EXISTS bodies anywhere in a filter/bind expression — an
+    // expression-NESTED EXISTS can smuggle a GRAPH pattern past a
+    // top-level-only check, and under GRAPH <iri> that pattern would
+    // wrongly range over the constant-filtered frame
+    case SqFilter(e) => existsGroups(e).exists(hasGraphPat)
+    case SqBind(e, _) => existsGroups(e).exists(hasGraphPat)
     case _ => false
   }
 
@@ -702,9 +720,15 @@ final class SparqlFrame(
           val r = evalQuadGroup(b, x, base, acc)
           if (r.vars.contains(x)) r else joinSols(r, graphSeedSol(x, base))
         })
-      case (acc, SqBind(e, v)) =>
-        if (acc.vars.contains(v))
+      case (acc0, SqBind(e, v)) =>
+        if (acc0.vars.contains(v))
           throw new ReportableError(s"BIND would re-bind already-bound variable ?$v")
+        // a BIND that references ?x before any pattern has bound it (e.g.
+        // a leading BIND(STR(?g) AS ?u)) must still see ?x bound per graph
+        // — seed from the named-graph catalog, like leading OPTIONALs; a
+        // later pattern join restricts back to the row's own graph
+        val acc = if (!acc0.vars.contains(x) && exprVars(e).contains(x))
+          joinSols(acc0, graphSeedSol(x, base)) else acc0
         Sol(acc.df.withColumn(v, compileT(e, acc)), acc.vars + v, acc.maybeNull)
       case (acc, SqGraphPat(TVar(y), g2)) =>
         // nested GRAPH re-scopes the active graph: it evaluates against
@@ -1091,7 +1115,10 @@ final class SparqlFrame(
     def walk(x: SqExpr): SqExpr = x match {
       case EExists(g, neg) =>
         val name = s"__ex_$n"; n += 1
-        val (varsS, seed) = keyedSeed(acc)
+        // correlate on the ORIGINAL vars, not acc.vars: earlier markers
+        // are functionally dependent on them — carrying marker structs
+        // through the seed distinct and join keys is pure width
+        val (varsS, seed) = keyedSeed(Sol(acc.df, cur.vars, acc.maybeNull))
         val sub = eval(g, seed)
         val hits = sub.df.select(varsS.map(v => col("__k_" + v).as("__x_" + v)): _*)
           .distinct().withColumn("__hit", lit(true))

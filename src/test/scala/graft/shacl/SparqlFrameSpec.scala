@@ -832,6 +832,50 @@ class SparqlFrameSpec extends AnyFunSuite {
       Seq((Iri(ex + "g2"), Lit("A2")), (Iri(ex + "g1"), Lit("B"))))
   }
 
+  test("EXISTS body with a GRAPH pattern keeps GRAPH <iri> off the quad path") {
+    // the EXISTS body's GRAPH ?h must range over ALL named graphs; if the
+    // block rode the quad path, it would evaluate over the g1-filtered
+    // frame and find nothing (hasGraphPat must see through the
+    // expression-nested EXISTS)
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:p ex:b . }
+         |GRAPH ex:g2 { ex:b ex:q ex:c . }
+         |GRAPH ex:g3 { ex:x ex:p ex:y . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    val res = frame.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?s WHERE { GRAPH ?g { GRAPH ex:g1 { ?s ex:p ?o .
+        |  FILTER(EXISTS { GRAPH ?h { ?o ex:q ?z . } } || ?s = ex:none) } } }""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val rows = frame.collect(res, Seq("g", "s"))
+    // inner block: only g1's a->b, kept because b ex:q c EXISTS in g2;
+    // outer ?g cross-seeds over all three named graphs
+    assert(rows.map(_("s")).distinct == Seq(Iri(ex + "a")) && rows.size == 3)
+  }
+
+  test("leading BIND over ?g inside GRAPH ?g sees the graph binding") {
+    val trig =
+      s"""@prefix ex: <$ex> .
+         |GRAPH ex:g1 { ex:a ex:p ex:b . }
+         |GRAPH ex:g2 { ex:c ex:p ex:d . }
+         |""".stripMargin
+    val quads = QuadsDF.fromQuads(spark, TrigParser.parseGraphQuads(trig, "http://test/"))
+    val T = QuadsDF.defaultUnion(quads)
+    val frame = new SparqlFrame(spark, T, PathEval.step(T, _, _), Map.empty, None,
+      None, Some(quads))
+    val res = frame.evalSelect(Sparql.parseQuery(
+      """SELECT ?g ?u WHERE { GRAPH ?g { BIND(STR(?g) AS ?u) ?s ex:p ?o . } }
+        |ORDER BY ?u""".stripMargin,
+      Map("ex" -> ex)).asInstanceOf[Sparql.SqSelect], frame.unitSeed)
+    val rows = frame.collect(res, Seq("g", "u"))
+    assert(rows.map(r => (r("g"), r("u"))) == Seq(
+      (Iri(ex + "g1"), Lit(ex + "g1")), (Iri(ex + "g2"), Lit(ex + "g2"))))
+  }
+
   test("nested GRAPH <iri> rides the quad path: one filtered evaluation, no loop") {
     val trig =
       s"""@prefix ex: <$ex> .
