@@ -414,10 +414,10 @@ final class SparqlFrame(
       val r = evalQuadGroup(g, x, namedBase, cur)
       if (r.vars.contains(x)) r else joinSols(r, graphSeedSol(x, namedBase))
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
-      // non-quad-compatible block (BIND over an EXISTS — BIND folds before
-      // ?g seeds, so the EXISTS cannot correlate per graph — or a GRAPH
-      // nested under GRAPH <iri>, which must range over ALL named graphs
-      // while the constant re-scope filters the frame): evaluates
+      // non-quad-compatible block (GRAPH nested under GRAPH <iri> — which
+      // must range over ALL named graphs while the constant re-scope
+      // filters the frame — full-bodied SHACLFunction calls, or an EXISTS
+      // body that is itself non-quad-compatible): evaluates
       // once per named graph with ?g bound to the
       // graph IRI. That is a per-graph PLAN branch — fine for a
       // vocab-scale catalog, wrong for per-document graphs — so past
@@ -427,7 +427,7 @@ final class SparqlFrame(
       if (names.size > maxGraphLoop)
         throw new ReportableError(
           s"GRAPH ?$x over a block outside the single-pass quad path " +
-            s"(BIND-over-EXISTS, GRAPH nested under GRAPH <iri>, " +
+            s"(GRAPH nested under GRAPH <iri>, " +
             s"full-bodied SHACLFunction calls, or an EXISTS body that is " +
             s"itself not quad-compatible) " +
             s"evaluates per named graph, and this dataset has " +
@@ -615,9 +615,9 @@ final class SparqlFrame(
     * or nested inside a FILTER expression — rides the path when every
     * EXISTS body is itself quad-compatible (liftExists markers). What
     * still falls back to the per-graph loop (bounded by MaxGraphLoop):
-    * BIND over an EXISTS, GRAPH-under-GRAPH-<iri>, full-bodied
-    * SHACLFunction calls in filters/binds, and filters whose EXISTS
-    * bodies are themselves non-quad-compatible. */
+    * GRAPH-under-GRAPH-<iri>, full-bodied SHACLFunction calls in
+    * filters/binds, and filter/bind EXISTS bodies that are themselves
+    * non-quad-compatible. */
   private def quadCompatible(g: SqGroup): Boolean = {
     // pattern-bearing: something must bind ?g per graph — a bare triple, an
     // OPTIONAL/UNION whose branches are themselves pattern-bearing (checked
@@ -645,9 +645,11 @@ final class SparqlFrame(
       case SqFilter(ENot(EExists(g2, _))) => quadCompatible(g2)
       case SqFilter(e) =>
         existsGroups(e).forall(quadCompatible) && !hasFullFn(e)
-      // BIND folds with the patterns BEFORE ?g is seeded, so an EXISTS
-      // inside it cannot correlate per graph there — loop keeps it
-      case SqBind(e, _) => !hasExists(e) && !hasFullFn(e)
+      // BIND folds with the patterns, but the evaluator seeds ?g first
+      // when the expression needs it (EXISTS or a direct ?g reference),
+      // so EXISTS-bearing BINDs ride the path when their bodies do
+      case SqBind(e, _) =>
+        existsGroups(e).forall(quadCompatible) && !hasFullFn(e)
       case SqOptional(g2) => quadCompatible(g2)
       case SqUnion(branches) => branches.forall(quadCompatible)
       // GRAPH $shapesGraph must re-enter evalGroup (it swaps activeT to
@@ -726,10 +728,19 @@ final class SparqlFrame(
         // a BIND that references ?x before any pattern has bound it (e.g.
         // a leading BIND(STR(?g) AS ?u)) must still see ?x bound per graph
         // — seed from the named-graph catalog, like leading OPTIONALs; a
-        // later pattern join restricts back to the row's own graph
-        val acc = if (!acc0.vars.contains(x) && exprVars(e).contains(x))
+        // later pattern join restricts back to the row's own graph. A
+        // BIND over an EXISTS always seeds: the EXISTS body correlates on
+        // ?x, so per-graph scoping needs the binding regardless of where
+        // the BIND sits in the block.
+        val acc = if (!acc0.vars.contains(x) && (hasExists(e) || exprVars(e).contains(x)))
           joinSols(acc0, graphSeedSol(x, base)) else acc0
-        Sol(acc.df.withColumn(v, compileT(e, acc)), acc.vars + v, acc.maybeNull)
+        if (hasExists(e)) {
+          val (e2, lifted) = liftExists(e, acc,
+            (gg, seed) => evalQuadGroup(gg, x, base, seed))
+          Sol(lifted.df.withColumn(v, compileT(e2, lifted))
+            .select((acc.vars + v).toSeq.sorted.map(col): _*),
+            acc.vars + v, acc.maybeNull)
+        } else Sol(acc.df.withColumn(v, compileT(e, acc)), acc.vars + v, acc.maybeNull)
       case (acc, SqGraphPat(TVar(y), g2)) =>
         // nested GRAPH re-scopes the active graph: it evaluates against
         // the full named-graphs frame on its own graph var, independent of

@@ -830,6 +830,16 @@ class SparqlFrameSpec extends AnyFunSuite {
       Seq("g", "n"))
     assert(neg.map(r => (r("g"), r("n"))) ==
       Seq((Iri(ex + "g2"), Lit("A2")), (Iri(ex + "g1"), Lit("B"))))
+    // BIND(EXISTS AS ?b) inside GRAPH ?g: the marker correlates per graph
+    // (ex:a has a tag in g1 but not g2) and stays on the single-pass plan
+    val bg = sol("""SELECT ?g ?n ?b WHERE { GRAPH ?g { ?s ex:name ?n .
+      BIND(EXISTS { ?s ex:tag ?t . } AS ?b) } } ORDER BY ?n""")
+    assert(bg.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "BIND-over-EXISTS took the per-graph loop")
+    assert(frame.collect(bg, Seq("g", "n", "b")).map(r => (r("n"), r("b"))) == Seq(
+      (Lit("A"), Lit("true", XSD.boolean)), (Lit("A2"), Lit("false", XSD.boolean)),
+      (Lit("B"), Lit("false", XSD.boolean))))
   }
 
   test("EXISTS body with a GRAPH pattern keeps GRAPH <iri> off the quad path") {
