@@ -19,7 +19,12 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // shuffle parallelism scales with cores (2-4x slots, matching
+      // ScaleProbe): a fixed 1x-cores partition count lets one straggler
+      // partition idle the other cores at every wave boundary, which the
+      // r6 1M-soak analysis measured as a spurious ~10-point serial
+      // fraction in the in-bench eff(4->8) figure
+      .config("spark.sql.shuffle.partitions", math.max(cpus * 4, 16).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -132,8 +137,12 @@ object Bench {
         nlist = 64).agg(max(col("n")), count(lit(1))).collect()(0)
       (emb.count(), l.getLong(0), l.getLong(1), v.getLong(0), v.getLong(1))
     } catch { case _: Throwable => (-1L, -1L, -1L, -1L, -1L) }
-    // KG pipeline throughput at local[cpus]
-    val (triplesN, tMain) = timed(pipelineOnce(spark, nDocs, cpus))
+    // KG pipeline throughput at local[cpus]. Stamped + retimed like the
+    // queries (VERDICT r6 #1: the headline block was the one un-stamped,
+    // un-retimed number left — BENCH_r06's 29.0k vs 38.8k quiet local on
+    // identical code could not defend itself).
+    val pipeLoad1 = loadavg1()
+    val (triplesN, tPipe1) = timed(pipelineOnce(spark, nDocs, cpus))
     spark.stop()
 
     // Scaling: same job, same input, at N and 4N cores. Docs use fat=20
@@ -171,16 +180,31 @@ object Bench {
     def spread(c: Int): Double = (runs(c).max - runs(c).min) / runs(c).min
     val t4 = best(4); val t16 = best(16); val t8 = best(8); val t32 = best(32)
     def eff(tn: Double, t4n: Double): Double = (tn / t4n) / 4.0
+    // pipeline pass 2 at end of run: a fresh session (own small-scale JIT
+    // warmup), its own load stamp; the headline takes the better pass and
+    // the JSON carries BOTH (time, load) pairs so interference on either
+    // pass is visible in the artifact rather than argued about later
+    val pipeLoad2 = loadavg1()
+    val tPipe2 = {
+      val sp2 = session(cpus)
+      try { pipelineOnce(sp2, 5000, 64); timed(pipelineOnce(sp2, nDocs, cpus))._2 }
+      finally sp2.stop()
+    }
+    val tMain = math.min(tPipe1, tPipe2)
     // co-tenant load at measurement time (this box idles at load 7-11);
     // interpret the scaling numbers against it
     val loadavg = loadavg1()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qls = qLoads.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val rts = toRetime.map { case (n, _) => "\"" + n + "\"" }.mkString("[", ",", "]")
+    // both raw passes per retimed query (ADVICE r6: min-only discarded one
+    // number; preserving both makes the floor treatment auditable)
+    val rts1 = toRetime.map { case (n, _) => "\"" + n + f"\":${pass1(n)._1}%.3f" }.mkString("{", ",", "}")
+    val rts2 = toRetime.map { case (n, _) => "\"" + n + f"\":${pass2(n)._1}%.3f" }.mkString("{", ",", "}")
     def runsJson(c: Int): String = runs(c).map(t => f"$t%.2f").mkString("[", ",", "]")
     val tps = triplesN / tMain
     println(
-      f"""{"metric":"triples_per_sec","value":$tps%.0f,"unit":"triples/sec","queries":$qs,"query_loads":$qls,"retimed":$rts,"ann":{"items":$nEmb,"lsh_max_bucket":$lshMaxBucket,"lsh_buckets":$lshBuckets,"ivf_max_cell":$ivfMaxCell,"ivf_cells":$ivfCells},"sf":"$sfDir","pipeline":{"docs":$nDocs,"triples":$triplesN,"seconds":$tMain%.2f},"scaling":{"docs":$scaleDocs,"triples":$nS,"t4":$t4%.2f,"t16":$t16%.2f,"t8":$t8%.2f,"t32":$t32%.2f,"runs4":${runsJson(4)},"runs8":${runsJson(8)},"runs16":${runsJson(16)},"runs32":${runsJson(32)},"spread4":${spread(4)}%.3f,"spread8":${spread(8)}%.3f,"spread16":${spread(16)}%.3f,"spread32":${spread(32)}%.3f,"tps4":${nS / t4}%.0f,"tps16":${nS / t16}%.0f,"tps8":${nS / t8}%.0f,"tps32":${nS / t32}%.0f,"host_loadavg":$loadavg,"launch_loadavg":$launchLoad%.2f,"launch_wait_sec":$waited,"efficiency_4_to_8":${(t4 / t8) / 2.0}%.3f,"efficiency_4_to_16":${eff(t4, t16)}%.3f,"efficiency_8_to_32":${eff(t8, t32)}%.3f}}""")
+      f"""{"metric":"triples_per_sec","value":$tps%.0f,"unit":"triples/sec","queries":$qs,"query_loads":$qls,"retimed":$rts,"retimed_pass1":$rts1,"retimed_pass2":$rts2,"ann":{"items":$nEmb,"lsh_max_bucket":$lshMaxBucket,"lsh_buckets":$lshBuckets,"ivf_max_cell":$ivfMaxCell,"ivf_cells":$ivfCells},"sf":"$sfDir","pipeline":{"docs":$nDocs,"triples":$triplesN,"seconds":$tMain%.2f,"seconds_pass1":$tPipe1%.2f,"load_pass1":$pipeLoad1%.2f,"seconds_pass2":$tPipe2%.2f,"load_pass2":$pipeLoad2%.2f},"scaling":{"docs":$scaleDocs,"triples":$nS,"t4":$t4%.2f,"t16":$t16%.2f,"t8":$t8%.2f,"t32":$t32%.2f,"runs4":${runsJson(4)},"runs8":${runsJson(8)},"runs16":${runsJson(16)},"runs32":${runsJson(32)},"spread4":${spread(4)}%.3f,"spread8":${spread(8)}%.3f,"spread16":${spread(16)}%.3f,"spread32":${spread(32)}%.3f,"tps4":${nS / t4}%.0f,"tps16":${nS / t16}%.0f,"tps8":${nS / t8}%.0f,"tps32":${nS / t32}%.0f,"host_loadavg":$loadavg,"launch_loadavg":$launchLoad%.2f,"launch_wait_sec":$waited,"efficiency_4_to_8":${(t4 / t8) / 2.0}%.3f,"efficiency_4_to_16":${eff(t4, t16)}%.3f,"efficiency_8_to_32":${eff(t8, t32)}%.3f}}""")
   }
 
   /** Scaling workload: the full pipeline over web-document-sized (fat=20)

@@ -60,10 +60,27 @@ final class TripleStore(spark: SparkSession, root: String) {
     if (!dfs.exists(d)) { ensureFormatMarker(); return } // log but no data yet
     // data/ may exist but hold no readable parquet (a first append of an
     // empty frame, or cleaned-up leftovers): Spark throws an opaque
-    // "Unable to infer schema" — nothing to disagree with, so adopt
+    // "Unable to infer schema" — nothing to disagree with, so adopt.
+    // AnalysisException also covers corrupt footers / conflicting schema
+    // merges, where adoption would silently skip verification forever —
+    // so adopt ONLY when the data dir truly holds no parquet files, and
+    // rethrow otherwise.
+    def hasParquetFiles: Boolean = {
+      val it = dfs.listFiles(d, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
     val frame =
       try Some(spark.read.parquet(dataPath))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (hasParquetFiles) throw e // real data the reader can't analyze
+          None
+      }
     val df = frame match {
       case None => ensureFormatMarker(); return
       case Some(df) if !df.schema.fieldNames.contains("p_part") =>

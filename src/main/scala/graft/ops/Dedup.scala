@@ -30,49 +30,15 @@ object Dedup {
       x => x.isNotNull)
   }
 
-  /** MinHash signature (n permutations) of the shingle set, as an array:
-    * perm_i(s) = min over shingles of xxhash64(shingle, salt_i). */
-  def minhash(shingleCol: Column, n: Int = 16): Column =
-    array((0 until n).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
-    }: _*)
-
-  /** MinHash signature table via explode + groupBy: one pass over shingles,
-    * n min-aggregates — avoids inlining the shingle expression n times into
-    * one giant codegen stage (the array-expression form regresses ~20x). */
-  def minhashSig(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    widen(docs).select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
-      .groupBy(col("id"))
-      .agg(array((0 until n).map(i => min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
-
-  /** MinHash+LSH near-duplicate candidate pairs: signatures banded into
-    * `bands`, exploded, grouped by (band, band-hash). One shuffle to bucket,
-    * one self-join *within* buckets — never all-pairs. Returns candidate
-    * (id_a, id_b, n_shared_bands). */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = bands
-    val sig = minhashSig(docs, idCol, textCol, n)
-    val bandWidth = n / rows
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until rows).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(array_join(transform(
-            slice(col("sig"), b * bandWidth + 1, bandWidth),
-            x => x.cast("string")), ",")).as("h"))): _*)))
-      .select(col("id"), col("col.band").as("band"), col("col.h").as("h"))
-    val a = banded.select(col("band"), col("h"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("h"), col("id").as("id_b"))
-    a.join(b, Seq("band", "h")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared_bands"))
-  }
-
-  /** Portable MinHash signature: the shingle hash is md5-derived (h1 = 60
-    * bits, h2 = 60 bits mod P) and permutation i is the Kirsch-Mitzenmacher
-    * double hash (h1 + i*h2) mod P with P = 2^31-1 — every step is plain
-    * SQL arithmetic both engines compute bit-identically, unlike xxhash64
-    * (a Spark kernel). Same explode + n min-aggregates shape as
-    * [[minhashSig]]. */
+  /** Portable MinHash signature table: the shingle hash is md5-derived
+    * (h1 = 60 bits, h2 = 60 bits mod P) and permutation i is the
+    * Kirsch-Mitzenmacher double hash (h1 + i*h2) mod P with P = 2^31-1 —
+    * every step is plain SQL arithmetic both engines compute
+    * bit-identically, unlike xxhash64 (a Spark kernel). One explode +
+    * groupBy pass with n min-aggregates — inlining the shingle expression
+    * n times into one codegen stage regresses ~20x. (An xxhash64 twin
+    * existed through r6; it measured no faster and could not be
+    * hash-oracled, so this is the one maintained path — VERDICT r6 #7.) */
   def minhashSigPortable(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 16): DataFrame = {
     val P = 2147483647L // 2^31 - 1, prime
@@ -87,11 +53,14 @@ object Dedup {
         min((col("h1") + lit(i.toLong) * col("h2")) % P)): _*).as("sig"))
   }
 
-  /** MinHash+LSH candidates over the portable signature — same banded
-    * bucket join as [[minhashLsh]], but the band key is the literal
-    * comma-joined signature slice (no hash), so the WHOLE pipeline —
-    * shingling, permutations, banding, candidate join — is recomputable in
-    * DuckDB and q_minhash_lsh is rows+schema+hash-checked, not rows-only. */
+  /** MinHash+LSH near-duplicate candidate pairs over the portable
+    * signature: signatures banded into `bands`, exploded, grouped by
+    * (band, literal comma-joined slice key). One shuffle to bucket, one
+    * self-join *within* buckets — never all-pairs. The literal band key
+    * (no hash) keeps the WHOLE pipeline — shingling, permutations,
+    * banding, candidate join — recomputable in DuckDB, so q_minhash_lsh
+    * is rows+schema+hash-checked, not rows-only. Returns candidate
+    * (id_a, id_b, shared_bands). */
   def minhashLshPortable(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 16, bands: Int = 4): DataFrame = {
     val bandWidth = n / bands
@@ -107,45 +76,17 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared_bands"))
   }
 
-  /** SimHash: sign-aggregated 64-bit token hashes -> one BIGINT per doc.
-    * Column form kept for ad-hoc use; the table form below is the fast
-    * path (one expression here scans the token array 64 times). */
-  def simhash(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { bit =>
-      val mask = lit(1L << bit)
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
-      when(votes > 0, mask).otherwise(lit(0L))
-    }.reduce[Column](_ bitwiseOR _)
-  }
-
-  /** SimHash table via explode + groupBy bit votes (same trick as
-    * minhashSig): tokens stream once through 64 partial-aggregating sums
-    * instead of 64 re-scans of the token array per row — this was the
-    * slowest query in BENCH_r01 (10.2 s / 500 docs) before the rewrite. */
-  def simhashSig(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = widen(docs).select(col(idCol).as("id"),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(bit =>
-      sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1L).otherwise(-1L))
-        .as(s"v$bit"))
-    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(bit =>
-          when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-          .reduce[Column](_ bitwiseOR _).as("sh"))
-  }
-
-  /** Portable simhash signature: token hash = the first 64 bits of
-    * md5(token) taken as two 32-bit halves, recomputable bit-identically in
-    * any engine with md5 — the DuckDB-oracle-able twin of [[simhashSig]]
-    * (whose xxhash64 is a Spark-only kernel). Same explode + 64
-    * partial-aggregating bit-vote shape; the halves are recombined into one
-    * BIGINT on the Spark side (wrap-around shift is fine here; the oracle
-    * keeps them separate to avoid checked-arithmetic overflow). */
+  /** Portable simhash signature table: sign-aggregated 64-bit token hashes
+    * -> one BIGINT per doc. Token hash = the first 64 bits of md5(token)
+    * taken as two 32-bit halves, recomputable bit-identically in any engine
+    * with md5 (an xxhash64 twin existed through r6 — a Spark-only kernel,
+    * no faster, not hash-oracle-able; retired per VERDICT r6 #7). Explode +
+    * 64 partial-aggregating bit-vote sums: tokens stream once instead of 64
+    * re-scans of the token array per row — the inlined column-expression
+    * form was the slowest query in BENCH_r01 (10.2 s / 500 docs). The
+    * halves are recombined into one BIGINT on the Spark side (wrap-around
+    * shift is fine here; the oracle keeps them separate to avoid
+    * checked-arithmetic overflow). */
   def simhashSigPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = widen(docs).select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
@@ -167,29 +108,24 @@ object Dedup {
 
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates within Hamming distance <= maxDist.
-    * Banding is derived from maxDist (pigeonhole: maxDist+1 bands over 64
-    * bits guarantee two signatures within maxDist share at least one whole
-    * band) — the fixed 4-chunk layout silently lost recall for dist > 3.
-    * Bands go up to 64 (1-bit bands) so the pigeonhole guarantee holds for
-    * every maxDist <= 63; past ~16 bands bucket pruning degrades toward the
-    * verify join paying instead (still correct, just less selective). At
-    * maxDist >= 64 every pair qualifies — rejected rather than silently
-    * losing recall. */
-  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxDist: Int = 3): DataFrame =
-    simhashBandedPairs(simhashSig(docs, idCol, textCol), maxDist)
-
-  /** [[simhashNearDup]] over the portable md5-based signature — exact same
-    * pigeonhole banding (candidates are a guaranteed superset, the dist
-    * filter is exact), so the result set equals an all-pairs Hamming scan,
-    * which is what the DuckDB oracle computes (q_simhash). */
+  /** SimHash near-dup candidates within Hamming distance <= maxDist, over
+    * the portable md5-based signature. Banding is derived from maxDist
+    * (pigeonhole: maxDist+1 bands over 64 bits guarantee two signatures
+    * within maxDist share at least one whole band) — a fixed 4-chunk layout
+    * silently lost recall for dist > 3. Bands go up to 64 (1-bit bands) so
+    * the pigeonhole guarantee holds for every maxDist <= 63; past ~16 bands
+    * bucket pruning degrades toward the verify join paying instead (still
+    * correct, just less selective). At maxDist >= 64 every pair qualifies —
+    * rejected rather than silently losing recall. Candidates are a
+    * guaranteed superset and the dist filter is exact, so the result set
+    * EQUALS an all-pairs Hamming scan, which is what the DuckDB oracle
+    * computes (q_simhash). */
   def simhashNearDupPortable(docs: DataFrame, idCol: String, textCol: String,
                              maxDist: Int = 3): DataFrame =
     simhashBandedPairs(simhashSigPortable(docs, idCol, textCol), maxDist)
 
   /** Banded candidate join + exact Hamming verify over a (id, sh) signature
-    * frame (see [[simhashNearDup]] for the pigeonhole derivation). */
+    * frame (see [[simhashNearDupPortable]] for the pigeonhole derivation). */
   private def simhashBandedPairs(sh: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"maxDist must be in [0, 63] for 64-bit simhash (got $maxDist)")

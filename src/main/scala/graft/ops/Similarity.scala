@@ -94,23 +94,15 @@ object Similarity {
     (pmod(xxhash64(concat(table.cast("string"), lit(":"), bit.cast("string"),
       lit(":"), dim.cast("string"))), lit(1000L)).cast("double") / 500.0d) - 1.0d
 
-  /** Random-hyperplane LSH signature as a single Column expression. Column
-    * form kept for ad-hoc use; it inlines `bits` independent aggregate()
-    * passes over the array — [[rhpSigTable]] is the fast path (one explode,
-    * partial-aggregating sums; the inlined form cost q_ann_lsh 5.5 s vs
-    * 1.9 s in BENCH_r02). */
-  def rhpSignature(vec: Column, bits: Int = 8, table: Int = 0): Column =
-    (0 until bits).map { b =>
-      val proj = aggregate(
-        transform(vec, (x, i) => x.cast("double") * rhpWeight(lit(table), lit(b), i)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce[Column](_ bitwiseOR _)
-
-  /** Banded multi-table signatures via explode + groupBy (the simhashSig
-    * trick, Dedup.scala): dimensions stream ONCE through bits×tables
-    * partial-aggregating sums instead of bits×tables re-scans of the
-    * embedding array per row. Returns (id, tbl, sig). */
+  /** Banded multi-table signatures via explode + groupBy (the simhash
+    * bit-vote trick, Dedup.scala): dimensions stream ONCE through
+    * bits×tables partial-aggregating sums instead of bits×tables re-scans
+    * of the embedding array per row (the inlined column-expression form
+    * cost q_ann_lsh 5.5 s vs 1.9 s in BENCH_r02). Serves
+    * [[Dedup.embeddingNearDupLsh]], where rows with empty/null embeddings
+    * must KEEP their id (sig 0 in every table) for candidate/diagnostic
+    * completeness — the portable twin below deliberately drops them
+    * instead. Returns (id, tbl, sig). */
   def rhpSigTable(docs: DataFrame, idCol: String, vecCol: String,
                   bits: Int, tables: Int): DataFrame = {
     // posexplode_outer keeps rows with empty/null embeddings: their sums
@@ -175,38 +167,24 @@ object Similarity {
       .select(col("id"), col("pos").as("tbl"), col("col").as("sig"))
   }
 
-  /** Banded multi-table LSH ANN: `tables` independent `bits`-bit signature
-    * tables; a (query, item) pair is a candidate when ANY table collides
-    * (recall ≈ 1-(1-p^bits)^tables, tunable to data scale: more bits →
-    * smaller buckets, more tables → recovered recall). The single-table
-    * exact-equality variant had a fixed 2^bits bucket space — at 10^9 items
-    * every bucket blows up and recall is frozen (VERDICT r1). Candidates
-    * dedupe on (query, item) before the cosine verify. */
-  def lshTopK(items: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    ArrayDotProduct.ensure(items.sparkSession)
-    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
-      nrm(col(vecCol)).as("item_nrm"))
-      .join(rhpSigTable(items, idCol, vecCol, bits, tables)
-        .withColumnRenamed("id", "item_id"), "item_id")
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      nrm(col(vecCol)).as("q_nrm"))
-      .join(rhpSigTable(queries, idCol, vecCol, bits, tables)
-        .withColumnRenamed("id", "q_id"), "q_id")
-    verifyTopK(it, q, Seq("tbl", "sig"), k)
-  }
-
-  /** [[lshTopK]] over the portable integer signatures — identical join /
-    * verify / rank shape, but every stage (signature, candidate set, cosine,
-    * rank) is recomputable bit-identically in DuckDB, so the query is
+  /** Banded multi-table LSH ANN over the portable integer signatures:
+    * `tables` independent `bits`-bit signature tables; a (query, item) pair
+    * is a candidate when ANY table collides (recall ≈ 1-(1-p^bits)^tables,
+    * tunable to data scale: more bits → smaller buckets, more tables →
+    * recovered recall). A single-table exact-equality variant had a fixed
+    * 2^bits bucket space — at 10^9 items every bucket blows up and recall
+    * is frozen (VERDICT r1). Candidates dedupe on (query, item) before the
+    * cosine verify. Every stage (signature, candidate set, cosine, rank) is
+    * recomputable bit-identically in DuckDB, so the query is
     * rows+schema+hash oracle-able despite being an approximate scale path
     * (the oracle recomputes the SAME approximation, the r5 portable-MinHash
-    * pattern). Costs one tiny driver action per frame to read each side's
-    * own max embedding dim (per-frame, so a query longer than every item
-    * still projects over ALL its dimensions — the weights are a pure
-    * function of (t, b, d), independent of the probe). Empty/null
-    * embeddings are excluded (no signature rows — see
-    * [[rhpSigTablePortable]]). */
+    * pattern); an xxhash64 runtime-hashing twin was retired in r7 — the
+    * plan-time literal weights measured FASTER (VERDICT r6 #7). Costs one
+    * tiny driver action per frame to read each side's own max embedding dim
+    * (per-frame, so a query longer than every item still projects over ALL
+    * its dimensions — the weights are a pure function of (t, b, d),
+    * independent of the probe). Empty/null embeddings are excluded (no
+    * signature rows — see [[rhpSigTablePortable]]). */
   def lshTopKPortable(items: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
     ArrayDotProduct.ensure(items.sparkSession)
@@ -222,76 +200,46 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------ IVF
-  /** Deterministic IVF coarse quantizer: `nlist` centroids seeded by
-    * hash-order sampling of the items (no external randomness), refined by
-    * `iters` Lloyd steps — each step is one assign pass + one
-    * per-(cell, dim) mean aggregation, all DataFrame ops. Returns
-    * (cell, c_vec). */
-  def ivfCentroids(items: DataFrame, idCol: String, vecCol: String,
-                   nlist: Int, iters: Int = 1): DataFrame = {
-    ArrayDotProduct.ensure(items.sparkSession)
-    var cents = seedSample(items, idCol, vecCol, nlist,
-      c => xxhash64(c.cast("string")))
-    for (_ <- 0 until iters) {
-      val assigned = assignCells(items, cents, idCol, vecCol, nprobe = 1)
-      cents = assigned
-        .select(col("cell"), posexplode(col("__vec")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x("m").cast("float")).as("c_vec"))
-    }
-    cents
-  }
-
-  /** Portable twin of [[ivfCentroids]]: the nlist hash-order sample with md5
-    * as the order key and NO Lloyd refinement — float mean aggregation is
-    * not cross-engine-reproducible (partial-aggregation order), while the
-    * sample itself is (`ORDER BY md5(CAST(id AS VARCHAR)) LIMIT nlist` reads
-    * identically in any engine; md5 renders lowercase hex everywhere, so the
-    * string order agrees). Returns (cell, c_vec). */
+  /** Deterministic portable IVF coarse quantizer: the nlist hash-order
+    * sample with md5 as the order key and NO Lloyd refinement — float mean
+    * aggregation is not cross-engine-reproducible (partial-aggregation
+    * order), while the sample itself is (`ORDER BY md5(CAST(id AS VARCHAR))
+    * LIMIT nlist` reads identically in any engine; md5 renders lowercase
+    * hex everywhere, so the string order agrees). A Lloyd-refined xxhash64
+    * twin was retired in r7: on the bench corpus the refinement bought no
+    * recall the multi-assignment path didn't already have, cost a full
+    * assign+mean pass, and could not be hash-oracled (VERDICT r6 #7).
+    * Returns (cell, c_vec). */
   def ivfCentroidsPortable(items: DataFrame, idCol: String, vecCol: String,
-                           nlist: Int): DataFrame =
-    seedSample(items.filter(size(col(vecCol)) > 0), idCol, vecCol, nlist,
-      c => md5(c.cast("string")))
-
-  /** Hash-order seed sample shared by both quantizers: nlist rows ordered
-    * by hashOf(id), numbered into cells. The order key is the ONLY
-    * difference between the fast (xxhash64) and portable (md5) quantizer
-    * seeds — one body so they cannot drift. */
-  private def seedSample(items: DataFrame, idCol: String, vecCol: String,
-                         nlist: Int, hashOf: Column => Column): DataFrame = {
+                           nlist: Int): DataFrame = {
+    // hash-order seed sample: nlist rows ordered by md5(id), numbered into
+    // cells — no external randomness, identical in any engine
     val w = Window.orderBy(col("__h"))
-    items.select(col(idCol).as("__cid"), col(vecCol).as("c_vec"))
-      .withColumn("__h", hashOf(col("__cid")))
+    items.filter(size(col(vecCol)) > 0)
+      .select(col(idCol).as("__cid"), col(vecCol).as("c_vec"))
+      .withColumn("__h", md5(col("__cid").cast("string")))
       .orderBy(col("__h")).limit(nlist)
       .withColumn("cell", row_number().over(w)).select(col("cell"), col("c_vec"))
   }
 
-  /** Assign every row its `nprobe` nearest cells (by cosine), with ZERO
-    * shuffle: the centroid table is bounded (nlist), so it collects to a
-    * literal array and each row derives its top cells via one transform +
-    * array_sort + slice — no crossJoin row explosion, no window or
-    * aggregation shuffle (this generalizes the r4 max(struct) trick from
-    * nprobe = 1 to any nprobe). Ties break toward the smallest cell id
-    * (the negated-cell struct field). Output: (idCol, __vec, cell) — one
-    * row per (vector, probed cell). */
-  private def assignCells(df: DataFrame, cents: DataFrame, idCol: String,
-                          vecCol: String, nprobe: Int): DataFrame =
-    assignCellsLocal(df, collectCents(cents), idCol, vecCol, nprobe)
-
   /** Centroids to the driver (nlist rows — catalog-scale). Collecting once
-    * and passing the array to every assignment site keeps the Lloyd
+    * and passing the array to every assignment site keeps the quantizer
     * pipeline from re-running per downstream action. */
   private def collectCents(cents: DataFrame): Array[(Int, Array[Float])] =
     cents.select(col("cell").cast("int"), col("c_vec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
 
-  /** `roundCos` ranks cells by round(cos, 6) instead of the raw double —
-    * the portable paths use it so the cell ranking rides the proven
-    * round-to-6 cross-engine cosine contract (ties break toward the smaller
-    * cell id identically on both sides). */
+  /** Assign every row its `nprobe` nearest cells (by cosine), with ZERO
+    * shuffle: the centroid table is bounded (nlist), so it arrives as a
+    * driver-collected array inlined into literals and each row derives its
+    * top cells via one transform + array_sort + slice — no crossJoin row
+    * explosion, no window or aggregation shuffle (this generalizes the r4
+    * max(struct) trick from nprobe = 1 to any nprobe). Ties break toward
+    * the smallest cell id (the negated-cell struct field). `roundCos` ranks
+    * cells by round(cos, 6) instead of the raw double — the portable paths
+    * use it so the cell ranking rides the proven round-to-6 cross-engine
+    * cosine contract. Output: (idCol, __vec, cell) — one row per
+    * (vector, probed cell). */
   private def assignCellsLocal(df: DataFrame, local: Array[(Int, Array[Float])],
                                idCol: String, vecCol: String, nprobe: Int,
                                roundCos: Boolean = false): DataFrame = {
@@ -311,37 +259,23 @@ object Similarity {
       .select(col(idCol), col("__vec"), (-col("__top")("nc")).as("cell"))
   }
 
-  /** IVF ANN top-k — the second scale path next to [[lshTopK]]: items land
-    * in their `itemProbe` nearest cells (multi-assignment — the standard
-    * remedy when the corpus clusters weakly: on this bench's near-uniform
-    * random embeddings, single-assignment recall vs brute force is ~0.6 at
-    * any sane nprobe, multi-assignment at the defaults measures 0.95; on
-    * genuinely clustered corpora itemProbe can drop back to 1), queries
-    * probe their `nprobe` nearest cells, and the exact cosine verify runs
-    * only inside probed cells (candidates per query ≈ itemProbe × nprobe ×
-    * N/nlist instead of N). Unlike RHP LSH, recall does not collapse at
-    * lower similarity thresholds — the cell geometry, not a collision
-    * probability, bounds the candidates; neighbors just across a cell
-    * boundary are recovered by raising nprobe or itemProbe. */
-  def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 16,
-              lloydIters: Int = 1, itemProbe: Int = 4): DataFrame = {
-    ArrayDotProduct.ensure(items.sparkSession)
-    val cents = collectCents(ivfCentroids(items, idCol, vecCol, nlist, lloydIters))
-    val it = assignCellsLocal(items, cents, idCol, vecCol, nprobe = itemProbe)
-      .select(col(idCol).as("item_id"), col("__vec").as("item_vec"),
-        nrm(col("__vec")).as("item_nrm"), col("cell"))
-    val q = assignCellsLocal(queries, cents, idCol, vecCol, nprobe)
-      .select(col(idCol).as("q_id"), col("__vec").as("q_vec"),
-        nrm(col("__vec")).as("q_nrm"), col("cell"))
-    verifyTopK(it, q, Seq("cell"), k)
-  }
-
-  /** [[ivfTopK]] over the portable quantizer: md5-ordered centroid sample
-    * (no Lloyd step), cell ranking on round(cos, 6) — every stage
-    * (centroids, item/query cell assignment, candidate set, verify, rank)
-    * recomputes bit-identically in DuckDB, making this approximate scale
-    * path rows+schema+hash oracle-able. Driver-side centroid norms use the
+  /** IVF ANN top-k — the second scale path next to [[lshTopKPortable]]:
+    * items land in their `itemProbe` nearest cells (multi-assignment — the
+    * standard remedy when the corpus clusters weakly: on this bench's
+    * near-uniform random embeddings, single-assignment recall vs brute
+    * force is ~0.6 at any sane nprobe, multi-assignment at the defaults
+    * measures 0.95; on genuinely clustered corpora itemProbe can drop back
+    * to 1), queries probe their `nprobe` nearest cells, and the exact
+    * cosine verify runs only inside probed cells (candidates per query ≈
+    * itemProbe × nprobe × N/nlist instead of N). Unlike RHP LSH, recall
+    * does not collapse at lower similarity thresholds — the cell geometry,
+    * not a collision probability, bounds the candidates; neighbors just
+    * across a cell boundary are recovered by raising nprobe or itemProbe.
+    * Runs the portable quantizer: md5-ordered centroid sample (no Lloyd
+    * step), cell ranking on round(cos, 6) — every stage (centroids,
+    * item/query cell assignment, candidate set, verify, rank) recomputes
+    * bit-identically in DuckDB, making this approximate scale path
+    * rows+schema+hash oracle-able. Driver-side centroid norms use the
     * same in-index-order double fold as the SQL `list_sum`, so they agree to
     * the last bit. Empty/null embeddings are excluded on both sides
     * (centroid sample, items, queries) — the SQL twin filters them the
@@ -362,39 +296,28 @@ object Similarity {
     verifyTopK(it, q, Seq("cell"), k)
   }
 
-  /** Cell-occupancy diagnostics under the IVF quantizer: (cell, n) for the
-    * single-nearest-cell assignment — a query at nprobe probes scores at
-    * most nprobe × max(n) candidates, so max(n) is the real bound to
-    * assert (the top-k OUTPUT is rank-capped and proves nothing). */
-  def ivfCellSizes(items: DataFrame, idCol: String, vecCol: String,
-                   nlist: Int = 64, lloydIters: Int = 1): DataFrame = {
-    val cents = ivfCentroids(items, idCol, vecCol, nlist, lloydIters)
-    assignCells(items, cents, idCol, vecCol, nprobe = 1)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-  }
-
-  /** Bucket-occupancy diagnostics for an items frame under the banded
-    * signature scheme: (tbl, sig, n) — assert max(n) stays bounded. */
-  def lshBucketSizes(items: DataFrame, idCol: String, vecCol: String,
-                     bits: Int = 12, tables: Int = 4): DataFrame =
-    rhpSigTable(items, idCol, vecCol, bits, tables)
-      .groupBy(col("tbl"), col("sig"))
-      .agg(count(lit(1)).as("n"))
-
-  /** [[lshBucketSizes]] over the portable integer signatures — the path
-    * [[lshTopKPortable]] (and q_ann_lsh) actually runs. */
+  /** Bucket-occupancy diagnostics under the portable banded signature
+    * scheme — the path [[lshTopKPortable]] (and q_ann_lsh) actually runs:
+    * (tbl, sig, n) — assert max(n) stays bounded. */
   def lshBucketSizesPortable(items: DataFrame, idCol: String, vecCol: String,
                              bits: Int = 12, tables: Int = 4): DataFrame =
     rhpSigTablePortable(items, idCol, vecCol, bits, tables, maxDim(items, vecCol))
       .groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("n"))
 
-  /** [[ivfCellSizes]] under the portable quantizer — the cells
-    * [[ivfTopKPortable]] (and q_ann_ivf) actually probes. */
+  /** Cell-occupancy diagnostics under the portable quantizer — the cells
+    * [[ivfTopKPortable]] (and q_ann_ivf) actually probes: (cell, n) for the
+    * single-nearest-cell assignment. A query at nprobe scores at most
+    * nprobe × max(n) candidates, so max(n) is the real bound to assert
+    * (the top-k OUTPUT is rank-capped and proves nothing). */
   def ivfCellSizesPortable(items: DataFrame, idCol: String, vecCol: String,
                            nlist: Int = 64): DataFrame = {
     val cents = collectCents(ivfCentroidsPortable(items, idCol, vecCol, nlist))
-    assignCellsLocal(items, cents, idCol, vecCol, nprobe = 1, roundCos = true)
+    // same empty/null exclusion as ivfTopKPortable — occupancy evidence must
+    // count exactly the cells the query path probes (empty vectors would all
+    // collapse into one spurious max cell)
+    assignCellsLocal(items.filter(size(col(vecCol)) > 0), cents,
+        idCol, vecCol, nprobe = 1, roundCos = true)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
   }
 }

@@ -1548,6 +1548,12 @@ object SparqlFrame {
     * per run via ValidationOptions.maxGraphLoop — callers with mid-scale
     * multigraph datasets (1k-10k vocab graphs) can opt back into the
     * slow-but-correct loop. */
-  val MaxGraphLoop: Int = sys.env.get("GRAFT_MAX_GRAPH_LOOP")
-    .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(1000)
+  val MaxGraphLoop: Int = sys.env.get("GRAFT_MAX_GRAPH_LOOP") match {
+    case None => 1000
+    case Some(s) => scala.util.Try(s.trim.toInt).getOrElse(
+      // a set-but-unparseable bound is an operator typo ('10k'), not a
+      // request for the default — fail fast instead of silently keeping 1000
+      throw new IllegalArgumentException(
+        s"GRAFT_MAX_GRAPH_LOOP is set but not an integer: '$s'"))
+  }
 }

@@ -23,47 +23,10 @@ class OpsSpec extends AnyFunSuite {
       (2L, base + " ok"), // near-dup of 1
       (3L, "completely different words about spark dataframes and shuffles everywhere"))
       .toDF("doc_id", "text")
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)))
-    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
-  }
-
-  test("portable minhash LSH recalls near-duplicates like the xxhash64 path") {
-    val base = "the quick brown fox jumps over the lazy dog again and again today"
-    val docs = Seq(
-      (1L, base),
-      (2L, base + " ok"), // near-dup of 1
-      (3L, "completely different words about spark dataframes and shuffles everywhere"))
-      .toDF("doc_id", "text")
     val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text")
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
-  }
-
-  test("simhash hamming distance orders similarity") {
-    val df = Seq(
-      ("a", "alpha beta gamma delta epsilon zeta eta theta"),
-      ("b", "alpha beta gamma delta epsilon zeta eta iota"),
-      ("c", "one two three four five six seven eight"))
-      .toDF("id", "text")
-      .select($"id", Dedup.simhash($"text").as("sh"))
-    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
-    assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
-  }
-
-  test("simhashSig equals the column-expression simhash") {
-    val docs = Seq(
-      ("a", "alpha beta gamma delta epsilon zeta eta theta"),
-      ("b", "alpha beta gamma delta epsilon zeta eta iota"),
-      ("c", "one two three four five six seven eight")).toDF("id", "text")
-    val viaSig = Dedup.simhashSig(docs, "id", "text")
-      .as[(String, Long)].collect().toMap
-    val viaCol = docs.select($"id", Dedup.simhash($"text").as("sh"))
-      .as[(String, Long)].collect().toMap
-    assert(viaSig == viaCol)
   }
 
   test("simhash near-dup recalls planted pairs at Hamming distance 4-10") {
@@ -74,12 +37,12 @@ class OpsSpec extends AnyFunSuite {
       (d until 40).map(i => s"tok$i")).mkString(" ")
     val docs = (Seq(0L -> base) ++ (1 to 8).map(d => d.toLong -> mutate(d)))
       .toDF("doc_id", "text")
-    val sig = Dedup.simhashSig(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val sig = Dedup.simhashSigPortable(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     val withinTen = (1 to 8).map(_.toLong).filter(d => ham(sig(0L), sig(d)) <= 10)
     val interesting = withinTen.filter(d => ham(sig(0L), sig(d)) >= 4)
     assert(interesting.nonEmpty, "fixture produced no pairs at dist 4-10; adjust tokens")
-    val found = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 10)
+    val found = Dedup.simhashNearDupPortable(docs, "doc_id", "text", maxDist = 10)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val missing = withinTen.filterNot(d =>
       found.contains((0L, d)) || found.contains((d, 0L)))
@@ -107,14 +70,14 @@ class OpsSpec extends AnyFunSuite {
       transform($"embedding", (x, i) =>
         x + (pmod(xxhash64(i.cast("string")), lit(100L)).cast("float") / 5000.0f))
         .as("embedding"))
-    val lsh = Similarity.lshTopK(items, planted, "vec_id", "embedding", 5,
+    val lsh = Similarity.lshTopKPortable(items, planted, "vec_id", "embedding", 5,
       bits = 12, tables = 4)
     val hits = lsh.filter($"item_id" === $"q_id" - 100000L)
       .select($"q_id").distinct().count()
     val recall = hits.toDouble / 20.0
     assert(recall >= 0.9, s"banded LSH recall of planted neighbors $recall < 0.9")
     // bucket sizes must stay bounded: 2^bits buckets per table spread load
-    val sizes = Similarity.lshBucketSizes(items, "vec_id", "embedding",
+    val sizes = Similarity.lshBucketSizesPortable(items, "vec_id", "embedding",
       bits = 12, tables = 4)
     val total = items.count()
     val maxBucket = sizes.agg(max($"n")).as[Long].collect()(0)
@@ -151,7 +114,7 @@ class OpsSpec extends AnyFunSuite {
         transform($"embedding", (x, i) =>
           x + (pmod(xxhash64(i.cast("string")), lit(100L)).cast("float") / 5000.0f))
           .as("embedding"))
-    val ivf = Similarity.ivfTopK(items, planted, "vec_id", "embedding", 5,
+    val ivf = Similarity.ivfTopKPortable(items, planted, "vec_id", "embedding", 5,
       nlist = 16, nprobe = 4)
     // a near-identical query must find its source item inside its probed
     // cells (the source's cell is the query's nearest centroid too)
@@ -162,7 +125,7 @@ class OpsSpec extends AnyFunSuite {
     // nprobe=4 scores at most 4 x max-cell items — never the full table
     // (the rank-capped topK output itself proves nothing about this)
     val total = items.count()
-    val sizes = Similarity.ivfCellSizes(items, "vec_id", "embedding", nlist = 16)
+    val sizes = Similarity.ivfCellSizesPortable(items, "vec_id", "embedding", nlist = 16)
       .as[(Int, Long)].collect()
     assert(sizes.length >= 4, s"only ${sizes.length} occupied cells")
     val maxCell = sizes.map(_._2).max
@@ -253,19 +216,6 @@ class OpsSpec extends AnyFunSuite {
     assert(!m(2L)._1 && m(2L)._2 > 0.9, "looping doc must drop on repetition")
     assert(!m(3L)._1 && m(3L)._3 > 0.1, "symbol soup must drop on symbol ratio")
     assert(!m(4L)._1, "short doc must drop on word count")
-  }
-
-  test("IVF recall >= 0.9 vs brute force on the bench embedding table") {
-    // pins q_ann_ivf's quality the way RHP-LSH is pinned: at default
-    // nlist/nprobe, IVF top-5 must recover >= 90% of the exact top-5
-    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val q = e.filter($"vec_id" < 8)
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select($"q_id", $"item_id").as[(Long, Long)].collect().toSet
-    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
-    val ivf = pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5))
-    val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.9, s"IVF recall vs brute force $recall < 0.9")
   }
 
   test("portable ANN twins: partition-invariant signatures + recall pinned") {
@@ -500,7 +450,7 @@ class OpsSpec extends AnyFunSuite {
     assert(banded == brute && brute.nonEmpty)
   }
 
-  test("portable and xxhash64 simhash agree on relative similarity") {
+  test("portable simhash orders relative similarity") {
     val docs = Seq(
       ("a", "alpha beta gamma delta epsilon zeta eta theta"),
       ("b", "alpha beta gamma delta epsilon zeta eta iota"),
