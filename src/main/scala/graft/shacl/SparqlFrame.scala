@@ -416,8 +416,8 @@ final class SparqlFrame(
     case SqGraphPat(TVar(x), g) if quads.isDefined =>
       // non-quad-compatible block (GRAPH nested under GRAPH <iri> — which
       // must range over ALL named graphs while the constant re-scope
-      // filters the frame — full-bodied SHACLFunction calls, or an EXISTS
-      // body that is itself non-quad-compatible): evaluates
+      // filters the frame — or an EXISTS / SHACLFunction body that is
+      // itself non-quad-compatible): evaluates
       // once per named graph with ?g bound to the
       // graph IRI. That is a per-graph PLAN branch — fine for a
       // vocab-scale catalog, wrong for per-document graphs — so past
@@ -427,16 +427,16 @@ final class SparqlFrame(
       if (names.size > maxGraphLoop)
         throw new ReportableError(
           s"GRAPH ?$x over a block outside the single-pass quad path " +
-            s"(GRAPH nested under GRAPH <iri>, " +
-            s"full-bodied SHACLFunction calls, or an EXISTS body that is " +
-            s"itself not quad-compatible) " +
+            s"(GRAPH nested under GRAPH <iri>, or an EXISTS / " +
+            s"SHACLFunction body that is itself not quad-compatible) " +
             s"evaluates per named graph, and this dataset has " +
             s"${names.size} named graphs (limit $maxGraphLoop; raise via " +
             "ValidationOptions.maxGraphLoop or GRAFT_MAX_GRAPH_LOOP). " +
             "Rewrite the block to triple patterns (incl. property paths), " +
-            "OPTIONAL/UNION/BIND, row-local FILTERs, top-level (NOT) " +
-            "EXISTS, nested GRAPH ?var / GRAPH <iri>, or sub-selects " +
-            "(the single-pass join path), or validate per graph slice.")
+            "OPTIONAL/UNION/BIND, row-local FILTERs, (NOT) EXISTS, " +
+            "SHACLFunction calls with quad-compatible bodies, nested " +
+            "GRAPH ?var / GRAPH <iri>, or sub-selects (the single-pass " +
+            "join path), or validate per graph slice.")
       val sols = names.map { nm =>
         val saved = activeT
         activeT = QuadsDF.graph(quads.get, Some(nm))
@@ -488,15 +488,22 @@ final class SparqlFrame(
     * DISTINCT argument tuples seed ONE set-oriented evaluation of the
     * function's WHERE clause, and results join back by argument value — the
     * reference evaluates the body per call (shacl_function.py:283-326);
-    * here a million calls over k distinct argument tuples cost one pass. */
-  private def liftFnCalls(e: SqExpr, cur0: Sol): (SqExpr, Sol) = {
+    * here a million calls over k distinct argument tuples cost one pass.
+    * With `quadCtx` = (graphVar, namedBase) the call site sits inside
+    * GRAPH ?g on the single-pass quad path: the hidden graph var rides the
+    * argument-tuple seed (the way liftExists threads __k_ keys), the body
+    * evaluates through [[evalQuadGroup]] so its patterns bind the SAME
+    * graph per row, and results join back on (args, graph) — still one
+    * fixed-size plan for any number of named graphs. */
+  private def liftFnCalls(e: SqExpr, cur0: Sol,
+                          quadCtx: Option[(String, DataFrame)] = None): (SqExpr, Sol) = {
     var cur = cur0
     def walk(e: SqExpr): SqExpr = e match {
       case EFnIri(iri, args0) =>
         val args = args0.map(walk)
         fns.get(iri).filter(_.body.isRight) match {
           case Some(defn) =>
-            val (v, s2) = applyFnFull(defn, args, cur)
+            val (v, s2) = applyFnFull(defn, args, cur, quadCtx)
             cur = s2
             EVar(v)
           case None => EFnIri(iri, args)
@@ -510,47 +517,78 @@ final class SparqlFrame(
     (walk(e), cur)
   }
 
-  private def applyFnFull(defn: ShaclFnDef, args: List[SqExpr], cur: Sol): (String, Sol) = {
+  private def applyFnFull(defn: ShaclFnDef, args: List[SqExpr], cur: Sol,
+                          quadCtx: Option[(String, DataFrame)] = None): (String, Sol) = {
     fnCounter += 1
     val resVar = s"__fnr$fnCounter"
     val paramNames = defn.params.map(_._1)
     val argNames = paramNames.map(p => s"__fna${fnCounter}_$p")
+    // hidden graph var for the body evaluation: fresh (__-prefixed) so it
+    // cannot collide with a body variable that happens to share the outer
+    // graph var's name
+    val hv = quadCtx.map(_ => s"__fng$fnCounter")
     var df = cur.df
     paramNames.zip(argNames).zip(args).foreach { case ((_, an), a) =>
       df = df.withColumn(an, compileT(a, cur))
     }
-    val seedDf = df
-      .select(paramNames.zip(argNames).map { case (p, an) => col(an).as(p) }: _*)
-      .distinct()
-    val seed = Sol(seedDf, paramNames.toSet, Set.empty)
+    val seedCols = paramNames.zip(argNames).map { case (p, an) => col(an).as(p) } ++
+      quadCtx.map { case (gv, _) => col(gv).as(hv.get) }
+    val seedDf = df.select(seedCols: _*).distinct()
+    val seed = Sol(seedDf, paramNames.toSet ++ hv, Set.empty)
+    val groupKeys = paramNames ++ hv
+    def evalBody(w: SqGroup): Sol = quadCtx match {
+      case Some((_, base)) => evalQuadGroup(w, hv.get, base, seed)
+      case None => evalGroup(w, seed)
+    }
     val resolved: DataFrame = defn.body.toOption.get match {
       case sel: SqSelect =>
-        val res = evalSelect2(sel, seed, keep = paramNames.toSet)
+        val res = quadCtx match {
+          case Some((_, base)) =>
+            // per-graph projection: LIMIT/OFFSET slice per graph and a
+            // paramless global aggregate gets the per-graph empty-group
+            // row — the same treatment quad-path sub-selects get (with
+            // params the empty-group fill can't be keyed, and absent
+            // (args, graph) groups read back as unbound via the left
+            // join below, matching the per-graph loop)
+            val fill = if (paramNames.isEmpty) Some(graphSeedSol(hv.get, base).df) else None
+            project(sel, evalBody(sel.where), keep = paramNames.toSet ++ hv,
+              sliceBy = hv, fillEmpty = fill)
+          case None => evalSelect2(sel, seed, keep = paramNames.toSet)
+        }
         val resultVar = sel.proj.headOption match {
           case Some(PVar(x)) => x
           case Some(PExpr(_, as)) => as
           case _ => throw new ReportableError(
             s"SHACLFunction <${defn.iri.value}> SELECT body must project a result variable")
         }
-        if (paramNames.isEmpty) res.df.agg(first(col(resultVar), ignoreNulls = true).as(resVar))
-        else res.df.groupBy(paramNames.map(col): _*)
+        if (groupKeys.isEmpty) res.df.agg(first(col(resultVar), ignoreNulls = true).as(resVar))
+        else res.df.groupBy(groupKeys.map(col): _*)
           .agg(first(col(resultVar), ignoreNulls = true).as(resVar))
       case ask: SqAsk =>
-        // ASK per argument tuple: matched tuples -> true, else false
-        val g = evalGroup(ask.where, seed)
-        val hits = g.df.select(paramNames.map(col): _*).distinct()
+        // ASK per argument tuple (× graph under quadCtx): matched tuples
+        // -> true, else false
+        val g = evalBody(ask.where)
+        val hits = g.df.select(groupKeys.map(col): _*).distinct()
           .withColumn("__hit", lit(1))
-        seedDf.join(hits, paramNames, "left")
-          .select(paramNames.map(col) :+ boolT(col("__hit").isNotNull).as(resVar): _*)
+        seedDf.join(hits, groupKeys, "left")
+          .select(groupKeys.map(col) :+ boolT(col("__hit").isNotNull).as(resVar): _*)
       case _ => throw new ReportableError(
         s"SHACLFunction <${defn.iri.value}> body must be a SELECT or ASK query")
     }
-    val renamed = paramNames.zip(argNames).foldLeft(resolved) { case (d, (p, an)) =>
+    val renamed0 = paramNames.zip(argNames).foldLeft(resolved) { case (d, (p, an)) =>
       d.withColumnRenamed(p, an)
     }
+    // body-graph var back to the caller's graph var name, so the join
+    // keys on it (safe: params were just renamed to __fna columns, and
+    // the result var is __fnr — no bare name can collide)
+    val renamed = quadCtx match {
+      case Some((gv, _)) => renamed0.withColumnRenamed(hv.get, gv)
+      case None => renamed0
+    }
+    val joinKeys = argNames ++ quadCtx.map(_._1)
     val joined =
-      if (argNames.isEmpty) df.crossJoin(broadcast(renamed))
-      else df.join(renamed, argNames, "left")
+      if (joinKeys.isEmpty) df.crossJoin(broadcast(renamed))
+      else df.join(renamed, joinKeys, "left")
     (resVar, Sol(joined, cur.vars + resVar, cur.maybeNull))
   }
 
@@ -585,6 +623,26 @@ final class SparqlFrame(
     case _ => Nil
   }
 
+  /** WHERE group of every full-bodied SHACLFunction call anywhere inside
+    * the expression (args recurse; EXISTS bodies are walked separately via
+    * [[existsGroups]], whose groups re-enter quadCompatible and reach the
+    * filters inside). quadCompatible requires each one to itself ride the
+    * quad path before lifting the call, and hasGraphPat walks them so a
+    * body's nested GRAPH cannot hide under GRAPH <iri>. */
+  private def fnBodyGroups(e: SqExpr): List[SqGroup] = e match {
+    case EFnIri(iri, as) =>
+      val own = fns.get(iri).flatMap(_.body.toOption).toList.collect {
+        case sel: SqSelect => sel.where
+        case ask: SqAsk => ask.where
+      }
+      own ++ as.flatMap(fnBodyGroups)
+    case EBin(_, l, r) => fnBodyGroups(l) ++ fnBodyGroups(r)
+    case ENot(x) => fnBodyGroups(x)
+    case ENeg(x) => fnBodyGroups(x)
+    case ECall(_, as) => as.flatMap(fnBodyGroups)
+    case _ => Nil
+  }
+
   /** Is the group a plain BGP (triple patterns with non-path predicates)
     * plus row-local filters (no EXISTS — those re-enter group evaluation
     * and need per-graph scoping)? Those evaluate against the quads frame
@@ -613,11 +671,12 @@ final class SparqlFrame(
     * frame filtered to that graph), unless a further GRAPH nests inside it
     * (that one must range over ALL named graphs again). EXISTS — top-level
     * or nested inside a FILTER expression — rides the path when every
-    * EXISTS body is itself quad-compatible (liftExists markers). What
-    * still falls back to the per-graph loop (bounded by MaxGraphLoop):
-    * GRAPH-under-GRAPH-<iri>, full-bodied SHACLFunction calls in
-    * filters/binds, and filter/bind EXISTS bodies that are themselves
-    * non-quad-compatible. */
+    * EXISTS body is itself quad-compatible (liftExists markers), and so
+    * do full-bodied SHACLFunction calls whose body WHERE is
+    * quad-compatible (the (args, graph) seed — r7). What still falls back
+    * to the per-graph loop (bounded by MaxGraphLoop):
+    * GRAPH-under-GRAPH-<iri> and filter/bind EXISTS or SHACLFunction
+    * bodies that are themselves non-quad-compatible. */
   private def quadCompatible(g: SqGroup): Boolean = {
     // pattern-bearing: something must bind ?g per graph — a bare triple, an
     // OPTIONAL/UNION whose branches are themselves pattern-bearing (checked
@@ -643,13 +702,18 @@ final class SparqlFrame(
       // as long as every EXISTS body is itself quad-compatible
       case SqFilter(EExists(g2, _)) => quadCompatible(g2)
       case SqFilter(ENot(EExists(g2, _))) => quadCompatible(g2)
+      // full-bodied SHACLFunction calls ride the path when every body's
+      // WHERE is itself quad-compatible: the body evaluates through
+      // evalQuadGroup keyed on the (args, graph) seed (r7)
       case SqFilter(e) =>
-        existsGroups(e).forall(quadCompatible) && !hasFullFn(e)
+        existsGroups(e).forall(quadCompatible) && fnBodyGroups(e).forall(quadCompatible)
       // BIND folds with the patterns, but the evaluator seeds ?g first
-      // when the expression needs it (EXISTS or a direct ?g reference),
-      // so EXISTS-bearing BINDs ride the path when their bodies do
+      // when the expression needs it (EXISTS, a full-bodied function call
+      // — whose result is per-graph — or a direct ?g reference), so
+      // EXISTS- and function-bearing BINDs ride the path when their
+      // bodies do
       case SqBind(e, _) =>
-        existsGroups(e).forall(quadCompatible) && !hasFullFn(e)
+        existsGroups(e).forall(quadCompatible) && fnBodyGroups(e).forall(quadCompatible)
       case SqOptional(g2) => quadCompatible(g2)
       case SqUnion(branches) => branches.forall(quadCompatible)
       // GRAPH $shapesGraph must re-enter evalGroup (it swaps activeT to
@@ -680,12 +744,14 @@ final class SparqlFrame(
     case SqOptional(g2) => hasGraphPat(g2)
     case SqUnion(bs) => bs.exists(hasGraphPat)
     case SqSubSelect(sel) => hasGraphPat(sel.where)
-    // EXISTS bodies anywhere in a filter/bind expression — an
-    // expression-NESTED EXISTS can smuggle a GRAPH pattern past a
-    // top-level-only check, and under GRAPH <iri> that pattern would
-    // wrongly range over the constant-filtered frame
-    case SqFilter(e) => existsGroups(e).exists(hasGraphPat)
-    case SqBind(e, _) => existsGroups(e).exists(hasGraphPat)
+    // EXISTS and SHACLFunction bodies anywhere in a filter/bind
+    // expression — an expression-NESTED body can smuggle a GRAPH pattern
+    // past a top-level-only check, and under GRAPH <iri> that pattern
+    // would wrongly range over the constant-filtered frame
+    case SqFilter(e) =>
+      existsGroups(e).exists(hasGraphPat) || fnBodyGroups(e).exists(hasGraphPat)
+    case SqBind(e, _) =>
+      existsGroups(e).exists(hasGraphPat) || fnBodyGroups(e).exists(hasGraphPat)
     case _ => false
   }
 
@@ -729,15 +795,19 @@ final class SparqlFrame(
         // a leading BIND(STR(?g) AS ?u)) must still see ?x bound per graph
         // — seed from the named-graph catalog, like leading OPTIONALs; a
         // later pattern join restricts back to the row's own graph. A
-        // BIND over an EXISTS always seeds: the EXISTS body correlates on
-        // ?x, so per-graph scoping needs the binding regardless of where
-        // the BIND sits in the block.
-        val acc = if (!acc0.vars.contains(x) && (hasExists(e) || exprVars(e).contains(x)))
+        // BIND over an EXISTS or a full-bodied function call always
+        // seeds: the body correlates on (and its result varies with) ?x,
+        // so per-graph scoping needs the binding regardless of where the
+        // BIND sits in the block.
+        val acc = if (!acc0.vars.contains(x) &&
+            (hasExists(e) || hasFullFn(e) || exprVars(e).contains(x)))
           joinSols(acc0, graphSeedSol(x, base)) else acc0
-        if (hasExists(e)) {
-          val (e2, lifted) = liftExists(e, acc,
-            (gg, seed) => evalQuadGroup(gg, x, base, seed))
-          Sol(lifted.df.withColumn(v, compileT(e2, lifted))
+        if (hasExists(e) || hasFullFn(e)) {
+          val (e1, s1) = if (hasExists(e)) liftExists(e, acc,
+            (gg, seed) => evalQuadGroup(gg, x, base, seed)) else (e, acc)
+          val (e2, s2) = if (hasFullFn(e1)) liftFnCalls(e1, s1, Some((x, base)))
+            else (e1, s1)
+          Sol(s2.df.withColumn(v, compileT(e2, s2))
             .select((acc.vars + v).toSeq.sorted.map(col): _*),
             acc.vars + v, acc.maybeNull)
         } else Sol(acc.df.withColumn(v, compileT(e, acc)), acc.vars + v, acc.maybeNull)
@@ -799,14 +869,16 @@ final class SparqlFrame(
         existsFilterWith(acc, g2, neg, (gg, seed) => evalQuadGroup(gg, x, base, seed))
       case (acc, SqFilter(ENot(EExists(g2, neg)))) =>
         existsFilterWith(acc, g2, !neg, (gg, seed) => evalQuadGroup(gg, x, base, seed))
-      case (acc, SqFilter(e)) if hasExists(e) =>
-        // expression-nested EXISTS: markers materialize through the quad
-        // evaluator, so the correlation key carries ?x (seeded above) and
-        // each EXISTS body scopes per graph — single-pass, like the
-        // top-level cases
-        val (e2, lifted) = liftExists(e, acc,
-          (gg, seed) => evalQuadGroup(gg, x, base, seed))
-        val filtered = lifted.df.filter(compileB(e2, lifted) === true)
+      case (acc, SqFilter(e)) if hasExists(e) || hasFullFn(e) =>
+        // expression-nested EXISTS and full-bodied SHACLFunction calls:
+        // markers/result columns materialize through the quad evaluator,
+        // so the correlation key carries ?x (seeded above) and each body
+        // scopes per graph — single-pass, like the top-level cases
+        val (e1, s1) = if (hasExists(e)) liftExists(e, acc,
+          (gg, seed) => evalQuadGroup(gg, x, base, seed)) else (e, acc)
+        val (e2, s2) = if (hasFullFn(e1)) liftFnCalls(e1, s1, Some((x, base)))
+          else (e1, s1)
+        val filtered = s2.df.filter(compileB(e2, s2) === true)
         Sol(filtered.select(acc.vars.toSeq.sorted.map(col): _*), acc.vars, acc.maybeNull)
       case (acc, SqFilter(e)) => acc.copy(df = acc.df.filter(compileB(e, acc) === true))
       case (acc, _) => acc
