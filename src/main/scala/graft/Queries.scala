@@ -244,6 +244,34 @@ object Queries {
   val qSubstringClean: Q = (s, d) =>
     Dedup.substringDedupClean(t(s, d, "documents"), "doc_id", "text")
 
+  /** Synthetic trained-tokenizer stand-in shared by the pre-tokenized
+    * queries: token id = md5-derived 60-bit hash of each word — an
+    * injective (modulo 2^-60) id assignment both engines compute
+    * bit-identically, so the array<long> column behaves exactly like real
+    * tokenizer output (ids preserve token equality). */
+  private def synthTokenIds: Column =
+    transform(split(lower(trim(col("text"))), "\\s+"),
+      tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+
+  /** Pre-tokenized substring dedup (VERDICT r6 #3): the array<long>
+    * overload over synthetic token ids. Because the id mapping preserves
+    * token equality, the detected spans coincide with the text path's —
+    * and the whole pipeline (ids included) recomputes in DuckDB. */
+  val qSubstringDedupTok: Q = (s, d) =>
+    Dedup.substringDedupTokens(
+      t(s, d, "documents").select(col("doc_id"), synthTokenIds.as("ids")),
+      "doc_id", "ids")
+
+  /** Pre-tokenized benchmark decontamination: the 13-gram membership test
+    * over the same synthetic token-id column, bench split as
+    * q_decontaminate. */
+  val qDecontaminateTok: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), synthTokenIds.as("ids"))
+    val isBench = col("doc_id") % 7 === 0 && col("doc_id") < 70000L
+    Dedup.decontaminateTokens(docs.filter(!isBench), docs.filter(isBench),
+      "doc_id", "ids", "doc_id", "ids")
+  }
+
   /** Keep-one canonicalization of MinHash near-dup clusters (detect ->
     * cluster -> pick survivor): LSH candidate pairs -> large-star/small-star
     * connected components -> min doc id per cluster. Whole chain is the
@@ -1063,6 +1091,63 @@ object Queries {
         |  regexp_replace(base || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END),
         |    '^(https?://[^/?#]+)/([?#]|$)', '\1\2', 'g') AS url_canon
         |FROM s5""".stripMargin,
+    // pre-tokenized substring dedup: tokens are synthetic md5-derived
+    // 60-bit ids rendered as strings (CAST(BIGINT AS VARCHAR) matches
+    // Spark's long->string cast), then the identical window/df-cap/merge
+    // pipeline as q_substring_dedup
+    "q_substring_dedup_tok" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |    s -> CAST(('0x' || substr(md5(s), 1, 15))::BIGINT AS VARCHAR)) AS tk
+        |  FROM documents
+        |), w0 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 19),
+        |    i -> struct_pack(pos := i,
+        |      fp := ('0x' || substr(md5(array_to_string(tk[i:i+19], ' ')), 1, 15))::BIGINT))) AS u
+        |  FROM t WHERE len(tk) >= 20
+        |), w AS (
+        |  SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0
+        |), rare AS (
+        |  SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20
+        |), m AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, b.pos - a.pos AS d, a.pos AS pos_a
+        |  FROM w a JOIN rare r ON a.fp = r.fp JOIN w b ON b.fp = a.fp
+        |  WHERE a.doc_id < b.doc_id
+        |), marked AS (
+        |  SELECT id_a, id_b, d, pos_a,
+        |    max(pos_a + 20) OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM m
+        |), spans AS (
+        |  SELECT id_a, id_b, d, pos_a,
+        |    SUM(CASE WHEN prev_end IS NULL OR pos_a > prev_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS span
+        |  FROM marked
+        |)
+        |SELECT id_a, id_b, MIN(pos_a) AS a_start, MAX(pos_a) + 20 AS a_end,
+        |  MIN(pos_a) + d AS b_start, MAX(pos_a) + 20 + d AS b_end, COUNT(*) AS n_windows
+        |FROM spans GROUP BY id_a, id_b, d, span""".stripMargin,
+    // pre-tokenized decontamination: same synthetic token-id column, same
+    // 13-gram membership test as q_decontaminate
+    "q_decontaminate_tok" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |    s -> CAST(('0x' || substr(md5(s), 1, 15))::BIGINT AS VARCHAR)) AS tk
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(tk) - 12)) AS pos,
+        |    unnest(list_transform(generate_series(1, len(tk) - 12),
+        |      i -> ('0x' || substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15))::BIGINT)) AS fp
+        |  FROM tk WHERE len(tk) >= 13
+        |), bfp AS (
+        |  SELECT DISTINCT fp, doc_id AS bench_id FROM wins
+        |  WHERE doc_id % 7 = 0 AND doc_id < 70000
+        |)
+        |SELECT w.doc_id AS id, count(DISTINCT w.pos) AS n_hits,
+        |  count(DISTINCT b.bench_id) AS n_bench
+        |FROM wins w JOIN bfp b USING (fp)
+        |WHERE NOT (w.doc_id % 7 = 0 AND w.doc_id < 70000)
+        |GROUP BY 1""".stripMargin,
     // benchmark decontamination: same tokenizer + md5 window fingerprints
     // as the substring-dedup oracles; bench = doc_id % 7 = 0 capped below
     // id 70k (keeps the broadcast side small at soak scale; no-op here),
@@ -1226,6 +1311,8 @@ object Queries {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_substring_dedup" -> qSubstringDedup,
     "q_substring_clean" -> qSubstringClean,
+    "q_substring_dedup_tok" -> qSubstringDedupTok,
+    "q_decontaminate_tok" -> qDecontaminateTok,
     "q_minhash_cluster" -> qMinhashCluster,
     "q_repetition" -> qRepetition,
     "q_redact" -> qRedact,

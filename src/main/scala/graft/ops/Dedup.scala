@@ -281,15 +281,35 @@ object Dedup {
     * token offsets, end exclusive: tokens[a_start, a_end) of doc a equal
     * tokens[b_start, b_end) of doc b. */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-                     window: Int = 20, stride: Int = 1, maxDf: Int = 20): DataFrame = {
+                     window: Int = 20, stride: Int = 1, maxDf: Int = 20): DataFrame =
+    substringDedupCore(widen(docs).select(col(idCol).as("id"),
+      split(lower(trim(col(textCol))), "\\s+").as("tk")), window, stride, maxDf)
+
+  /** Pre-tokenized overload of [[substringDedup]] (VERDICT r6 #3): real
+    * decontamination/dedup pipelines run over trained-tokenizer ids (or
+    * bytes), not `\s+` words — `tokCol` is an existing array column
+    * (array<long>/array<int> token ids, or array<string>). Elements are
+    * cast to string for the window fingerprint (md5 of the space-joined
+    * slice — `CAST(x AS VARCHAR)` renders integers identically in any SQL
+    * engine), so an int-array corpus stays DuckDB-recomputable exactly
+    * like the text path; the window/df-cap/span-merge pipeline itself is
+    * tokenization-agnostic. */
+  def substringDedupTokens(docs: DataFrame, idCol: String, tokCol: String,
+                           window: Int = 20, stride: Int = 1, maxDf: Int = 20): DataFrame =
+    substringDedupCore(widen(docs).select(col(idCol).as("id"),
+      transform(col(tokCol), x => x.cast("string")).as("tk")), window, stride, maxDf)
+
+  /** [[substringDedup]]'s engine over a pre-built (id, tk: array<string>)
+    * frame — both public entry points are thin tokenization adapters. */
+  private def substringDedupCore(toks0: DataFrame, window: Int, stride: Int,
+                                 maxDf: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens (got $window)")
     require(stride >= 1, s"stride must be >= 1 (got $stride)")
     import org.apache.spark.sql.expressions.Window
     // one pass builds (id, pos, fp); checkpointed because the frame feeds
     // the df count AND both sides of the bucket join (lazy recompute would
     // re-tokenize every document ~3x, same trap as ngramJaccardJoin)
-    val toks = widen(docs).select(col(idCol).as("id"),
-      split(lower(trim(col(textCol))), "\\s+").as("tk"))
+    val toks = toks0
       .filter(size(col("tk")) >= window) // sequence() throws on empty ranges
     val wins = toks.select(col("id"), explode(transform(
         sequence(lit(1), size(col("tk")) - window + 1, lit(stride)),
@@ -345,10 +365,34 @@ object Dedup {
   def substringDedupClean(docs: DataFrame, idCol: String, textCol: String,
                           window: Int = 20, stride: Int = 1, maxDf: Int = 20): DataFrame = {
     val spans = substringDedup(docs, idCol, textCol, window, stride, maxDf)
-    val cuts = spans.groupBy(col("id_b").as("id"))
-      .agg(collect_list(struct(col("b_start").as("cs"), col("b_end").as("ce"))).as("cuts"))
     val toks = widen(docs).select(col(idCol).as("id"),
       split(lower(trim(col(textCol))), "\\s+").as("tk"))
+    applyCuts(spans, toks)
+      .select(col("id"), array_join(col("kept"), " ").as("text_clean"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_cut"))
+  }
+
+  /** Pre-tokenized twin of [[substringDedupClean]]: spans detected over
+    * the token-id windows, cuts applied positionally to the ORIGINAL
+    * array, so the cleaned column keeps the caller's element type
+    * (array<long> ids in, array<long> ids out). Returns
+    * (id, tokens_clean, n_cut). */
+  def substringDedupCleanTokens(docs: DataFrame, idCol: String, tokCol: String,
+                                window: Int = 20, stride: Int = 1,
+                                maxDf: Int = 20): DataFrame = {
+    val spans = substringDedupTokens(docs, idCol, tokCol, window, stride, maxDf)
+    val toks = widen(docs).select(col(idCol).as("id"), col(tokCol).as("tk"))
+    applyCuts(spans, toks)
+      .select(col("id"), col("kept").as("tokens_clean"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_cut"))
+  }
+
+  /** Keep-one cut application shared by both clean variants: union the
+    * [b_start, b_end) spans per losing doc and drop covered tokens in one
+    * codegen'd transform+filter pass. Returns (id, tk, kept). */
+  private def applyCuts(spans: DataFrame, toks: DataFrame): DataFrame = {
+    val cuts = spans.groupBy(col("id_b").as("id"))
+      .agg(collect_list(struct(col("b_start").as("cs"), col("b_end").as("ce"))).as("cuts"))
     toks.join(cuts, Seq("id"), "left")
       .select(col("id"), col("tk"),
         filter(
@@ -357,8 +401,6 @@ object Dedup {
               exists(col("cuts"), c => (i + 1) >= c("cs") && (i + 1) < c("ce")),
               lit(null)).otherwise(t)),
           x => x.isNotNull).as("kept"))
-      .select(col("id"), array_join(col("kept"), " ").as("text_clean"),
-        (size(col("tk")) - size(col("kept"))).cast("long").as("n_cut"))
   }
 
   /** Benchmark decontamination: flag training documents that share any
@@ -381,21 +423,41 @@ object Dedup {
     * spans. */
   def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, benchIdCol: String, benchTextCol: String,
-                    n: Int = 13): DataFrame = {
+                    n: Int = 13): DataFrame =
+    decontaminateCore(
+      widen(docs).select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("tk")),
+      widen(bench).select(col(benchIdCol).as("id"),
+        split(lower(trim(col(benchTextCol))), "\\s+").as("tk")), n)
+
+  /** Pre-tokenized overload of [[decontaminate]] (VERDICT r6 #3): both
+    * sides are existing token-array columns (trained-tokenizer ids or
+    * strings); elements cast to string feed the same md5 window
+    * fingerprints, so the int-array membership test recomputes exactly in
+    * DuckDB. */
+  def decontaminateTokens(docs: DataFrame, bench: DataFrame, idCol: String,
+                          tokCol: String, benchIdCol: String,
+                          benchTokCol: String, n: Int = 13): DataFrame =
+    decontaminateCore(
+      widen(docs).select(col(idCol).as("id"),
+        transform(col(tokCol), x => x.cast("string")).as("tk")),
+      widen(bench).select(col(benchIdCol).as("id"),
+        transform(col(benchTokCol), x => x.cast("string")).as("tk")), n)
+
+  private def decontaminateCore(docsTk: DataFrame, benchTk: DataFrame,
+                                n: Int): DataFrame = {
     require(n >= 2, s"window must be >= 2 tokens (got $n)")
-    def wins(df: DataFrame, id: String, text: String) =
-      widen(df).select(col(id).as("id"),
-        split(lower(trim(col(text))), "\\s+").as("tk"))
-        .filter(size(col("tk")) >= n)
+    def wins(df: DataFrame) =
+      df.filter(size(col("tk")) >= n)
         .select(col("id"), explode(transform(
           sequence(lit(1), size(col("tk")) - n + 1),
           i => struct(i.cast("long").as("pos"),
             conv(substring(md5(array_join(slice(col("tk"), i, lit(n)), " ")), 1, 15),
               16, 10).cast("long").as("fp")))).as("w"))
         .select(col("id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
-    val b = wins(bench, benchIdCol, benchTextCol)
+    val b = wins(benchTk)
       .select(col("fp"), col("id").as("bench_id")).distinct()
-    wins(docs, idCol, textCol)
+    wins(docsTk)
       .join(broadcast(b), "fp")
       .groupBy(col("id"))
       .agg(countDistinct(col("pos")).as("n_hits"),

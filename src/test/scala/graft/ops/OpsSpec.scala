@@ -270,6 +270,40 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.lshTopKPortable(none, none, "vec_id", "embedding", 5).count() == 0)
   }
 
+  test("pre-tokenized overloads: spans/flags match the text path, types survive") {
+    // token ids = md5-derived hash per word: preserves token equality, so
+    // the array<long> overload must detect EXACTLY the text path's spans
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val ids = transform(split(lower(trim($"text")), "\\s+"),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val tokDocs = docs.select($"doc_id", ids.as("ids"))
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"a_start", $"a_end", $"b_start", $"b_end")
+        .collect().map(_.toString).toSet
+    val viaText = spanSet(Dedup.substringDedup(docs, "doc_id", "text"))
+    val viaTok = spanSet(Dedup.substringDedupTokens(tokDocs, "doc_id", "ids"))
+    assert(viaText == viaTok && viaTok.nonEmpty)
+    // clean twin: cuts positionally identical, cleaned column keeps the
+    // caller's element type (array<long> in, array<long> out)
+    val cleanTok = Dedup.substringDedupCleanTokens(tokDocs, "doc_id", "ids")
+    assert(cleanTok.schema("tokens_clean").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    val cutText = Dedup.substringDedupClean(docs, "doc_id", "text")
+      .select($"id", $"n_cut").as[(Long, Long)].collect().toMap
+    val cutTok = cleanTok.select($"id", $"n_cut").as[(Long, Long)].collect().toMap
+    assert(cutText == cutTok)
+    // decontamination twin: same flags over the id column
+    val isBench = $"doc_id" % 7 === 0
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val dText = flags(Dedup.decontaminate(docs.filter(!isBench), docs.filter(isBench),
+      "doc_id", "text", "doc_id", "text"))
+    val dTok = flags(Dedup.decontaminateTokens(tokDocs.filter(!isBench),
+      tokDocs.filter(isBench), "doc_id", "ids", "doc_id", "ids"))
+    assert(dText == dTok && dTok.nonEmpty)
+  }
+
   test("decontamination flags docs sharing a 13-gram with the bench set") {
     val run = (1 to 13).map(i => s"b$i").mkString(" ")
     val bench = Seq((100L, s"intro words $run outro")).toDF("doc_id", "text")
