@@ -344,6 +344,44 @@ object Queries {
       "doc_id", "text", "doc_id", "text")
   }
 
+  /** End-to-end cleanup-pipeline composition (VERDICT r6 #4): html strip
+    * -> canonical-URL keep-one dedup -> Gopher quality gate -> substring
+    * span removal -> 13-gram decontamination -> stratified sample, all
+    * over deterministic synthetic wrappers (html like q_html_strip, urls
+    * with a doc_id%25 collision class, bench split like q_decontaminate).
+    * Every stage is individually oracled elsewhere; this query checks the
+    * COMPOSITION — the final text hash proves each stage fed the next the
+    * right rows and the right bytes. */
+  val qCleanPipeline: Q = (s, d) => {
+    import graft.ops.CleanPipeline
+    val all = t(s, d, "documents")
+    val isBench = col("doc_id") % 7 === 0 && col("doc_id") < 70000L
+    val bench = all.filter(isBench).select(col("doc_id"), col("text"))
+    val url = concat(lit("HTTPS://Ex.COM:443/"),
+      when(col("doc_id") % 25 === 0,
+        concat(lit("shared/"), (col("doc_id") % 2).cast("string")))
+        .otherwise(concat(lit("u/"), col("doc_id").cast("string"))),
+      lit("?utm_source=feed&p=1#frag"))
+    val html = concat(
+      lit("<html><head><style>p { color: red; }</style><script type=\"text/javascript\">" +
+        "if (x < 2 && y > 1) { alert(\"&amp;\"); }</script></head><body>" +
+        "<!-- crawl boilerplate --><h1>Doc "),
+      col("doc_id").cast("string"), lit("</h1><p>"),
+      replace(col("text"), lit(" "), lit("&nbsp;")), lit("</p></body></html>"))
+    val docs0 = all.filter(!isBench).select(col("doc_id"), col("lang"),
+      col("source"), html.as("text"), url.as("url"))
+    val s1 = CleanPipeline.strip(docs0, "text")
+    val s2 = CleanPipeline.urlDedup(s1, "doc_id", "url")
+    val s3 = CleanPipeline.qualityFilter(s2, "text")
+    val s4 = CleanPipeline.substringClean(s3, "doc_id", "text")
+    val s5 = CleanPipeline.decontaminateDrop(s4, bench, "doc_id", "text",
+      "doc_id", "text")
+    val s6 = Sampling.sampleStratified(s5, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25), 0.1)
+    s6.select(col("doc_id"), col("lang"), col("text").as("text_final"),
+      col("n_cut"))
+  }
+
   /** Deterministic stratified sampling (mixture weights by language):
     * en 0.5 / de 0.25 / everything else 0.1 — the kept set is a pure md5
     * function of doc_id, bit-identical in DuckDB, invariant under
@@ -1169,6 +1207,162 @@ object Queries {
         |FROM wins w JOIN bfp b USING (fp)
         |WHERE NOT (w.doc_id % 7 = 0 AND w.doc_id < 70000)
         |GROUP BY 1""".stripMargin,
+    // end-to-end cleanup pipeline: every stage reuses its individually
+    // proven SQL (q_html_strip strip chain, q_url_canon canon chain,
+    // q_gopher gate, q_substring_clean span removal, q_decontaminate
+    // membership, q_sample_strata bucket), chained over the same synthetic
+    // wrappers the Spark composition builds
+    "q_clean_pipeline" ->
+      ("""WITH raw AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  WHERE NOT (doc_id % 7 = 0 AND doc_id < 70000)
+        |), bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0 AND doc_id < 70000
+        |), h AS (
+        |  SELECT doc_id, lang, source,
+        |    '<html><head><style>p { color: red; }</style><script type="text/javascript">if (x < 2 && y > 1) { alert("&amp;"); }</script></head><body><!-- crawl boilerplate --><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || replace(text, ' ', '&nbsp;')
+        |    || '</p></body></html>' AS html,
+        |    'HTTPS://Ex.COM:443/' ||
+        |    (CASE WHEN doc_id % 25 = 0 THEN 'shared/' || (doc_id % 2)
+        |          ELSE 'u/' || doc_id END) || '?utm_source=feed&p=1#frag' AS url
+        |  FROM raw
+        |), stripped AS (
+        |  SELECT doc_id, lang, source, url, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text
+        |  FROM h
+        |), c1 AS (
+        |  SELECT doc_id, lang, source, text,
+        |    regexp_replace(url, '#.*', '', 'g') AS u FROM stripped
+        |), c2 AS (
+        |  SELECT doc_id, lang, source, text,
+        |    lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) ||
+        |    substr(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS u
+        |  FROM c1
+        |), c3 AS (
+        |  SELECT doc_id, lang, source, text, regexp_replace(regexp_replace(u,
+        |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2', 'g'),
+        |    '^(https://[^/:?#]+):443([/?#]|$)', '\1\2', 'g') AS u FROM c2
+        |), c4 AS (
+        |  SELECT doc_id, lang, source, text, regexp_extract(u, '^[^?]*', 0) AS base,
+        |    CASE WHEN length(u) > length(regexp_extract(u, '^[^?]*', 0))
+        |      THEN substr(u, length(regexp_extract(u, '^[^?]*', 0)) + 2) ELSE '' END AS qs
+        |  FROM c3
+        |), c5 AS (
+        |  SELECT doc_id, lang, source, text, base,
+        |    regexp_replace(regexp_replace(regexp_replace(qs,
+        |      '(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '\1', 'g'),
+        |      '&&+', '&', 'g'), '^&+|&+$', '', 'g') AS qs
+        |  FROM c4
+        |), urld AS (
+        |  SELECT doc_id, lang, source, text,
+        |    regexp_replace(base || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END),
+        |      '^(https?://[^/?#]+)/([?#]|$)', '\1\2', 'g') AS canon
+        |  FROM c5
+        |), kept_url AS (
+        |  SELECT u.doc_id, u.lang, u.source, u.text
+        |  FROM urld u JOIN (SELECT canon, min(doc_id) AS doc_id FROM urld GROUP BY canon) win
+        |    ON u.canon = win.canon AND u.doc_id = win.doc_id
+        |), qbase AS (
+        |  SELECT doc_id, lang, source, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ltk,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(string_split_regex(trim(text), '\s+')) END) AS wc,
+        |    round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |      greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mwl,
+        |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) /
+        |      greatest(length(text), 1), 4) AS symr
+        |  FROM kept_url
+        |), qtri AS (
+        |  SELECT doc_id, lang, source, text, wc, mwl, symr,
+        |    (CASE WHEN len(ltk) < 3 THEN 0.0
+        |     ELSE round(1.0 - CAST(len(list_distinct(list_transform(
+        |       generate_series(1, len(ltk) - 2),
+        |       i -> ltk[i] || ' ' || ltk[i+1] || ' ' || ltk[i+2]))) AS DOUBLE) /
+        |       (len(ltk) - 2), 4) END) AS dup3,
+        |    round(CAST(len(list_filter(ltk, t -> t IN """.stripMargin +
+        stopwordsSql +
+        """)) AS DOUBLE) / greatest(len(ltk), 1), 4) AS stopr
+        |  FROM qbase
+        |), quality AS (
+        |  SELECT doc_id, lang, source, text FROM qtri
+        |  WHERE wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND symr < 0.1 AND stopr > 0.03 AND dup3 < 0.2
+        |), t2 AS (
+        |  SELECT doc_id, lang, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk FROM quality
+        |), w0 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 19),
+        |    i -> struct_pack(pos := i,
+        |      fp := ('0x' || substr(md5(array_to_string(tk[i:i+19], ' ')), 1, 15))::BIGINT))) AS u
+        |  FROM t2 WHERE len(tk) >= 20
+        |), w AS (
+        |  SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0
+        |), rare AS (
+        |  SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20
+        |), m AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, b.pos - a.pos AS d, a.pos AS pos_a
+        |  FROM w a JOIN rare r ON a.fp = r.fp JOIN w b ON b.fp = a.fp
+        |  WHERE a.doc_id < b.doc_id
+        |), marked AS (
+        |  SELECT id_a, id_b, d, pos_a,
+        |    max(pos_a + 20) OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM m
+        |), spans AS (
+        |  SELECT id_a, id_b, d, pos_a,
+        |    SUM(CASE WHEN prev_end IS NULL OR pos_a > prev_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS span
+        |  FROM marked
+        |), agg AS (
+        |  SELECT id_a, id_b, d, MIN(pos_a) AS a_start, MAX(pos_a) + 20 AS a_end
+        |  FROM spans GROUP BY id_a, id_b, d, span
+        |), cuts AS (
+        |  SELECT id_b AS id, list(struct_pack(cs := a_start + d, ce := a_end + d)) AS cuts
+        |  FROM agg GROUP BY id_b
+        |), fin AS (
+        |  SELECT t2.doc_id, t2.lang, t2.source, t2.tk,
+        |    list_filter(t2.tk, (x, i) -> c.cuts IS NULL OR
+        |      len(list_filter(c.cuts, s -> i >= s.cs AND i < s.ce)) = 0) AS kept
+        |  FROM t2 LEFT JOIN cuts c ON t2.doc_id = c.id
+        |), cleaned AS (
+        |  SELECT doc_id, lang, COALESCE(array_to_string(kept, ' '), '') AS text,
+        |    CAST(len(tk) - len(kept) AS BIGINT) AS n_cut
+        |  FROM fin
+        |), dtk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM cleaned
+        |), dwins AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 12),
+        |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15))::BIGINT)) AS fp
+        |  FROM dtk WHERE len(tk) >= 13
+        |), btk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM bench
+        |), bfp AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(tk) - 12),
+        |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15))::BIGINT)) AS fp
+        |  FROM btk WHERE len(tk) >= 13
+        |), contaminated AS (
+        |  SELECT DISTINCT d.doc_id FROM dwins d JOIN bfp USING (fp)
+        |), decon AS (
+        |  SELECT * FROM cleaned
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |), sampled AS (
+        |  SELECT doc_id, lang, text AS text_final, n_cut,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bucket,
+        |    CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |         ELSE 100000 END AS BIGINT) AS rate_ppm
+        |  FROM decon
+        |)
+        |SELECT doc_id, lang, text_final, n_cut FROM sampled
+        |WHERE bucket < rate_ppm""".stripMargin),
     // deterministic stratified sampling: bucket = first 60 bits of
     // md5(doc_id) mod 10^6, kept iff bucket < per-lang rate in ppm
     "q_sample_strata" ->
@@ -1319,6 +1513,7 @@ object Queries {
     "q_url_canon" -> qUrlCanon,
     "q_decontaminate" -> qDecontaminate,
     "q_sample_strata" -> qSampleStrata,
+    "q_clean_pipeline" -> qCleanPipeline,
     "q_ann_bruteforce" -> qAnnBruteForce,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,

@@ -47,6 +47,11 @@ final class Lineage(spark: SparkSession, root: String, runId: String) {
     * reuse an already-paid count instead of re-running the stage plan. */
   def rowsOf(stage: String): Option[Long] = doneEntry(stage).map(_.rowsOut)
 
+  /** Whether a stage is already complete for this input — lets callers
+    * gate their own side metrics so a resume doesn't re-append them. */
+  def isDone(stage: String, inputChecksum: String): Boolean =
+    doneEntry(stage).exists(_.inputChecksum == inputChecksum)
+
   /** Run a side-effecting step at most once per input checksum (e.g. a
     * store snapshot commit); replays are skipped on resume. */
   def marker(name: String, inputChecksum: String)(action: => Long): Unit =
