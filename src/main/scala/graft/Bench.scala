@@ -137,6 +137,53 @@ object Bench {
         nlist = 64).agg(max(col("n")), count(lit(1))).collect()(0)
       (emb.count(), l.getLong(0), l.getLong(1), v.getLong(0), v.getLong(1))
     } catch { case _: Throwable => (-1L, -1L, -1L, -1L, -1L) }
+    // dedup-join skew evidence (VERDICT r6 #5): plant a hot-key fixture at
+    // bench scale — one window shared by 200 docs (over the df-cap: must
+    // never fan out) and one at-cap run repeated 25x back-to-back in each
+    // of 20 docs (maximal multiplicity at the maximal allowed df, ~2.2M
+    // candidate matches through one key family) — and measure what the
+    // candidate join actually does with it: per-stage task durations
+    // during the spans job, reported as the heaviest stage's max vs
+    // median task (the straggler signal AQE's skew handling should keep
+    // bounded). OpsSpec pins the logical bounds; this block pins the
+    // wall-clock behavior at bench scale.
+    val (skewDocs, skewSpans, skewMaxMs, skewMedMs) = try {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val hotRun = (0 until 20).map(i => s"hotskew$i").mkString(" ")
+      val boilRun = (0 until 20).map(i => s"boilskew$i").mkString(" ")
+      val hot = spark.range(20).select((col("id") + 900000000L).as("doc_id"),
+        concat_ws(" ",
+          Seq.fill(25)(lit(hotRun)) :+ concat(lit("tail"), col("id").cast("string")): _*)
+          .as("text"))
+      val boil = spark.range(200).select((col("id") + 910000000L).as("doc_id"),
+        concat(lit(boilRun), lit(" uniq"), col("id").cast("string")).as("text"))
+      val corpus = base.unionByName(hot).unionByName(boil)
+      val byStage = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null) byStage.synchronized {
+            byStage.getOrElseUpdate(t.stageId,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += t.taskInfo.duration
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val nSpans =
+        try graft.ops.Dedup.substringDedup(corpus, "doc_id", "text").count()
+        finally {
+          Thread.sleep(1000) // let the listener bus drain the last stage
+          spark.sparkContext.removeSparkListener(listener)
+        }
+      val stages = byStage.synchronized { byStage.values.filter(_.size >= 4).map(_.toSeq).toSeq }
+      val worst = stages.maxBy(_.max)
+      val sorted = worst.sorted
+      (corpus.count(), nSpans, sorted.last, sorted(sorted.size / 2))
+    } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
+    val skewRatio = skewMaxMs.toDouble / math.max(skewMedMs, 1L)
+
     // KG pipeline throughput at local[cpus]. Stamped + retimed like the
     // queries (VERDICT r6 #1: the headline block was the one un-stamped,
     // un-retimed number left — BENCH_r06's 29.0k vs 38.8k quiet local on
@@ -204,7 +251,7 @@ object Bench {
     def runsJson(c: Int): String = runs(c).map(t => f"$t%.2f").mkString("[", ",", "]")
     val tps = triplesN / tMain
     println(
-      f"""{"metric":"triples_per_sec","value":$tps%.0f,"unit":"triples/sec","queries":$qs,"query_loads":$qls,"retimed":$rts,"retimed_pass1":$rts1,"retimed_pass2":$rts2,"ann":{"items":$nEmb,"lsh_max_bucket":$lshMaxBucket,"lsh_buckets":$lshBuckets,"ivf_max_cell":$ivfMaxCell,"ivf_cells":$ivfCells},"sf":"$sfDir","pipeline":{"docs":$nDocs,"triples":$triplesN,"seconds":$tMain%.2f,"seconds_pass1":$tPipe1%.2f,"load_pass1":$pipeLoad1%.2f,"seconds_pass2":$tPipe2%.2f,"load_pass2":$pipeLoad2%.2f},"scaling":{"docs":$scaleDocs,"triples":$nS,"t4":$t4%.2f,"t16":$t16%.2f,"t8":$t8%.2f,"t32":$t32%.2f,"runs4":${runsJson(4)},"runs8":${runsJson(8)},"runs16":${runsJson(16)},"runs32":${runsJson(32)},"spread4":${spread(4)}%.3f,"spread8":${spread(8)}%.3f,"spread16":${spread(16)}%.3f,"spread32":${spread(32)}%.3f,"tps4":${nS / t4}%.0f,"tps16":${nS / t16}%.0f,"tps8":${nS / t8}%.0f,"tps32":${nS / t32}%.0f,"host_loadavg":$loadavg,"launch_loadavg":$launchLoad%.2f,"launch_wait_sec":$waited,"efficiency_4_to_8":${(t4 / t8) / 2.0}%.3f,"efficiency_4_to_16":${eff(t4, t16)}%.3f,"efficiency_8_to_32":${eff(t8, t32)}%.3f}}""")
+      f"""{"metric":"triples_per_sec","value":$tps%.0f,"unit":"triples/sec","queries":$qs,"query_loads":$qls,"retimed":$rts,"retimed_pass1":$rts1,"retimed_pass2":$rts2,"ann":{"items":$nEmb,"lsh_max_bucket":$lshMaxBucket,"lsh_buckets":$lshBuckets,"ivf_max_cell":$ivfMaxCell,"ivf_cells":$ivfCells},"dedup_skew":{"docs":$skewDocs,"spans":$skewSpans,"max_task_ms":$skewMaxMs,"median_task_ms":$skewMedMs,"skew_ratio":$skewRatio%.2f},"sf":"$sfDir","pipeline":{"docs":$nDocs,"triples":$triplesN,"seconds":$tMain%.2f,"seconds_pass1":$tPipe1%.2f,"load_pass1":$pipeLoad1%.2f,"seconds_pass2":$tPipe2%.2f,"load_pass2":$pipeLoad2%.2f},"scaling":{"docs":$scaleDocs,"triples":$nS,"t4":$t4%.2f,"t16":$t16%.2f,"t8":$t8%.2f,"t32":$t32%.2f,"runs4":${runsJson(4)},"runs8":${runsJson(8)},"runs16":${runsJson(16)},"runs32":${runsJson(32)},"spread4":${spread(4)}%.3f,"spread8":${spread(8)}%.3f,"spread16":${spread(16)}%.3f,"spread32":${spread(32)}%.3f,"tps4":${nS / t4}%.0f,"tps16":${nS / t16}%.0f,"tps8":${nS / t8}%.0f,"tps32":${nS / t32}%.0f,"host_loadavg":$loadavg,"launch_loadavg":$launchLoad%.2f,"launch_wait_sec":$waited,"efficiency_4_to_8":${(t4 / t8) / 2.0}%.3f,"efficiency_4_to_16":${eff(t4, t16)}%.3f,"efficiency_8_to_32":${eff(t8, t32)}%.3f}}""")
   }
 
   /** Scaling workload: the full pipeline over web-document-sized (fat=20)

@@ -370,10 +370,23 @@ object Queries {
       replace(col("text"), lit(" "), lit("&nbsp;")), lit("</p></body></html>"))
     val docs0 = all.filter(!isBench).select(col("doc_id"), col("lang"),
       col("source"), html.as("text"), url.as("url"))
-    val s1 = CleanPipeline.strip(docs0, "text")
+    // stage boundaries ARE materialization points: the lineage run
+    // persists each stage to parquet; this pure composition mirrors that
+    // with lazy persist(). Without a boundary two multiplications stack:
+    // CollapseProject inlines the strip/canon regex chains into every
+    // downstream text reference (the quality gate alone reads text ~15x,
+    // so it re-ran the whole strip chain 15x — 7 s for 400 docs; the url
+    // self-join broadcasts, so no shuffle materializes the chain either),
+    // and the span/cut/flag/anti-join consumers each re-evaluate their
+    // upstream (~5x). Lazy persist gives the same plan boundary as the
+    // production parquet writes without eager checkpoint jobs: 26 s ->
+    // ~3 s warm at sf0.01. The handful of small cached frames per
+    // invocation are LRU-evicted; the returned frame depends on them, so
+    // they cannot be unpersisted here.
+    val s1 = CleanPipeline.strip(docs0, "text").persist()
     val s2 = CleanPipeline.urlDedup(s1, "doc_id", "url")
-    val s3 = CleanPipeline.qualityFilter(s2, "text")
-    val s4 = CleanPipeline.substringClean(s3, "doc_id", "text")
+    val s3 = CleanPipeline.qualityFilter(s2, "text").persist()
+    val s4 = CleanPipeline.substringClean(s3, "doc_id", "text").persist()
     val s5 = CleanPipeline.decontaminateDrop(s4, bench, "doc_id", "text",
       "doc_id", "text")
     val s6 = Sampling.sampleStratified(s5, "doc_id", "lang",

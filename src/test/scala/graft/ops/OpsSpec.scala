@@ -270,6 +270,42 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.lshTopKPortable(none, none, "vec_id", "embedding", 5).count() == 0)
   }
 
+  test("substring dedup hot keys: over-cap boilerplate never fans out, at-cap fan-out bounded") {
+    // the df-cap is the skew guard of the dedup joins: a window shared by
+    // MORE than maxDf distinct docs (boilerplate) must contribute ZERO
+    // candidate pairs, and an at-cap window repeated many times per doc
+    // (max multiplicity) must fan out no further than the closed-form
+    // diagonal bound — this is the bound the BENCH dedup_skew block
+    // measures wall-clock evidence for
+    val W = 8
+    val hotRun = (0 until W).map(i => s"hot$i").mkString(" ")
+    val boilRun = (0 until W).map(i => s"boil$i").mkString(" ")
+    val occ = 8
+    val hot = (0 until 5).map { d =>
+      // run repeated back-to-back `occ` times (max multiplicity: every
+      // in-run window position collides) + a doc-unique tail; windows on
+      // the same diagonal are consecutive, so they merge — per pair the
+      // diagonals are the multiples of W in (-occ*W, occ*W): 2*occ-1
+      (100L + d, ((0 until occ).map(_ => hotRun) :+ s"tail$d").mkString(" "))
+    }
+    val boil = (0 until 25).map(d => (200L + d, s"$boilRun uniq$d extra$d"))
+    val docs = (hot ++ boil).toDF("doc_id", "text")
+    val spans = Dedup.substringDedup(docs, "doc_id", "text",
+      window = W, stride = 1, maxDf = 20)
+      .select($"id_a", $"id_b", $"n_windows").as[(Long, Long, Long)].collect()
+    // boilerplate docs (df 25 > maxDf 20): no spans among them, none across
+    assert(!spans.exists(s => s._1 >= 200 || s._2 >= 200),
+      s"over-cap boilerplate fanned out: ${spans.filter(_._1 >= 200).take(3).toSeq}")
+    // hot docs: every pair collides, but bounded — per pair at most
+    // occ aligned positions per doc => <= 2*occ-1 diagonals, each one span
+    val hotSpans = spans.filter(s => s._1 >= 100 && s._1 < 200)
+    assert(hotSpans.nonEmpty)
+    val perPair = hotSpans.groupBy(s => (s._1, s._2)).view.mapValues(_.length)
+    assert(perPair.keySet.size <= 10) // C(5,2) pairs
+    assert(perPair.values.forall(_ <= 2 * occ - 1),
+      s"per-pair span count exceeded the diagonal bound: ${perPair.toMap}")
+  }
+
   test("pre-tokenized overloads: spans/flags match the text path, types survive") {
     // token ids = md5-derived hash per word: preserves token equality, so
     // the array<long> overload must detect EXACTLY the text path's spans
