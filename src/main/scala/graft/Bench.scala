@@ -187,7 +187,10 @@ object Bench {
     // KG pipeline throughput at local[cpus]. Stamped + retimed like the
     // queries (VERDICT r6 #1: the headline block was the one un-stamped,
     // un-retimed number left — BENCH_r06's 29.0k vs 38.8k quiet local on
-    // identical code could not defend itself).
+    // identical code could not defend itself). Pass 1 gets the same
+    // small-scale JIT warmup pass 2's fresh session gets, so the two
+    // passes differ only in host conditions.
+    pipelineOnce(spark, 5000, 64)
     val pipeLoad1 = loadavg1()
     val (triplesN, tPipe1) = timed(pipelineOnce(spark, nDocs, cpus))
     spark.stop()
@@ -230,8 +233,11 @@ object Bench {
     // pipeline pass 2 at end of run: a fresh session (own small-scale JIT
     // warmup), its own load stamp; the headline takes the better pass and
     // the JSON carries BOTH (time, load) pairs so interference on either
-    // pass is visible in the artifact rather than argued about later
-    val pipeLoad2 = loadavg1()
+    // pass is visible in the artifact rather than argued about later.
+    // The scaling block just saturated the host, so the 1-min loadavg
+    // here mostly reads our own decaying load — give it a short settle
+    // window so the stamp means co-tenant conditions, not bench self-heat
+    val (pipeLoad2, _) = quietWindow(8.0, 120)
     val tPipe2 = {
       val sp2 = session(cpus)
       try { pipelineOnce(sp2, 5000, 64); timed(pipelineOnce(sp2, nDocs, cpus))._2 }
