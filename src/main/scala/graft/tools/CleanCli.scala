@@ -35,9 +35,30 @@ object CleanCli {
         .otherwise(concat(lit("u/"), col("n").cast("string"))),
       lit("?utm_source=feed&p=1#frag"))
     val isBench = col("n") % 1000 === 0
+    // planted signals so every stage has measurable work at soak scale
+    // (DocSynth text alone shares no exact 20-token runs):
+    // - docs n and n+1 (n % 100 == 2, disjoint from the url-dedup
+    //   collision class n % 25 == 0, which would drop one partner first)
+    //   append the same 30-token run -> substring_clean cuts it from the
+    //   keep-one loser (df = 2)
+    // - bench doc m carries a 15-token eval phrase derived from m; corpus
+    //   docs with n % 499 == 7 append the phrase of bench doc
+    //   ((n % 200) * 1000) -> decontaminate drops them (shared 13-grams)
+    val pairBase = when(col("n") % 100 === 2, col("n")).otherwise(col("n") - 1)
+    val dupRun = concat_ws(" ", (0 until 30).map(i =>
+      concat(lit("dup"), pairBase.cast("string"), lit(s"x$i"))): _*)
+    val withDup = when(col("n") % 100 === 2 || col("n") % 100 === 3,
+      concat(col("text"), lit(" "), dupRun)).otherwise(col("text"))
+    val evalPhrase = concat_ws(" ", (0 until 15).map(i =>
+      concat(lit("evalq"), ((col("n") % 200) * 1000).cast("string"), lit(s"y$i"))): _*)
+    val corpusText = when(col("n") % 499 === 7, concat(withDup, lit(" "), evalPhrase))
+      .otherwise(withDup)
+    val benchText = concat(col("text"), lit(" "),
+      concat_ws(" ", (0 until 15).map(i =>
+        concat(lit("evalq"), col("n").cast("string"), lit(s"y$i"))): _*))
     val docs = all.filter(!isBench).select(col("doc_id"), lang.as("lang"),
-      lit("synth").as("source"), col("text"), url.as("url"))
-    val bench = all.filter(isBench).select(col("doc_id"), col("text"))
+      lit("synth").as("source"), corpusText.as("text"), url.as("url"))
+    val bench = all.filter(isBench).select(col("doc_id"), benchText.as("text"))
     val counts = graft.ops.CleanPipeline.run(spark, outRoot, docs, bench,
       checksum = s"docs=$nDocs;fat=$fat", minWords = 20)
     val dt = (System.nanoTime() - t0) / 1e9
