@@ -17,7 +17,7 @@ object KgCli {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-kg")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", math.max(cpus.toInt * 4, 16).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
