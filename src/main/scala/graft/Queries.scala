@@ -117,19 +117,38 @@ object Queries {
     * (§2.4; the engine's kleene kernel on real data). */
   val qClosure: Q = (s, d) => {
     import s.implicits._
+    // edge table materialized ONCE: the fixpoint joins against in-memory
+    // blocks instead of re-scanning the parquet every round (~15 rounds at
+    // sf0.1 — guide §2.4, remove repeated passes)
     val edges = t(s, d, "part")
       .select((col("p_partkey") / 2).cast("bigint").as("parent"), col("p_partkey").as("child"))
       .filter(col("parent") >= 1)
+      .localCheckpoint()
     var all = Seq(1L).toDF("node").localCheckpoint()
     var frontier = all
     var n = 1L
+    // UNROLLED semi-naive fixpoint: each materialization advances the
+    // frontier `unroll` edge-steps lazily (the inner steps are plain
+    // chained joins, deduped and subtracted only at the batch boundary),
+    // so the driver pays one sync + one lazy checkpoint + one count per
+    // BATCH instead of per step — the per-round job latency, not the data,
+    // dominates an iterative driver loop at any scale. The batch frontier
+    // is a superset of the deepest frontier, so re-expansion work is
+    // bounded by `unroll` and the computed SET is the identical closure
+    // (cycles still terminate: an empty batch after the anti-join ends
+    // the loop). `all` needs no checkpoint: it is a union of
+    // already-checkpointed batches, so its lineage stays shallow.
+    val unroll = 4
+    def step(f: org.apache.spark.sql.DataFrame) =
+      f.join(edges.withColumnRenamed("parent", "node"), "node")
+        .select(col("child").as("node"))
     while (n > 0) {
-      val next = frontier.join(edges, frontier("node") === edges("parent"))
-        .select(col("child").as("node")).distinct()
-        .join(all, Seq("node"), "left_anti").localCheckpoint()
-      n = next.count()
-      if (n > 0) all = all.unionByName(next).localCheckpoint()
-      frontier = next
+      val gs = Iterator.iterate(frontier)(step).slice(1, unroll + 1).toSeq
+      val batch = gs.reduce(_ unionByName _).distinct()
+        .join(all, Seq("node"), "left_anti").localCheckpoint(false)
+      n = batch.count()
+      if (n > 0) all = all.unionByName(batch)
+      frontier = batch
     }
     all
   }
@@ -258,15 +277,23 @@ object Queries {
     * token equality, the detected spans coincide with the text path's —
     * and the whole pipeline (ids included) recomputes in DuckDB. */
   val qSubstringDedupTok: Q = (s, d) =>
+    // widen BEFORE the md5-per-token projection: the raw scan is a single
+    // parquet split, so a post-projection repartition (what the widen
+    // inside the operator would do) would hash every token on one core
+    // and only then spread the rows — here only the raw rows shuffle and
+    // the tokenizer runs on all cores (guide §2: parallelize the per-task
+    // work, not just the shuffle)
     Dedup.substringDedupTokens(
-      t(s, d, "documents").select(col("doc_id"), synthTokenIds.as("ids")),
+      ops.widen(t(s, d, "documents")).select(col("doc_id"), synthTokenIds.as("ids")),
       "doc_id", "ids")
 
   /** Pre-tokenized benchmark decontamination: the 13-gram membership test
     * over the same synthetic token-id column, bench split as
     * q_decontaminate. */
   val qDecontaminateTok: Q = (s, d) => {
-    val docs = t(s, d, "documents").select(col("doc_id"), synthTokenIds.as("ids"))
+    // widen before the md5-per-token projection — same single-split-scan
+    // rationale as q_substring_dedup_tok
+    val docs = ops.widen(t(s, d, "documents")).select(col("doc_id"), synthTokenIds.as("ids"))
     val isBench = col("doc_id") % 7 === 0 && col("doc_id") < 70000L
     Dedup.decontaminateTokens(docs.filter(!isBench), docs.filter(isBench),
       "doc_id", "ids", "doc_id", "ids")

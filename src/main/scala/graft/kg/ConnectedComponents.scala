@@ -22,11 +22,15 @@ object ConnectedComponents {
 
   def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    // undirected, deduped, self-loops dropped; canonical a<b
+    // undirected, deduped, self-loops dropped; canonical a<b. Checkpoints
+    // are LAZY throughout: the digest aggregation right below each one is
+    // the materializing action, so every round costs ONE job (digest) that
+    // both truncates the lineage and reads the convergence digest, instead
+    // of an eager-checkpoint job plus a digest job.
     var edges = edges0.select(
         least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .filter($"a" =!= $"b").distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // convergence is checked via a (count, xxhash64-sum) digest — one
     // lightweight agg per NEW edge set per round; the old set's digest is
@@ -41,25 +45,34 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // large-star: for every node u, connect all strictly-larger neighbors
-      // v to m = min(neighborhood(u) ∪ {u})
+      // fused large-star + small-star round: ONE neighbor groupBy computes
+      // both min aggregates (full-neighborhood min for large-star, and the
+      // strictly-smaller-neighbor min small-star needs — the v < u rows of
+      // nbrs ARE the old smallNbrs frame, since edges are canonical a < b)
+      // and ONE join serves both stars, instead of two groupBys and two
+      // joins per round. Emitted edge sets are identical to the unfused
+      // form; only the physical plan shrinks (guide §2.4: shared exchange).
       val nbrs = edges.select($"a".as("u"), $"b".as("v"))
         .unionByName(edges.select($"b".as("u"), $"a".as("v")))
-      val mins = nbrs.groupBy($"u").agg(min($"v").as("m"))
-        .select($"u", least($"u", $"m").as("m"))
-      val large = nbrs.join(mins, "u")
-        .filter($"v" > $"u")
-        .select(least($"v", $"m").as("a"), greatest($"v", $"m").as("b"))
+      val mins = nbrs.groupBy($"u").agg(
+        min($"v").as("m0"),
+        min(when($"v" < $"u", $"v")).as("ms"))
+      val j = nbrs.join(mins, "u")
+      // large-star: strictly-larger neighbors v connect to
+      // m = min(neighborhood(u) ∪ {u})
+      val large = j.filter($"v" > $"u")
+        .select(least($"v", least($"u", $"m0")).as("a"),
+          greatest($"v", least($"u", $"m0")).as("b"))
         .filter($"a" =!= $"b")
-      // small-star: for every node u, connect all smaller-or-equal neighbors
-      // to the min
-      val smallNbrs = edges.select($"b".as("u"), $"a".as("v")) // v < u
-      val smallMins = smallNbrs.groupBy($"u").agg(min($"v").as("m"))
-      val small = smallNbrs.join(smallMins, "u")
-        .select(least($"v", $"m").as("a"), greatest($"v", $"m").as("b"))
-        .unionByName(smallMins.select($"m".as("a"), $"u".as("b")))
+      // small-star: smaller neighbors v connect to ms = min smaller
+      // neighbor (non-null exactly when such a v exists), plus the
+      // (ms, u) edge itself
+      val small = j.filter($"v" < $"u")
+        .select(least($"v", $"ms").as("a"), greatest($"v", $"ms").as("b"))
+        .unionByName(mins.filter($"ms".isNotNull)
+          .select($"ms".as("a"), $"u".as("b")))
         .filter($"a" =!= $"b")
-      val next = large.unionByName(small).distinct().localCheckpoint()
+      val next = large.unionByName(small).distinct().localCheckpoint(false)
       // converged when the edge set is a stable star forest (a digest
       // collision is negligible and would only end the loop one round
       // early on an already-stable forest)

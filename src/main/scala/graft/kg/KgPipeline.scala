@@ -83,33 +83,53 @@ object KgPipeline {
   /** Stage 5: triple materialization (TripleRule-style S×P×O per focus).
     * Emitted triple sets are distinct; re-running the stage cannot append
     * duplicates because the store commit is lineage-gated (the "store"
-    * marker below), not anti-joined per row. The links ⋈ components join
-    * salts Zipf-head entity ids explicitly (Skew.saltedJoin) — the join AQE
-    * cannot pre-split because it sits inside the driver-orchestrated stage
-    * sequence. */
+    * marker below), not anti-joined per row.
+    *
+    * The r1-r7 versions attached the component to EVERY link row with a
+    * salted links ⋈ components join (Zipf-head entity ids) and took four
+    * distincts over the concatenated IRI strings. But every output branch
+    * depends only on the DISTINCT (doc, entity) pairs or on the
+    * (entity -> component) table — never on the per-link payload — so the
+    * decisions happen on narrow proxies instead (guide §2.3/§8: shuffle
+    * keys, not payloads): one distinct over (doc_id, entity_id), one over
+    * entity_id, and entity-scale broadcast joins against the components
+    * table. The hot-key histogram job and the salted shuffle of the full
+    * link table (span_idx + score never used here) disappear; the skew the
+    * salt handled cannot occur because no join side carries per-link
+    * multiplicity any more. Output triple set is identical. */
   def materializeTriples(links: DataFrame, components: DataFrame,
                          nLinksHint: Option[Long] = None): DataFrame = {
-    val spark = links.sparkSession
-    val linksSel = links.select(col("doc_id"), col("span_idx"), col("entity_id"), col("score"))
-    // callers that already counted the persisted link table pass the count
-    // through — the hot-key threshold does not warrant a second job
-    val nLinks = nLinksHint.getOrElse(linksSel.count())
-    val hot = Skew.hotKeys(linksSel, "entity_id", threshold = math.max(1000L, nLinks / 500L))
-    val ent = Skew.saltedJoin(spark, linksSel,
-      components.withColumnRenamed("id", "entity_id"), "entity_id", hot)
     val docIri = concat(lit("http://graft.dev/doc/"), regexp_replace(col("doc_id"), "^doc:", ""))
     val entIri = concat(lit(KG), lit("entity/"), col("entity_id"))
     val canonIri = concat(lit(KG), lit("entity/"), col("component"))
-    val mentions = ent.select(docIri.as("s"), lit(KG + "mentions").as("p"), entIri.as("o"))
-      .distinct()
+    // entity-scale (vocab-bounded) frames; distincts defend the set
+    // semantics of the old per-branch distincts for any caller input.
+    // The shared proxies are localCheckpoint'd: Spark does not share a
+    // subplan across union branches, so without a materialization the
+    // pairs distinct would recompute once PER BRANCH (measured 4x at
+    // bench scale); the checkpointed frames are narrow (pairs) or
+    // vocab-bounded (comp, present), so the blocks are small.
+    val comp = components.select(col("id").as("entity_id"), col("component"))
+      .distinct().localCheckpoint()
+    val compIds = comp.select(col("entity_id")).distinct()
+    val pairs = links.select(col("doc_id"), col("entity_id")).distinct()
+      .localCheckpoint()
+    val entIds = pairs.select(col("entity_id")).distinct()
+    // inner join against the component ids keeps the old inner-join
+    // semantics (links whose entity lacks a component row emit nothing)
+    val mentions = pairs.join(compIds, "entity_id")
+      .select(docIri.as("s"), lit(KG + "mentions").as("p"), entIri.as("o"))
+    // components restricted to entities that actually appear in links
+    val present = comp.join(entIds, "entity_id").localCheckpoint()
     // no self-loops: canonical roots carry no kg:canonical edge (and the
     // shapes graph asserts canonical entities have none)
-    val canon = ent.filter(col("entity_id") =!= col("component"))
-      .select(entIri.as("s"), lit(KG + "canonical").as("p"), canonIri.as("o")).distinct()
-    val types = ent.select(canonIri.as("s"), lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").as("p"),
-      lit(KG + "Entity").as("o")).distinct()
-    val labels = ent.select(canonIri.as("s"), lit(KG + "label").as("p"),
-      concat(lit("Entity_"), col("component")).as("o")).distinct()
+    val canon = present.filter(col("entity_id") =!= col("component"))
+      .select(entIri.as("s"), lit(KG + "canonical").as("p"), canonIri.as("o"))
+    val comps = present.select(col("component")).distinct()
+    val types = comps.select(canonIri.as("s"), lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").as("p"),
+      lit(KG + "Entity").as("o"))
+    val labels = comps.select(canonIri.as("s"), lit(KG + "label").as("p"),
+      concat(lit("Entity_"), col("component")).as("o"))
     mentions.unionByName(canon).unionByName(types).unionByName(labels)
   }
 

@@ -64,7 +64,14 @@ object Dedup {
   def minhashLshPortable(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 16, bands: Int = 4): DataFrame = {
     val bandWidth = n / bands
-    val banded = minhashSigPortable(docs, idCol, textCol, n).select(col("id"),
+    // signature table materialized ONCE (one array<long> row per doc):
+    // both sides of the bucket self-join read the checkpoint instead of
+    // re-running the shingle + md5 + n-min aggregation per side (same
+    // duplicated-subplan trap as the simhash banded join — broadcast
+    // joins reuse no exchange). Re-widened so the banded join streams on
+    // all cores instead of the one AQE-coalesced partition.
+    val sig = widen(minhashSigPortable(docs, idCol, textCol, n).localCheckpoint())
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           array_join(transform(slice(col("sig"), b * bandWidth + 1, bandWidth),
@@ -126,28 +133,49 @@ object Dedup {
 
   /** Banded candidate join + exact Hamming verify over a (id, sh) signature
     * frame (see [[simhashNearDupPortable]] for the pigeonhole derivation). */
-  private def simhashBandedPairs(sh: DataFrame, maxDist: Int): DataFrame = {
+  private def simhashBandedPairs(sh0: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"maxDist must be in [0, 63] for 64-bit simhash (got $maxDist)")
+    // materialize the signature table ONCE: the bucket self-join consumes
+    // it as BOTH sides, and Spark re-executes the whole tokenize + md5 +
+    // 64-vote aggregation per side when the join broadcasts (no exchange
+    // on the join key -> no exchange reuse; the r8 plan audit measured the
+    // signature pipeline duplicated operator-for-operator). The table is
+    // two longs per document, so the checkpoint is tiny at any scale.
+    // Re-widened after the checkpoint: AQE coalesces the tiny aggregate to
+    // one partition, which would serialize the whole banded join + Hamming
+    // verify (the r8 stage audit measured it as a single 1.8 s task) —
+    // the join's candidate work, not the signature bytes, needs the cores.
+    val sh = widen(sh0.localCheckpoint())
     val nBands = math.min(maxDist + 1, 64)
     val bounds = (0 to nBands).map(b => 64 * b / nBands)
-    val bandCols = (0 until nBands).map { b =>
+    def bandOf(c: Column, b: Int): Column = {
       val lo = bounds(b); val width = bounds(b + 1) - lo
-      val shifted = shiftrightunsigned(col("sh"), lo)
+      val shifted = shiftrightunsigned(c, lo)
       if (width >= 64) shifted else shifted.bitwiseAND(lit((1L << width) - 1L))
     }
+    val bandCols = (0 until nBands).map(b => bandOf(col("sh"), b))
     val chunked = sh.select(col("id"), col("sh"),
       posexplode(array(bandCols: _*)))
       .select(col("id"), col("sh"), col("pos").as("chunk"), col("col").as("ck"))
     val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // a pair that agrees on several bands collides in several chunks; emit
+    // it ONLY from the first agreeing band (band b agrees iff the band
+    // slice of sh_a^sh_b is 0 — bit-slicing commutes with xor), which
+    // de-duplicates in the codegen'd filter itself instead of shuffling
+    // every band collision (~2.5M rows at sf0.1) through a distinct. The
+    // joined chunk always agrees, so firstEq <= chunk and exactly one
+    // chunk passes per pair: the result SET is identical to the old
+    // dist-filter + distinct.
+    val xorc = col("sh_a").bitwiseXOR(col("sh_b"))
+    val firstEq = (0 until nBands).foldRight(lit(nBands): Column) { (b0, els) =>
+      when(bandOf(xorc, b0) === 0L, lit(b0)).otherwise(els)
+    }
     a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
+      .filter(col("chunk") === firstEq)
       .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("dist"))
-      // dist filter BEFORE the dedupe: dist is functional on the pair, so
-      // the result is identical, but the distinct's shuffle input shrinks
-      // from every band collision (~2.5M pairs at sf0.1) to the survivors
       .filter(col("dist") <= maxDist)
-      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT baseline: every (a < b)
@@ -228,15 +256,50 @@ object Dedup {
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf)).select(col("s"))
     val posting = sh.join(rare, "s")
-    val cand = posting.select(col("s"), col("id").as("id_a"))
-      .join(posting.select(col("s"), col("id").as("id_b")), "s")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // candidate pairs straight from the bounded posting lists: per rare
+    // shingle the (≤ maxDf) sorted doc ids expand to their i<j pairs in one
+    // codegen'd explode, replacing the posting self-join. The collect_list
+    // only ever sees df-capped shingles (the two-phase rare filter keeps
+    // hot boilerplate shingles from being collected at all), so the lists
+    // are bounded at any scale; the groupBy reuses the join's s-partitioning
+    // so no new exchange is paid. Same candidate set as the self-join.
+    val cand = posting.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("pr"))
+      .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .distinct().localCheckpoint()
+    // pair-bounded frame, materialized once: it feeds the id filter AND
+    // both verify joins below, which would otherwise re-run the whole
+    // rare/collect/explode chain per consumer. Re-widened so the
+    // per-pair array-intersect verify streams on all cores instead of
+    // the one AQE-coalesced partition.
+    val candW = widen(cand)
     // verify over shingle ARRAYS rebuilt from the checkpointed posting
     // list (collect_list order differs from parse order; the set ops are
-    // order-insensitive, so jaccard matches ngramJaccard exactly)
-    val arr = sh.groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
-    cand
+    // order-insensitive, so jaccard matches ngramJaccard exactly).
+    // Restricted to CANDIDATE docs first: the inner joins below only ever
+    // read candidate rows, and at corpus scale collecting full shingle
+    // arrays for every document is a full-corpus shuffle where a
+    // candidate-bounded one suffices (guide §3.2 semi-join reduction).
+    // explicit repartition (non-coalescable) after the tiny distinct: AQE
+    // coalesces the candIds exchange to one partition, and because the
+    // array-rebuild joins STREAM this side, the whole arr build plus the
+    // first verify join would otherwise pipeline on a single task (the r8
+    // stage audit measured it as one 1.5 s task writing the 136 MB
+    // pair×array exchange)
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // non-coalescable layout for the array table as well: the verify joins
+    // stream it (cand broadcasts), so its partition count bounds the
+    // parallelism of the per-pair intersect work — AQE would coalesce the
+    // ~MB-scale exchange to 1-2 partitions and serialize ~5 s of CPU
+    val arr = sh.join(candIds, "id")
+      .groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    candW
       .join(arr.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(arr.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -325,13 +388,19 @@ object Dedup {
     val rare = wins.groupBy(col("fp")).agg(countDistinct(col("id")).as("df"))
       .filter(col("df").between(2, maxDf)).select(col("fp"))
     val posting = wins.join(rare, "fp")
+    // no distinct: (id, pos) is unique in wins and fp is FUNCTIONAL on
+    // (id, pos) — the posting self-join therefore emits each
+    // (id_a, pos_a, id_b, pos_b) combination exactly once, and the
+    // projection to (id_a, id_b, d = pos_b - pos_a, pos_a) is bijective in
+    // pos_b, so match rows are already distinct. Dropping the distinct
+    // removes one full exchange of the match set from every substring
+    // query (the oracle's DISTINCT sees the same set either way).
     val matches = posting.select(col("fp"), col("id").as("id_a"), col("pos").as("pos_a"))
       .join(posting.select(col("fp"), col("id").as("id_b"), col("pos").as("pos_b")), "fp")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), (col("pos_b") - col("pos_a")).as("d"), col("pos_a"))
-      .distinct()
     // diagonal span merge: partition (id_a, id_b, d) is one aligned run
-    // family; pos_a is unique within it after the distinct, so the running
+    // family; pos_a is unique within it (see above), so the running
     // max over strictly-preceding rows marks span starts deterministically
     val byDiag = Window.partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("pos_a"))
     val prevEnd = max(col("pos_a") + window)

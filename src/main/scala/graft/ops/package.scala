@@ -19,7 +19,7 @@ package object ops {
     * frames this guards (the plan is a parquet scan), but do not call it on
     * deep mid-pipeline plans.
     */
-  private[ops] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

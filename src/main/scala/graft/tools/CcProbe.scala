@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-round timing of the CC fixpoint over the bench link graph
+  * (diagnostic only — mirrors ConnectedComponents.run's loop). */
+object CcProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(40000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.max(cpus * 4, 16).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.kg.{DocSynth, KgPipeline}
+
+    val docs = DocSynth.docs(spark, nDocs, 42, cpus)
+    val links = KgPipeline.linkEntities(spark,
+      KgPipeline.mentions(KgPipeline.tagSpans(docs))).toDF().persist()
+    links.count()
+    // warm one full run
+    KgPipeline.canonicalize(spark, links).count()
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[ccprobe] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+
+    val edges0 = KgPipeline.entityEdges(links)
+    var edges = timed("init distinct+ckpt") {
+      val e = edges0.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .filter($"a" =!= $"b").distinct().localCheckpoint(false)
+      e.count(); e
+    }
+    def digest(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64($"a", $"b").cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    var edgesDigest = timed("init digest")(digest(edges))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 50) {
+      val next = timed(s"round $iter build") {
+        val nbrs = edges.select($"a".as("u"), $"b".as("v"))
+          .unionByName(edges.select($"b".as("u"), $"a".as("v")))
+        val mins = nbrs.groupBy($"u").agg(
+          min($"v").as("m0"), min(when($"v" < $"u", $"v")).as("ms"))
+        val j = nbrs.join(mins, "u")
+        val large = j.filter($"v" > $"u")
+          .select(least($"v", least($"u", $"m0")).as("a"),
+            greatest($"v", least($"u", $"m0")).as("b"))
+          .filter($"a" =!= $"b")
+        val small = j.filter($"v" < $"u")
+          .select(least($"v", $"ms").as("a"), greatest($"v", $"ms").as("b"))
+          .unionByName(mins.filter($"ms".isNotNull).select($"ms".as("a"), $"u".as("b")))
+          .filter($"a" =!= $"b")
+        large.unionByName(small).distinct().localCheckpoint(false)
+      }
+      val nextDigest = timed(s"round $iter digest")(digest(next))
+      converged = nextDigest == edgesDigest
+      edges = next
+      edgesDigest = nextDigest
+      iter += 1
+    }
+    println(s"[ccprobe] rounds=$iter edges=${edgesDigest._1}")
+    spark.stop()
+  }
+}
