@@ -57,22 +57,31 @@ object ConnectedComponents {
       val mins = nbrs.groupBy($"u").agg(
         min($"v").as("m0"),
         min(when($"v" < $"u", $"v")).as("ms"))
-      val j = nbrs.join(mins, "u")
-      // large-star: strictly-larger neighbors v connect to
-      // m = min(neighborhood(u) ∪ {u})
-      val large = j.filter($"v" > $"u")
-        .select(least($"v", least($"u", $"m0")).as("a"),
-          greatest($"v", least($"u", $"m0")).as("b"))
-        .filter($"a" =!= $"b")
-      // small-star: smaller neighbors v connect to ms = min smaller
-      // neighbor (non-null exactly when such a v exists), plus the
-      // (ms, u) edge itself
-      val small = j.filter($"v" < $"u")
-        .select(least($"v", $"ms").as("a"), greatest($"v", $"ms").as("b"))
+      // force sort-merge: both sides are already hash-partitioned by u
+      // (mins IS the aggregate of the nbrs exchange), so SMJ reuses that
+      // exchange and sorts — AQE's broadcast conversion would instead pay
+      // a broadcast-build job EVERY round, which at bench scale costs more
+      // than the sort it saves, and at real scale mins is entity-count
+      // sized (not broadcastable anyway)
+      val j = nbrs.join(mins.hint("shuffle_merge"), "u")
+      // every joined row belongs to exactly ONE star (v > u: large-star,
+      // connect v to m = min(neighborhood(u) ∪ {u}); v < u: small-star,
+      // connect v to ms = min smaller neighbor, non-null whenever a v < u
+      // row exists), so both stars project from j in a single conditional
+      // branch — a two-branch union would re-evaluate the whole
+      // nbrs/mins/join subplan per branch (union branches share no
+      // subplan; the r8 job audit counted ~12 jobs per round from the
+      // duplication). The small-star's own (ms, u) edges come from the
+      // mins aggregate directly.
+      val m = least($"u", $"m0")
+      val fromJ = j.select(
+        when($"v" > $"u", least($"v", m)).otherwise(least($"v", $"ms")).as("a"),
+        when($"v" > $"u", greatest($"v", m)).otherwise(greatest($"v", $"ms")).as("b"))
+      val next = fromJ
         .unionByName(mins.filter($"ms".isNotNull)
           .select($"ms".as("a"), $"u".as("b")))
         .filter($"a" =!= $"b")
-      val next = large.unionByName(small).distinct().localCheckpoint(false)
+        .distinct().localCheckpoint(false)
       // converged when the edge set is a stable star forest (a digest
       // collision is negligible and would only end the loop one round
       // early on an already-stable forest)

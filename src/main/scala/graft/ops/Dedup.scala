@@ -42,8 +42,13 @@ object Dedup {
   def minhashSigPortable(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 16): DataFrame = {
     val P = 2147483647L // 2^31 - 1, prime
+    // codegen'd shingle loop (WordShingles) instead of the interpreted
+    // HOF chain — byte-identical shingle strings, so the md5-derived
+    // signature values (and the DuckDB oracle) are unchanged
+    WordShingles.ensure(docs.sparkSession)
     val h = widen(docs).select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol)))).as("s"))
+      explode(array_distinct(call_function("graft_shingles",
+        split(lower(trim(col(textCol))), "\\s+"), lit(3)))).as("s"))
       .select(col("id"), md5(col("s")).as("m"))
       .select(col("id"),
         conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h1"),
@@ -248,8 +253,10 @@ object Dedup {
     // sets — md5 (not xxhash64) so the DuckDB oracle recomputes the exact
     // same values (collisions: ~2^-60 per pair, and identical engines
     // would collide identically anyway)
+    WordShingles.ensure(docs.sparkSession)
     val sh = widen(docs).select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("s"))
+      explode(array_distinct(call_function("graft_shingles",
+        split(lower(trim(col(textCol))), "\\s+"), lit(k)))).as("s"))
       .select(col("id"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s"))
       .localCheckpoint()
@@ -371,15 +378,21 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // one pass builds (id, pos, fp); checkpointed because the frame feeds
     // the df count AND both sides of the bucket join (lazy recompute would
-    // re-tokenize every document ~3x, same trap as ngramJaccardJoin)
-    val toks = toks0
-      .filter(size(col("tk")) >= window) // sequence() throws on empty ranges
-    val wins = toks.select(col("id"), explode(transform(
-        sequence(lit(1), size(col("tk")) - window + 1, lit(stride)),
-        i => struct(i.cast("long").as("pos"),
-          conv(substring(md5(array_join(slice(col("tk"), i, lit(window)), " ")), 1, 15),
-            16, 10).cast("long").as("fp")))).as("w"))
-      .select(col("id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+    // re-tokenize every document ~3x, same trap as ngramJaccardJoin).
+    // Window strings come from the codegen'd WordShingles loop (same
+    // bytes as the old per-position slice+array_join lambda, so the md5
+    // fingerprints and the DuckDB oracle are unchanged); md5/conv run as
+    // plain codegen'd column expressions on the exploded rows instead of
+    // inside an interpreted lambda. Stride subsampling keeps the same
+    // 1-based positions {1, 1+stride, ...} the old sequence() emitted.
+    WordShingles.ensure(toks0.sparkSession)
+    val toks = toks0.filter(size(col("tk")) >= window)
+    val wins0 = toks.select(col("id"),
+        posexplode(call_function("graft_shingles", col("tk"), lit(window))))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("fp"))
+    val wins = (if (stride == 1) wins0
+                else wins0.filter((col("pos") - 1) % stride === 0))
       .localCheckpoint()
     // df = DISTINCT documents (true document frequency): an intra-document
     // repeat must neither trip the cap (masking that window's genuine
@@ -516,14 +529,14 @@ object Dedup {
   private def decontaminateCore(docsTk: DataFrame, benchTk: DataFrame,
                                 n: Int): DataFrame = {
     require(n >= 2, s"window must be >= 2 tokens (got $n)")
+    // same codegen'd window-string loop as substringDedupCore — identical
+    // bytes, identical md5 fingerprints
+    WordShingles.ensure(docsTk.sparkSession)
     def wins(df: DataFrame) =
       df.filter(size(col("tk")) >= n)
-        .select(col("id"), explode(transform(
-          sequence(lit(1), size(col("tk")) - n + 1),
-          i => struct(i.cast("long").as("pos"),
-            conv(substring(md5(array_join(slice(col("tk"), i, lit(n)), " ")), 1, 15),
-              16, 10).cast("long").as("fp")))).as("w"))
-        .select(col("id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+        .select(col("id"), posexplode(call_function("graft_shingles", col("tk"), lit(n))))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+          conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("fp"))
     val b = wins(benchTk)
       .select(col("fp"), col("id").as("bench_id")).distinct()
     wins(docsTk)

@@ -153,8 +153,10 @@ object TextOps {
         .as("dup_line_frac"),
       round(sum((col("c") - 1) * col("len")).cast("double") /
         greatest(sum(col("c") * col("len")), lit(1L)), 4).as("dup_line_char_frac"))
+    WordShingles.ensure(docs.sparkSession)
     val bigramCounts = base
-      .select(col("id"), explode(Dedup.shingles(col("text"), 2)).as("bg"))
+      .select(col("id"), explode(call_function("graft_shingles",
+        split(lower(trim(col("text"))), "\\s+"), lit(2))).as("bg"))
       .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
     val topBigram = bigramCounts
       .withColumn("rn", row_number().over(

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Shared helpers for the ops tier. */
 package object ops {
@@ -14,13 +15,25 @@ package object ops {
     * at real scale inputs arrive in thousands of splits and this is a
     * no-op.
     *
-    * Cost note: reading the partition count via `df.rdd` forces physical
-    * planning of the upstream plan once per call — cheap for the scan-level
-    * frames this guards (the plan is a parquet scan), but do not call it on
-    * deep mid-pipeline plans.
+    * Frames that already contain a shuffle-producing operator (join,
+    * aggregate, window, repartition, distinct) are returned untouched:
+    * they already run at shuffle parallelism, and reading the partition
+    * count via `df.rdd` is NOT free for them — under AQE it executes every
+    * upstream query stage just to finalize the plan (the r8 stage audit
+    * caught a full extra materialization of the clean-pipeline quality
+    * stage from exactly this probe). For the shuffle-free frames this
+    * guards (scan + projections/filters/generates), `df.rdd` only plans.
     */
   private[graft] def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val hasShuffleOp = df.queryExecution.logical.collectFirst {
+      case _: Join => (); case _: Aggregate => (); case _: Window => ()
+      case _: RepartitionOperation => (); case _: Distinct => ()
+      case _: Deduplicate => ()
+    }.isDefined
+    if (hasShuffleOp) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 }

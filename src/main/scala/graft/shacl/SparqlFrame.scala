@@ -624,16 +624,21 @@ final class SparqlFrame(
   }
 
   /** WHERE group of every full-bodied SHACLFunction call anywhere inside
-    * the expression (args recurse; EXISTS bodies are walked separately via
-    * [[existsGroups]], whose groups re-enter quadCompatible and reach the
-    * filters inside). quadCompatible requires each one to itself ride the
-    * quad path before lifting the call, and hasGraphPat walks them so a
-    * body's nested GRAPH cannot hide under GRAPH <iri>. */
-  private def fnBodyGroups(e: SqExpr): List[SqGroup] = e match {
+    * the expression, paired with the function's IRI (args recurse; EXISTS
+    * bodies are walked separately via [[existsGroups]], whose groups
+    * re-enter quadCompatible and reach the filters inside). quadCompatible
+    * requires each one to itself ride the quad path before lifting the
+    * call, and hasGraphPat walks them so a body's nested GRAPH cannot hide
+    * under GRAPH <iri>. The IRI lets those walkers thread a visited set:
+    * a self- or mutually-recursive function definition would otherwise
+    * recurse unboundedly at plan-compatibility time (StackOverflowError)
+    * — a visited body is instead treated as non-quad-compatible, which
+    * just routes the block to the per-graph loop. */
+  private def fnBodyGroups(e: SqExpr): List[(String, SqGroup)] = e match {
     case EFnIri(iri, as) =>
       val own = fns.get(iri).flatMap(_.body.toOption).toList.collect {
-        case sel: SqSelect => sel.where
-        case ask: SqAsk => ask.where
+        case sel: SqSelect => iri -> sel.where
+        case ask: SqAsk => iri -> ask.where
       }
       own ++ as.flatMap(fnBodyGroups)
     case EBin(_, l, r) => fnBodyGroups(l) ++ fnBodyGroups(r)
@@ -677,7 +682,7 @@ final class SparqlFrame(
     * to the per-graph loop (bounded by MaxGraphLoop):
     * GRAPH-under-GRAPH-<iri> and filter/bind EXISTS or SHACLFunction
     * bodies that are themselves non-quad-compatible. */
-  private def quadCompatible(g: SqGroup): Boolean = {
+  private def quadCompatible(g: SqGroup, seen: Set[String] = Set.empty): Boolean = {
     // pattern-bearing: something must bind ?g per graph — a bare triple, an
     // OPTIONAL/UNION whose branches are themselves pattern-bearing (checked
     // recursively below), or a sub-select / nested GRAPH (the evaluator
@@ -700,38 +705,42 @@ final class SparqlFrame(
       // re-enters the quad evaluator with ?g in the correlation key
       // (top-level as a semi/anti join, nested via liftExists markers),
       // as long as every EXISTS body is itself quad-compatible
-      case SqFilter(EExists(g2, _)) => quadCompatible(g2)
-      case SqFilter(ENot(EExists(g2, _))) => quadCompatible(g2)
+      case SqFilter(EExists(g2, _)) => quadCompatible(g2, seen)
+      case SqFilter(ENot(EExists(g2, _))) => quadCompatible(g2, seen)
       // full-bodied SHACLFunction calls ride the path when every body's
       // WHERE is itself quad-compatible: the body evaluates through
       // evalQuadGroup keyed on the (args, graph) seed (r7)
       case SqFilter(e) =>
-        existsGroups(e).forall(quadCompatible) && fnBodyGroups(e).forall(quadCompatible)
+        existsGroups(e).forall(quadCompatible(_, seen)) &&
+          fnBodyGroups(e).forall { case (iri, g2) =>
+            !seen.contains(iri) && quadCompatible(g2, seen + iri) }
       // BIND folds with the patterns, but the evaluator seeds ?g first
       // when the expression needs it (EXISTS, a full-bodied function call
       // — whose result is per-graph — or a direct ?g reference), so
       // EXISTS- and function-bearing BINDs ride the path when their
       // bodies do
       case SqBind(e, _) =>
-        existsGroups(e).forall(quadCompatible) && fnBodyGroups(e).forall(quadCompatible)
-      case SqOptional(g2) => quadCompatible(g2)
-      case SqUnion(branches) => branches.forall(quadCompatible)
+        existsGroups(e).forall(quadCompatible(_, seen)) &&
+          fnBodyGroups(e).forall { case (iri, g2) =>
+            !seen.contains(iri) && quadCompatible(g2, seen + iri) }
+      case SqOptional(g2) => quadCompatible(g2, seen)
+      case SqUnion(branches) => branches.forall(quadCompatible(_, seen))
       // GRAPH $shapesGraph must re-enter evalGroup (it swaps activeT to
       // the shapes frame, not a data graph) — per-graph loop handles it
-      case SqGraphPat(TVar(v), g2) => v != "shapesGraph" && quadCompatible(g2)
+      case SqGraphPat(TVar(v), g2) => v != "shapesGraph" && quadCompatible(g2, seen)
       // nested GRAPH <iri> re-scopes to ONE fixed graph: a single quad
       // evaluation over the frame filtered to that graph (late r6). A
       // further GRAPH nested inside it must range over ALL named graphs
       // again, which the filtered frame cannot express — keep those on
       // the loop.
       case SqGraphPat(TConst(_: graft.rdf.Iri), g2) =>
-        quadCompatible(g2) && !hasGraphPat(g2)
+        quadCompatible(g2, seen) && !hasGraphPat(g2, seen)
       // sub-selects ride the hidden graph key: GROUP BY aggregates group
       // per graph, OFFSET/LIMIT rank per graph (project's sliceBy), and a
       // GLOBAL aggregate per-graph-izes via aggregateStep's fillEmpty
       // (matchless graphs get the SPARQL empty-group row: COUNT/SUM 0,
       // GROUP_CONCAT "", the rest unbound)
-      case SqSubSelect(sel) => quadCompatible(sel.where)
+      case SqSubSelect(sel) => quadCompatible(sel.where, seen)
       case _ => false
     }
   }
@@ -739,19 +748,23 @@ final class SparqlFrame(
   /** Any GRAPH pattern anywhere under the group (used to keep nested
     * GRAPH-inside-GRAPH-<iri> off the single-pass path — see
     * quadCompatible). */
-  private def hasGraphPat(g: SqGroup): Boolean = g.elems.exists {
+  private def hasGraphPat(g: SqGroup, seen: Set[String] = Set.empty): Boolean = g.elems.exists {
     case _: SqGraphPat => true
-    case SqOptional(g2) => hasGraphPat(g2)
-    case SqUnion(bs) => bs.exists(hasGraphPat)
-    case SqSubSelect(sel) => hasGraphPat(sel.where)
+    case SqOptional(g2) => hasGraphPat(g2, seen)
+    case SqUnion(bs) => bs.exists(hasGraphPat(_, seen))
+    case SqSubSelect(sel) => hasGraphPat(sel.where, seen)
     // EXISTS and SHACLFunction bodies anywhere in a filter/bind
     // expression — an expression-NESTED body can smuggle a GRAPH pattern
     // past a top-level-only check, and under GRAPH <iri> that pattern
     // would wrongly range over the constant-filtered frame
     case SqFilter(e) =>
-      existsGroups(e).exists(hasGraphPat) || fnBodyGroups(e).exists(hasGraphPat)
+      existsGroups(e).exists(hasGraphPat(_, seen)) ||
+        fnBodyGroups(e).exists { case (iri, g2) =>
+          !seen.contains(iri) && hasGraphPat(g2, seen + iri) }
     case SqBind(e, _) =>
-      existsGroups(e).exists(hasGraphPat) || fnBodyGroups(e).exists(hasGraphPat)
+      existsGroups(e).exists(hasGraphPat(_, seen)) ||
+        fnBodyGroups(e).exists { case (iri, g2) =>
+          !seen.contains(iri) && hasGraphPat(g2, seen + iri) }
     case _ => false
   }
 
@@ -1620,7 +1633,11 @@ object SparqlFrame {
     * per run via ValidationOptions.maxGraphLoop — callers with mid-scale
     * multigraph datasets (1k-10k vocab graphs) can opt back into the
     * slow-but-correct loop. */
-  val MaxGraphLoop: Int = sys.env.get("GRAFT_MAX_GRAPH_LOOP") match {
+  // lazy: an unparseable GRAFT_MAX_GRAPH_LOOP must surface as the
+  // IllegalArgumentException below at the access site — a strict val would
+  // wrap it in ExceptionInInitializerError from the object initializer
+  // (and NoClassDefFoundError on later accesses), hiding the message
+  lazy val MaxGraphLoop: Int = sys.env.get("GRAFT_MAX_GRAPH_LOOP") match {
     case None => 1000
     case Some(s) => scala.util.Try(s.trim.toInt).getOrElse(
       // a set-but-unparseable bound is an operator typo ('10k'), not a

@@ -43,14 +43,19 @@ object CleanCli {
     //   keep-one loser (df = 2)
     // - bench doc m carries a 15-token eval phrase derived from m; corpus
     //   docs with n % 499 == 7 append the phrase of bench doc
-    //   ((n % 200) * 1000) -> decontaminate drops them (shared 13-grams)
+    //   ((n % benchMod) * 1000) -> decontaminate drops them (shared
+    //   13-grams). benchMod = the ACTUAL bench-doc count (nDocs/1000), so
+    //   the referenced bench doc exists at every soak size — a fixed
+    //   modulo 200 assumed nDocs >= 200k and silently gave the
+    //   decontaminate stage less work below that
     val pairBase = when(col("n") % 100 === 2, col("n")).otherwise(col("n") - 1)
     val dupRun = concat_ws(" ", (0 until 30).map(i =>
       concat(lit("dup"), pairBase.cast("string"), lit(s"x$i"))): _*)
     val withDup = when(col("n") % 100 === 2 || col("n") % 100 === 3,
       concat(col("text"), lit(" "), dupRun)).otherwise(col("text"))
+    val benchMod = math.max(1L, nDocs / 1000L)
     val evalPhrase = concat_ws(" ", (0 until 15).map(i =>
-      concat(lit("evalq"), ((col("n") % 200) * 1000).cast("string"), lit(s"y$i"))): _*)
+      concat(lit("evalq"), ((col("n") % benchMod) * 1000).cast("string"), lit(s"y$i"))): _*)
     val corpusText = when(col("n") % 499 === 7, concat(withDup, lit(" "), evalPhrase))
       .otherwise(withDup)
     val benchText = concat(col("text"), lit(" "),
