@@ -160,8 +160,9 @@ object Queries {
     val keys = t(s, d, "part").select(col("p_partkey"))
     val edges = keys.filter(col("p_partkey") % 10 =!= 9)
       .select(col("p_partkey").as("src"), (col("p_partkey") + 1).as("dst"))
-    val cc = ConnectedComponents.run(s, edges)
-    ConnectedComponents.withSingletons(cc, keys.select(col("p_partkey").as("id")))
+    // the part keys cover every edge endpoint (dst = key + 1 of a key with
+    // key % 10 != 9, i.e. the next key), so the fused finale applies
+    ConnectedComponents.runWithVertices(s, edges, keys.select(col("p_partkey").as("id")))
   }
 
   // --------------------------------------------------------------------

@@ -22,6 +22,20 @@ object ConnectedComponents {
 
   def run(spark: SparkSession, edges0: DataFrame, maxIter: Int = 50): DataFrame = {
     import spark.implicits._
+    val edges = converge(spark, edges0, maxIter)
+    // final edge set is (component-min, member); add singleton roots
+    val members = edges.select($"b".as("id"), $"a".as("component"))
+    val roots = edges.select($"a".as("id")).distinct()
+      .join(members.select($"id"), Seq("id"), "left_anti")
+      .select($"id", $"id".as("component"))
+    members.unionByName(roots)
+  }
+
+  /** The alternating-star fixpoint itself; returns the converged star
+    * forest's edge set (component-min a, member b). */
+  private def converge(spark: SparkSession, edges0: DataFrame,
+                       maxIter: Int): DataFrame = {
+    import spark.implicits._
     // undirected, deduped, self-loops dropped; canonical a<b. Checkpoints
     // are LAZY throughout: the digest aggregation right below each one is
     // the materializing action, so every round costs ONE job (digest) that
@@ -91,12 +105,27 @@ object ConnectedComponents {
       edgesDigest = nextDigest
       iter += 1
     }
-    // final edge set is (component-min, member); add singleton roots
-    val members = edges.select($"b".as("id"), $"a".as("component"))
-    val roots = edges.select($"a".as("id")).distinct()
+    edges
+  }
+
+  /** run + withSingletons fused for the common case where `vertices`
+    * covers every edge endpoint (both in-repo callers construct vertices
+    * as exactly the id universe the edges come from): the converged star
+    * forest's roots and the edge-free singletons are together just
+    * "vertices that are nobody's member", so ONE anti-join replaces the
+    * separate roots distinct + anti-join + singleton anti-join (three
+    * stage-jobs of the finale). Same output rows as
+    * `withSingletons(run(...), vertices)` whenever the coverage
+    * precondition holds. */
+  def runWithVertices(spark: SparkSession, edges0: DataFrame,
+                      vertices: DataFrame, maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val members = converge(spark, edges0, maxIter)
+      .select($"b".as("id"), $"a".as("component"))
+    vertices.select(col("id"))
       .join(members.select($"id"), Seq("id"), "left_anti")
-      .select($"id", $"id".as("component"))
-    members.unionByName(roots)
+      .withColumn("component", col("id"))
+      .unionByName(members)
   }
 
   /** Convenience for vertices that may not appear in any edge. */

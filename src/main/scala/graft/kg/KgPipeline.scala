@@ -76,8 +76,9 @@ object KgPipeline {
   def canonicalize(spark: SparkSession, links: DataFrame): DataFrame = {
     val edges = entityEdges(links)
     val vertices = links.select(col("entity_id").as("id")).distinct()
-    val cc = ConnectedComponents.run(spark, edges)
-    ConnectedComponents.withSingletons(cc, vertices)
+    // vertices = the link entities = exactly the edge-id universe, so the
+    // fused finale applies (one anti-join instead of roots + singletons)
+    ConnectedComponents.runWithVertices(spark, edges, vertices)
   }
 
   /** Stage 5: triple materialization (TripleRule-style S×P×O per focus).
