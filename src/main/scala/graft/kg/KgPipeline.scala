@@ -37,19 +37,32 @@ object KgPipeline {
       .select(col("doc_id"), col("span_idx"), col("offset"),
         explode(expr("regexp_extract_all(text, 'Entity_[0-9]+', 0)")).as("surface"))
 
-  /** Stage 3: batched entity-link scoring per partition. The scorer context
-    * is built once per partition (the real system would batch a model);
-    * scoring itself is deterministic. */
+  /** Stage 3: entity-link scoring. [[EntityScorer]] defines the scoring
+    * contract (deterministic String.hashCode-derived confidence); the
+    * distributed path evaluates the same arithmetic as native codegen'd
+    * column expressions — the r1-r7 typed mapPartitions closure paid an
+    * encoder round trip (InternalRow -> Scala tuple -> Link object ->
+    * InternalRow) per mention and hid the projection from Catalyst
+    * (guide §4/§2.3: opaque closures defeat column pruning). Values are
+    * bit-identical: graft_java_hash IS String.hashCode, and the
+    * long/double arithmetic mirrors score() operation for operation. */
   def linkEntities(spark: SparkSession, mentions: DataFrame): Dataset[Link] = {
     import spark.implicits._
-    mentions.select($"doc_id", $"span_idx", $"surface").as[(String, Int, String)]
-      .mapPartitions { it =>
-        // per-partition "model" initialization happens here, once
-        val scorer = new EntityScorer
-        it.map { case (d, i, s) => scorer.score(d, i, s) }
-      }
+    JavaStringHash.ensure(spark)
+    val dh = call_function("graft_java_hash", $"doc_id").cast("long")
+    val sh = call_function("graft_java_hash", $"surface").cast("long")
+    val h = (dh * 31L + sh).bitwiseAND(lit(0x7fffffffL))
+    mentions.select(
+      $"doc_id",
+      $"span_idx".cast("int").as("span_idx"),
+      $"surface",
+      substring($"surface", 8, Int.MaxValue).cast("long").as("entity_id"),
+      (lit(0.5) + (h % 1000L).cast("double") / 2000.0d).as("score")
+    ).as[Link]
   }
 
+  /** Reference scorer — the per-row contract [[linkEntities]] compiles to
+    * column expressions (kept as the executable spec + for tests). */
   final class EntityScorer extends Serializable {
     def score(doc: String, idx: Int, surface: String): Link = {
       val id = surface.stripPrefix("Entity_").toLong

@@ -46,6 +46,22 @@ class KgSpec extends AnyFunSuite {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("linkEntities native expressions match the EntityScorer contract") {
+    // r8 moved scoring from the typed mapPartitions closure to codegen'd
+    // column expressions; every field (incl. the hashCode-derived double
+    // score) must be bit-identical to the reference scorer
+    val docs = DocSynth.docs(spark, 500, seed = 42, partitions = 4)
+    val ments = KgPipeline.mentions(KgPipeline.tagSpans(docs))
+    val got = KgPipeline.linkEntities(spark, ments).collect().toSeq
+      .sortBy(l => (l.doc_id, l.span_idx, l.surface, l.entity_id))
+    val scorer = new KgPipeline.EntityScorer
+    val expected = ments.select($"doc_id", $"span_idx", $"surface")
+      .as[(String, Int, String)].collect().toSeq
+      .map { case (d, i, s) => scorer.score(d, i, s) }
+      .sortBy(l => (l.doc_id, l.span_idx, l.surface, l.entity_id))
+    assert(got == expected)
+  }
+
   test("pipeline is resumable: second run reuses persisted stages") {
     val out = java.nio.file.Files.createTempDirectory("kgresume").toString
     val c1 = KgPipeline.run(spark, out, 300, partitions = 4, validate = false, runId = "a")
