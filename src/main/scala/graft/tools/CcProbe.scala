@@ -20,7 +20,7 @@ object CcProbe {
     import spark.implicits._
     import graft.kg.{DocSynth, KgPipeline}
 
-    val docs = DocSynth.docs(spark, nDocs, 42, cpus)
+    val docs = DocSynth.docs(spark, nDocs, 42, if (args.length > 1) 128 else cpus, if (args.length > 1) args(1).toInt else 1)
     val links = KgPipeline.linkEntities(spark,
       KgPipeline.mentions(KgPipeline.tagSpans(docs))).toDF().persist()
     links.count()
