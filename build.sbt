@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Shuffle writer selection (r8, guide §2.2/§9): below this reducer
+  // count Spark's bypass-merge writer opens one file PER REDUCER per map
+  // task — at the core-scaled 128 shuffle partitions that is 128 files
+  // per map task, measured as a consistent ~4x tax on every exchange over
+  // small-to-mid map outputs (0.8 s -> 0.2 s for a 260k-row groupBy,
+  // tools/CkptScanProbe). The sort-based writer (one file per map task,
+  // what every >200-reducer production shuffle uses anyway) takes over
+  // sooner; override via SPARK_SHUFFLE_BYPASS_MAX for deployments whose
+  // reducer counts and disks favor the bypass path.
+  s"-Dspark.shuffle.sort.bypassMergeThreshold=${sys.env.getOrElse("SPARK_SHUFFLE_BYPASS_MAX", "64")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
