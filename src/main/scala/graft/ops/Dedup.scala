@@ -41,21 +41,19 @@ object Dedup {
     * hash-oracled, so this is the one maintained path — VERDICT r6 #7.) */
   def minhashSigPortable(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 16): DataFrame = {
-    val P = 2147483647L // 2^31 - 1, prime
-    // codegen'd shingle loop (WordShingles) instead of the interpreted
-    // HOF chain — byte-identical shingle strings, so the md5-derived
-    // signature values (and the DuckDB oracle) are unchanged
-    WordShingles.ensure(docs.sparkSession)
-    val h = widen(docs).select(col(idCol).as("id"),
-      explode(array_distinct(call_function("graft_shingles",
-        split(lower(trim(col(textCol))), "\\s+"), lit(3)))).as("s"))
-      .select(col("id"), md5(col("s")).as("m"))
-      .select(col("id"),
-        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h1"),
-        (conv(substring(col("m"), 16, 15), 16, 10).cast("long") % P).as("h2"))
-    h.groupBy(col("id"))
-      .agg(array((0 until n).map(i =>
-        min((col("h1") + lit(i.toLong) * col("h2")) % P)): _*).as("sig"))
+    // one codegen'd shingle+md5+n-min loop per row (MinHashSig) — a pure
+    // projection; the pre-r8 explode + groupBy-with-n-mins form paid a full
+    // per-shingle exchange for an aggregation whose result is a per-row
+    // function of the text (guide §2.4, §4). Values are bit-identical
+    // (OpsSpec pins the projection to the aggregate form, and the DuckDB
+    // oracle recomputes the same md5-derived mins). The null filter mirrors
+    // the exploded form for docs with no shingles (< 3 tokens): no exploded
+    // rows meant no signature row.
+    MinHashSig.ensure(docs.sparkSession)
+    widen(docs).select(col(idCol).as("id"),
+      call_function("graft_minhash_sig",
+        split(lower(trim(col(textCol))), "\\s+"), lit(3), lit(n)).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** MinHash+LSH near-duplicate candidate pairs over the portable
@@ -92,30 +90,21 @@ object Dedup {
     * -> one BIGINT per doc. Token hash = the first 64 bits of md5(token)
     * taken as two 32-bit halves, recomputable bit-identically in any engine
     * with md5 (an xxhash64 twin existed through r6 — a Spark-only kernel,
-    * no faster, not hash-oracle-able; retired per VERDICT r6 #7). Explode +
-    * 64 partial-aggregating bit-vote sums: tokens stream once instead of 64
-    * re-scans of the token array per row — the inlined column-expression
-    * form was the slowest query in BENCH_r01 (10.2 s / 500 docs). The
-    * halves are recombined into one BIGINT on the Spark side (wrap-around
-    * shift is fine here; the oracle keeps them separate to avoid
-    * checked-arithmetic overflow). */
+    * no faster, not hash-oracle-able; retired per VERDICT r6 #7). Through
+    * r8 mid-round this was explode + 64 partial-aggregating bit-vote sums
+    * (itself far better than inlining the token expression 64 times — the
+    * BENCH_r01 form); now the whole vote loop is ONE codegen'd expression
+    * per row ([[SimHash64]]) — a pure projection, no per-token explode and
+    * no exchange into a 64-sum aggregate at all (guide §2.4, §4). Values
+    * are bit-identical (OpsSpec pins the projection to the aggregate form).
+    * The null filter mirrors the exploded form's behavior for null text:
+    * explode(null) emitted no rows, so such a doc was absent. */
   def simhashSigPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = widen(docs).select(col(idCol).as("id"),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
-      .select(col("id"), md5(col("t")).as("m"))
-      .select(col("id"),
-        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hhi"),
-        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hlo"))
-    val votes =
-      (0 until 32).map(b => sum(when(col("hlo").bitwiseAND(lit(1L << b)) =!= 0L, 1L)
-        .otherwise(-1L)).as(s"lo$b")) ++
-      (0 until 32).map(b => sum(when(col("hhi").bitwiseAND(lit(1L << b)) =!= 0L, 1L)
-        .otherwise(-1L)).as(s"hi$b"))
-    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        ((0 until 32).map(b => when(col(s"lo$b") > 0, lit(1L << b)).otherwise(lit(0L))) ++
-         (0 until 32).map(b => when(col(s"hi$b") > 0, lit(1L << (b + 32))).otherwise(lit(0L))))
-          .reduce[Column](_ bitwiseOR _).as("sh"))
+    SimHash64.ensure(docs.sparkSession)
+    widen(docs).select(col(idCol).as("id"),
+      call_function("graft_simhash64",
+        split(lower(trim(col(textCol))), "\\s+")).as("sh"))
+      .filter(col("sh").isNotNull)
   }
 
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -243,23 +232,28 @@ object Dedup {
   def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, maxDf: Int = 10,
                        minJaccard: Double = 0.1): DataFrame = {
-    // the posting list is materialized ONCE (shingling re-parses every
-    // document's text — without this, Spark's lazy recompute runs the
-    // parse ~6x: df counts, both join sides, and both array rebuilds);
-    // materialized posting lists are exactly what a real similarity-join
-    // system keeps anyway. Shingles are carried as 60-bit md5-derived
+    // the per-doc shingle-hash arrays are materialized ONCE (shingling
+    // re-parses every document's text — without this, Spark's lazy
+    // recompute runs the parse per consumer: df counts, both join sides,
+    // and the verify arrays); a materialized shingle index is exactly what
+    // a real similarity-join system keeps anyway. Shingles are carried as
+    // 60-bit md5-derived
     // hashes: the verify joins intersect ~50-element arrays for every
     // candidate pair, and primitive long sets are ~3x cheaper than string
     // sets — md5 (not xxhash64) so the DuckDB oracle recomputes the exact
     // same values (collisions: ~2^-60 per pair, and identical engines
     // would collide identically anyway)
-    WordShingles.ensure(docs.sparkSession)
-    val sh = widen(docs).select(col(idCol).as("id"),
-      explode(array_distinct(call_function("graft_shingles",
-        split(lower(trim(col(textCol))), "\\s+"), lit(k)))).as("s"))
-      .select(col("id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s"))
+    ShingleHashes.ensure(docs.sparkSession)
+    // ONE compact array<long> row per doc (distinct shingle hashes, the
+    // whole tokenize+shingle+md5 chain in one codegen loop), checkpointed;
+    // the exploded posting view AND the per-doc verify arrays both derive
+    // from it — the old shape checkpointed the EXPLODED rows and had to
+    // re-group them (a full exchange) to rebuild the verify arrays
+    val hs = widen(docs).select(col(idCol).as("id"),
+      call_function("graft_shingle_hashes",
+        split(lower(trim(col(textCol))), "\\s+"), lit(k)).as("sh"))
       .localCheckpoint()
+    val sh = hs.select(col("id"), explode(col("sh")).as("s"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf)).select(col("s"))
     val posting = sh.join(rare, "s")
@@ -283,9 +277,7 @@ object Dedup {
     // per-pair array-intersect verify streams on all cores instead of
     // the one AQE-coalesced partition.
     val candW = widen(cand)
-    // verify over shingle ARRAYS rebuilt from the checkpointed posting
-    // list (collect_list order differs from parse order; the set ops are
-    // order-insensitive, so jaccard matches ngramJaccard exactly).
+    // verify over the checkpointed per-doc shingle-hash ARRAYS.
     // Restricted to CANDIDATE docs first: the inner joins below only ever
     // read candidate rows, and at corpus scale collecting full shingle
     // arrays for every document is a full-corpus shuffle where a
@@ -302,9 +294,12 @@ object Dedup {
     // non-coalescable layout for the array table as well: the verify joins
     // stream it (cand broadcasts), so its partition count bounds the
     // parallelism of the per-pair intersect work — AQE would coalesce the
-    // ~MB-scale exchange to 1-2 partitions and serialize ~5 s of CPU
-    val arr = sh.join(candIds, "id")
-      .groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
+    // ~MB-scale exchange to 1-2 partitions and serialize ~5 s of CPU.
+    // The arrays are the checkpointed per-doc rows themselves (semi-join
+    // to candidate docs) — no collect_list re-grouping of exploded rows;
+    // the element ORDER differs from the old collect_list but the verify
+    // set ops below are order-insensitive (same distinct hash sets).
+    val arr = hs.join(candIds, "id")
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     candW
       .join(arr.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -379,18 +374,17 @@ object Dedup {
     // one pass builds (id, pos, fp); checkpointed because the frame feeds
     // the df count AND both sides of the bucket join (lazy recompute would
     // re-tokenize every document ~3x, same trap as ngramJaccardJoin).
-    // Window strings come from the codegen'd WordShingles loop (same
-    // bytes as the old per-position slice+array_join lambda, so the md5
-    // fingerprints and the DuckDB oracle are unchanged); md5/conv run as
-    // plain codegen'd column expressions on the exploded rows instead of
-    // inside an interpreted lambda. Stride subsampling keeps the same
-    // 1-based positions {1, 1+stride, ...} the old sequence() emitted.
-    WordShingles.ensure(toks0.sparkSession)
+    // Window fingerprints come from the codegen'd WindowFps loop (same
+    // window bytes as WordShingles, hashed in hand — identical md5-derived
+    // values, so the DuckDB oracle is unchanged). Stride subsampling keeps
+    // the same 1-based positions {1, 1+stride, ...} the old sequence()
+    // emitted.
+    WindowFps.ensure(toks0.sparkSession)
     val toks = toks0.filter(size(col("tk")) >= window)
     val wins0 = toks.select(col("id"),
-        posexplode(call_function("graft_shingles", col("tk"), lit(window))))
+        posexplode(call_function("graft_window_fps", col("tk"), lit(window))))
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("fp"))
+        col("col").as("fp"))
     val wins = (if (stride == 1) wins0
                 else wins0.filter((col("pos") - 1) % stride === 0))
       .localCheckpoint()
@@ -529,14 +523,14 @@ object Dedup {
   private def decontaminateCore(docsTk: DataFrame, benchTk: DataFrame,
                                 n: Int): DataFrame = {
     require(n >= 2, s"window must be >= 2 tokens (got $n)")
-    // same codegen'd window-string loop as substringDedupCore — identical
-    // bytes, identical md5 fingerprints
-    WordShingles.ensure(docsTk.sparkSession)
+    // same codegen'd window-fingerprint loop as substringDedupCore —
+    // identical window bytes, identical md5-derived values
+    WindowFps.ensure(docsTk.sparkSession)
     def wins(df: DataFrame) =
       df.filter(size(col("tk")) >= n)
-        .select(col("id"), posexplode(call_function("graft_shingles", col("tk"), lit(n))))
+        .select(col("id"), posexplode(call_function("graft_window_fps", col("tk"), lit(n))))
         .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-          conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("fp"))
+          col("col").as("fp"))
     val b = wins(benchTk)
       .select(col("fp"), col("id").as("bench_id")).distinct()
     wins(docsTk)

@@ -141,29 +141,22 @@ object Similarity {
     * integer hyperplane weights, so every projection is an EXACT int64 sum —
     * associative, partition-order-independent (the float fast path's
     * documented near-zero sign-bit wobble cannot happen here) and
-    * bit-identical in DuckDB. Same explode + partial-aggregating-sums shape
-    * as the fast path; the weight lookup is an O(1) element_at into a
-    * plan-time literal array instead of a runtime xxhash64. `dim` bounds the
-    * literal weight arrays (pass max embedding length). */
+    * bit-identical in DuckDB. Through r8 mid-round this was posexplode +
+    * tables×bits literal-weight sum aggregates (dim-bounded typedLit
+    * arrays); now the whole quantize + project + sign loop is ONE codegen'd
+    * expression per row ([[RhpSigs]]) — a pure projection, no per-component
+    * explode, no exchange into the 48-sum aggregate, no plan-time literal
+    * arrays and no per-frame maxDim probe job (guide §2.4, §4). Values are
+    * bit-identical (OpsSpec pins the projection to the aggregate form).
+    * Empty/null embeddings are EXCLUDED like before: the twin's SQL oracle
+    * unnest drops them identically. */
   def rhpSigTablePortable(docs: DataFrame, idCol: String, vecCol: String,
-                          bits: Int, tables: Int, dim: Int): DataFrame = {
-    // plain posexplode: the portable twin EXCLUDES empty/null embeddings
-    // (they have no meaningful cosine; the SQL oracle's unnest drops them
-    // identically — keeping them Spark-side, as the fast path does for
-    // diagnostics, would break the bit-identical parity contract)
-    val dims = widen(docs).select(col(idCol).as("id"), posexplode(col(vecCol)))
-      .select(col("id"), col("pos").as("d"),
-        floor(col("col").cast("double") * lit(1048576.0d)).as("xi"))
-    val sums = for (t <- 0 until tables; b <- 0 until bits) yield {
-      val w = typedLit((0 until dim).map(dd => mdWeight(t, b, dd)))
-      sum(col("xi") * element_at(w, col("d") + 1)).as(s"p_${t}_$b")
-    }
-    dims.groupBy(col("id")).agg(sums.head, sums.tail: _*)
-      .select(col("id"), posexplode(array((0 until tables).map { t =>
-        (0 until bits).map(b =>
-          when(col(s"p_${t}_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce[Column](_ bitwiseOR _)
-      }: _*)))
+                          bits: Int, tables: Int): DataFrame = {
+    RhpSigs.ensure(docs.sparkSession)
+    widen(docs).select(col(idCol).as("id"),
+      call_function("graft_rhp_sigs", col(vecCol), lit(bits), lit(tables)).as("sigs"))
+      .filter(col("sigs").isNotNull)
+      .select(col("id"), posexplode(col("sigs")))
       .select(col("id"), col("pos").as("tbl"), col("col").as("sig"))
   }
 
@@ -179,24 +172,26 @@ object Similarity {
     * rows+schema+hash oracle-able despite being an approximate scale path
     * (the oracle recomputes the SAME approximation, the r5 portable-MinHash
     * pattern); an xxhash64 runtime-hashing twin was retired in r7 — the
-    * plan-time literal weights measured FASTER (VERDICT r6 #7). Costs one
-    * tiny driver action per frame to read each side's own max embedding dim
-    * (per-frame, so a query longer than every item still projects over ALL
-    * its dimensions — the weights are a pure function of (t, b, d),
-    * independent of the probe). Empty/null embeddings are excluded (no
-    * signature rows — see [[rhpSigTablePortable]]). */
+    * plan-time literal weights measured FASTER (VERDICT r6 #7), and the
+    * literal arrays were in turn replaced by the [[RhpSigs]] codegen
+    * projection late in r8 (bit-identical; no maxDim probe jobs, no sig
+    * join — each side computes its signatures inline in its own select).
+    * Empty/null embeddings are excluded (null sigs filtered — see
+    * [[rhpSigTablePortable]]). */
   def lshTopKPortable(items: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
     ArrayDotProduct.ensure(items.sparkSession)
-    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
-      nrm(col(vecCol)).as("item_nrm"))
-      .join(rhpSigTablePortable(items, idCol, vecCol, bits, tables,
-        maxDim(items, vecCol)).withColumnRenamed("id", "item_id"), "item_id")
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      nrm(col(vecCol)).as("q_nrm"))
-      .join(rhpSigTablePortable(queries, idCol, vecCol, bits, tables,
-        maxDim(queries, vecCol)).withColumnRenamed("id", "q_id"), "q_id")
-    verifyTopK(it, q, Seq("tbl", "sig"), k)
+    RhpSigs.ensure(items.sparkSession)
+    def side(df: DataFrame, pfx: String): DataFrame =
+      widen(df).select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"${pfx}_vec"),
+        nrm(col(vecCol)).as(s"${pfx}_nrm"),
+        call_function("graft_rhp_sigs", col(vecCol), lit(bits), lit(tables)).as("sigs"))
+        .filter(col("sigs").isNotNull)
+        .select(col(s"${pfx}_id"), col(s"${pfx}_vec"), col(s"${pfx}_nrm"),
+          posexplode(col("sigs")))
+        .select(col(s"${pfx}_id"), col(s"${pfx}_vec"), col(s"${pfx}_nrm"),
+          col("pos").as("tbl"), col("col").as("sig"))
+    verifyTopK(side(items, "item"), side(queries, "q"), Seq("tbl", "sig"), k)
   }
 
   // ------------------------------------------------------------------ IVF
@@ -301,7 +296,7 @@ object Similarity {
     * (tbl, sig, n) — assert max(n) stays bounded. */
   def lshBucketSizesPortable(items: DataFrame, idCol: String, vecCol: String,
                              bits: Int = 12, tables: Int = 4): DataFrame =
-    rhpSigTablePortable(items, idCol, vecCol, bits, tables, maxDim(items, vecCol))
+    rhpSigTablePortable(items, idCol, vecCol, bits, tables)
       .groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("n"))
 

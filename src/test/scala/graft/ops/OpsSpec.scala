@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 
@@ -226,7 +227,7 @@ class OpsSpec extends AnyFunSuite {
     // sign-bit wobble under re-partitioning; the twin must have none,
     // that's what licenses its DuckDB hash oracle)
     def sigs(df: org.apache.spark.sql.DataFrame) =
-      Similarity.rhpSigTablePortable(df, "vec_id", "embedding", 12, 4, 64)
+      Similarity.rhpSigTablePortable(df, "vec_id", "embedding", 12, 4)
         .collect().map(_.toString).toSet
     assert(sigs(items.repartition(1)) == sigs(items.repartition(7)))
     // planted-neighbor recall through the portable LSH (same bar as the
@@ -254,7 +255,7 @@ class OpsSpec extends AnyFunSuite {
     val withEmpty = items.limit(3).unionByName(
       spark.range(1).select(lit(999999L).as("vec_id"),
         array().cast("array<float>").as("embedding")))
-    assert(Similarity.rhpSigTablePortable(withEmpty, "vec_id", "embedding", 12, 4, 64)
+    assert(Similarity.rhpSigTablePortable(withEmpty, "vec_id", "embedding", 12, 4)
       .filter($"id" === 999999L).count() == 0)
     assert(Similarity.ivfTopKPortable(withEmpty, withEmpty, "vec_id", "embedding",
       2, nlist = 2, nprobe = 2, itemProbe = 1)
@@ -518,6 +519,126 @@ class OpsSpec extends AnyFunSuite {
       .select($"id_a", $"id_b", Dedup.hamming64($"sh_a", $"sh_b").as("dist"))
       .filter($"dist" <= 10).as[(Long, Long, Int)].collect().toSet
     assert(banded == brute && brute.nonEmpty)
+  }
+
+  test("ShingleHashes / WindowFps match the shingle+md5+conv builtin chain") {
+    // executable contract for both one-pass hash loops: distinct shingle
+    // hashes == array_distinct(graft_shingles) -> md5/conv per element;
+    // ordered window fps == graft_shingles -> md5/conv per element
+    // (what the DuckDB ngram/substring/decontaminate oracles recompute)
+    WordShingles.ensure(spark)
+    ShingleHashes.ensure(spark)
+    WindowFps.ensure(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((900001L, ""), (900002L, "two tokens"), (900003L, "a b c"),
+        (900004L, "dup dup dup dup dup")).toDF("doc_id", "text"))
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("tk"))
+    for (k <- Seq(3, 13, 20)) {
+      val expShingle = docs.select($"doc_id",
+        transform(array_distinct(call_function("graft_shingles", $"tk", lit(k))),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val gotShingle = docs.select($"doc_id",
+        call_function("graft_shingle_hashes", $"tk", lit(k)).as("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(gotShingle == expShingle, s"shingle hashes diverge at k=$k")
+      val expFps = docs.select($"doc_id",
+        transform(call_function("graft_shingles", $"tk", lit(k)),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val gotFps = docs.select($"doc_id",
+        call_function("graft_window_fps", $"tk", lit(k)).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(gotFps == expFps, s"window fps diverge at k=$k")
+    }
+  }
+
+  test("RhpSigs projection is bit-identical to the literal-weight aggregate form") {
+    // the pre-r8 aggregate pipeline, inlined as the executable contract:
+    // posexplode components -> floor(x * 2^20) -> tables×bits literal
+    // mdWeight sums -> sign bits (what the DuckDB q_ann_lsh oracle
+    // recomputes from its own md5)
+    val (bits, tables, dim) = (12, 4, 64)
+    val items = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val dims = items.select($"vec_id".as("id"), posexplode($"embedding"))
+      .select($"id", $"pos".as("d"),
+        floor($"col".cast("double") * lit(1048576.0d)).as("xi"))
+    val sums = for (t <- 0 until tables; b <- 0 until bits) yield {
+      val w = typedLit((0 until dim).map(dd => Similarity.mdWeight(t, b, dd)))
+      sum($"xi" * element_at(w, $"d" + 1)).as(s"p_${t}_$b")
+    }
+    val expected = dims.groupBy($"id").agg(sums.head, sums.tail: _*)
+      .select($"id", posexplode(array((0 until tables).map { t =>
+        (0 until bits).map(b =>
+          when(col(s"p_${t}_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce[Column](_ bitwiseOR _)
+      }: _*)))
+      .select($"id", $"pos".as("tbl"), $"col".as("sig"))
+      .as[(Long, Int, Long)].collect().toSet
+    val got = Similarity.rhpSigTablePortable(items, "vec_id", "embedding", bits, tables)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("MinHashSig projection is bit-identical to the explode+n-min aggregate form") {
+    // the pre-r8 aggregate pipeline, inlined as the executable contract:
+    // codegen shingles -> md5 h1/h2 -> 16 Kirsch-Mitzenmacher min
+    // aggregates (the DuckDB q_minhash_* oracles recompute this form)
+    val P = 2147483647L
+    WordShingles.ensure(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((900001L, ""), (900002L, "only two"),
+        (900003L, "exactly three tokens"), (900004L, " pad  a b c  ")).toDF("doc_id", "text"))
+    val h = docs.select($"doc_id".as("id"),
+      explode(array_distinct(call_function("graft_shingles",
+        split(lower(trim($"text")), "\\s+"), lit(3)))).as("s"))
+      .select($"id", md5($"s").as("m"))
+      .select($"id",
+        conv(substring($"m", 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring($"m", 16, 15), 16, 10).cast("long") % P).as("h2"))
+    val expected = h.groupBy($"id")
+      .agg(array((0 until 16).map(i =>
+        min(($"h1" + lit(i.toLong) * $"h2") % P)): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val got = Dedup.minhashSigPortable(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == expected && got.nonEmpty)
+    // docs with < 3 tokens are absent from both forms
+    assert(!got.contains(900001L) && !got.contains(900002L) && got.contains(900003L))
+  }
+
+  test("SimHash64 projection is bit-identical to the explode+vote aggregate form") {
+    // the pre-r8 aggregate pipeline, inlined as the executable contract:
+    // explode tokens -> md5 halves -> 64 partial-aggregating ±1 vote sums
+    // -> sign bits. The codegen'd one-pass expression must reproduce every
+    // signature EXACTLY (the DuckDB q_simhash oracle recomputes this form).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((900001L, ""), (900002L, "  one  token  "),
+        (900003L, "x")).toDF("doc_id", "text"))
+    val toks = docs.select($"doc_id".as("id"),
+      explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .select($"id", md5($"t").as("m"))
+      .select($"id",
+        conv(substring($"m", 1, 8), 16, 10).cast("long").as("hhi"),
+        conv(substring($"m", 9, 8), 16, 10).cast("long").as("hlo"))
+    val votes =
+      (0 until 32).map(b => sum(when($"hlo".bitwiseAND(lit(1L << b)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"lo$b")) ++
+      (0 until 32).map(b => sum(when($"hhi".bitwiseAND(lit(1L << b)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"hi$b"))
+    val expected = toks.groupBy($"id").agg(votes.head, votes.tail: _*)
+      .select($"id",
+        ((0 until 32).map(b => when(col(s"lo$b") > 0, lit(1L << b)).otherwise(lit(0L))) ++
+         (0 until 32).map(b => when(col(s"hi$b") > 0, lit(1L << (b + 32))).otherwise(lit(0L))))
+          .reduce[Column](_ bitwiseOR _).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.simhashSigPortable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected && got.size == expected.size && got.nonEmpty)
   }
 
   test("portable simhash orders relative similarity") {
