@@ -134,43 +134,34 @@ object TextOps {
     * the table form). Docs with no qualifying lines/bigrams surface with
     * 0.0 signals via the left join back to the corpus. */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // base feeds three branches of one DAG (lines, bigrams, final join);
-    // it stays LAZY on purpose — each branch re-scans the source with
-    // column pruning, which at corpus scale beats materializing the text
-    // column (a localCheckpoint here would store the whole corpus to
-    // evaluate three cheap projections). The final join carries only
-    // (id, nw), never text.
-    val base = widen(docs).select(col(idCol).as("id"), col(textCol).as("text"),
-      length(regexp_replace(col(textCol), "\\s", "")).as("nw"))
-    val lineCounts = base
-      .select(col("id"), explode(split(col("text"), "\n")).as("l0"))
-      .select(col("id"), trim(col("l0")).as("l"))
-      .filter(length(col("l")) > 0)
-      .groupBy(col("id"), col("l"))
-      .agg(count(lit(1)).as("c"), length(col("l")).cast("long").as("len"))
-    val lineAgg = lineCounts.groupBy(col("id")).agg(
-      round(lit(1.0d) - count(lit(1)).cast("double") / sum(col("c")), 4)
-        .as("dup_line_frac"),
-      round(sum((col("c") - 1) * col("len")).cast("double") /
-        greatest(sum(col("c") * col("len")), lit(1L)), 4).as("dup_line_char_frac"))
-    WordShingles.ensure(docs.sparkSession)
-    val bigramCounts = base
-      .select(col("id"), explode(call_function("graft_shingles",
-        split(lower(trim(col("text"))), "\\s+"), lit(2))).as("bg"))
-      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
-    val topBigram = bigramCounts
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("c").desc, col("bg").asc)))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("bg").as("top_bigram"), col("c").as("top_c"))
-    base.select(col("id"), col("nw"))
-      .join(lineAgg, Seq("id"), "left").join(topBigram, Seq("id"), "left")
+    // ONE projection: the line/bigram tallies are per-row pure functions of
+    // the text, computed in a single codegen pass (RepetitionStats); only
+    // the INTEGER tallies leave the expression — every division and
+    // round(_, 4) below is the same Catalyst expression the old
+    // explode+groupBy+window+join shape evaluated, so the published
+    // fractions are bit-identical (and the DuckDB oracle recomputes them
+    // independently). The whens mirror the old left-join absences: a doc
+    // with no non-empty lines had no lineAgg row (fracs coalesced to 0.0),
+    // a doc with no bigram had no topBigram row ("" / 0.0), and a null
+    // text produced a base row whose branches all came up empty.
+    RepetitionStats.ensure(docs.sparkSession)
+    widen(docs).select(col(idCol).as("id"),
+        length(regexp_replace(col(textCol), "\\s", "")).as("nw"),
+        call_function("graft_repetition_stats", col(textCol),
+          split(lower(trim(col(textCol))), "\\s+")).as("st"))
       .select(col("id"),
-        coalesce(col("dup_line_frac"), lit(0.0d)).as("dup_line_frac"),
-        coalesce(col("dup_line_char_frac"), lit(0.0d)).as("dup_line_char_frac"),
-        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
-        coalesce(round(col("top_c") * length(col("top_bigram")).cast("double") /
-          greatest(col("nw"), lit(1)), 4), lit(0.0d)).as("top_bigram_frac"))
+        when(col("st.total_lines") > 0,
+          round(lit(1.0d) - col("st.distinct_lines").cast("double") / col("st.total_lines"), 4))
+          .otherwise(lit(0.0d)).as("dup_line_frac"),
+        when(col("st.total_lines") > 0,
+          round(col("st.dup_chars").cast("double") /
+            greatest(col("st.total_chars"), lit(1L)), 4))
+          .otherwise(lit(0.0d)).as("dup_line_char_frac"),
+        coalesce(col("st.top_bigram"), lit("")).as("top_bigram"),
+        when(col("st.top_c") > 0,
+          coalesce(round(col("st.top_c") * length(col("st.top_bigram")).cast("double") /
+            greatest(col("nw"), lit(1)), 4), lit(0.0d)))
+          .otherwise(lit(0.0d)).as("top_bigram_frac"))
   }
 
   // ----------------------------------------------------- PII redaction

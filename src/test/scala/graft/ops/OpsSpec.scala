@@ -521,6 +521,56 @@ class OpsSpec extends AnyFunSuite {
     assert(banded == brute && brute.nonEmpty)
   }
 
+  test("RepetitionStats projection matches the explode+groupBy+window form") {
+    // the pre-r8 shape, inlined as the executable contract (the DuckDB
+    // q_repetition oracle recomputes the same tallies its own way)
+    WordShingles.ensure(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", regexp_replace($"text", " line ", "\n").as("text"))
+      .union(Seq(
+        (900001L, ""), (900002L, "   \n  \n\t"), (900003L, "a b a b a b"),
+        (900004L, "x\nx\nx\n  x  \n\ty\t"), (900005L, "solo"),
+        (900006L, "b a\nb a\nc d c d")).toDF("doc_id", "text"))
+    val base = docs.select($"doc_id".as("id"), $"text",
+      length(regexp_replace($"text", "\\s", "")).as("nw"))
+    val lineCounts = base
+      .select($"id", explode(split($"text", "\n")).as("l0"))
+      .select($"id", trim($"l0").as("l"))
+      .filter(length($"l") > 0)
+      .groupBy($"id", $"l")
+      .agg(count(lit(1)).as("c"), length($"l").cast("long").as("len"))
+    val lineAgg = lineCounts.groupBy($"id").agg(
+      round(lit(1.0d) - count(lit(1)).cast("double") / sum($"c"), 4)
+        .as("dup_line_frac"),
+      round(sum(($"c" - 1) * $"len").cast("double") /
+        greatest(sum($"c" * $"len"), lit(1L)), 4).as("dup_line_char_frac"))
+    val bigramCounts = base
+      .select($"id", explode(call_function("graft_shingles",
+        split(lower(trim($"text")), "\\s+"), lit(2))).as("bg"))
+      .groupBy($"id", $"bg").agg(count(lit(1)).as("c"))
+    val topBigram = bigramCounts
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id")
+          .orderBy($"c".desc, $"bg".asc)))
+      .filter($"rn" === 1)
+      .select($"id", $"bg".as("top_bigram"), $"c".as("top_c"))
+    val expected = base.select($"id", $"nw")
+      .join(lineAgg, Seq("id"), "left").join(topBigram, Seq("id"), "left")
+      .select($"id",
+        coalesce($"dup_line_frac", lit(0.0d)).as("dup_line_frac"),
+        coalesce($"dup_line_char_frac", lit(0.0d)).as("dup_line_char_frac"),
+        coalesce($"top_bigram", lit("")).as("top_bigram"),
+        coalesce(round($"top_c" * length($"top_bigram").cast("double") /
+          greatest($"nw", lit(1)), 4), lit(0.0d)).as("top_bigram_frac"))
+      .as[(Long, Double, Double, String, Double)].collect()
+      .map { case (k, a, b, c, d) => k -> (a, b, c, d) }.toMap
+    val got = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Double, Double, String, Double)].collect()
+      .map { case (k, a, b, c, d) => k -> (a, b, c, d) }.toMap
+    assert(got == expected && got.nonEmpty)
+    assert(got(900003L)._3 == "a b" || got(900003L)._3 == "b a") // sanity: a real bigram won
+  }
+
   test("ShingleHashes / WindowFps match the shingle+md5+conv builtin chain") {
     // executable contract for both one-pass hash loops: distinct shingle
     // hashes == array_distinct(graft_shingles) -> md5/conv per element;
