@@ -226,32 +226,27 @@ object Similarity {
 
   /** Assign every row its `nprobe` nearest cells (by cosine), with ZERO
     * shuffle: the centroid table is bounded (nlist), so it arrives as a
-    * driver-collected array inlined into literals and each row derives its
-    * top cells via one transform + array_sort + slice — no crossJoin row
-    * explosion, no window or aggregation shuffle (this generalizes the r4
-    * max(struct) trick from nprobe = 1 to any nprobe). Ties break toward
-    * the smallest cell id (the negated-cell struct field). `roundCos` ranks
-    * cells by round(cos, 6) instead of the raw double — the portable paths
-    * use it so the cell ranking rides the proven round-to-6 cross-engine
-    * cosine contract. Output: (idCol, __vec, cell) — one row per
-    * (vector, probed cell). */
+    * driver-collected array riding in the [[IvfCells]] expression — each
+    * row derives its top cells in one codegen loop (no crossJoin row
+    * explosion, no window or aggregation shuffle). Through r8 mid-round
+    * the centroids were inlined as an nlist-struct LITERAL array whose
+    * transform + array_sort + slice chain the analyzer re-planned per
+    * assignment side — q_ann_ivf's dominant cost was that planning, not
+    * execution (guide §1.2, §7.3). Ties break toward the smallest cell id
+    * and `roundCos` ranks cells by round(cos, 6), both exactly as before
+    * (OpsSpec pins the expression to the literal-array form). Output:
+    * (idCol, __vec, cell) — one row per (vector, probed cell). */
   private def assignCellsLocal(df: DataFrame, local: Array[(Int, Array[Float])],
                                idCol: String, vecCol: String, nprobe: Int,
                                roundCos: Boolean = false): DataFrame = {
-    val centArr = array(local.map { case (cell, vec) =>
-      struct(lit(cell).as("cell"), typedLit(vec).as("c_vec"),
-        lit(math.max(math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum), 1e-12))
-          .as("c_nrm"))
-    }: _*)
-    widen(df).select(col(idCol), col(vecCol).as("__vec"), nrm(col(vecCol)).as("__nrm"))
-      .select(col(idCol), col("__vec"),
-        explode(slice(reverse(array_sort(transform(centArr, c => {
-          val cc = call_function("graft_dot", col("__vec"), c("c_vec")) /
-            (col("__nrm") * c("c_nrm"))
-          struct((if (roundCos) round(cc, 6) else cc).as("cc"),
-            (-c("cell")).as("nc"))
-        }))), 1, nprobe)).as("__top"))
-      .select(col(idCol), col("__vec"), (-col("__top")("nc")).as("cell"))
+    IvfCells.ensure(df.sparkSession)
+    val cnrms = local.map { case (_, vec) =>
+      math.max(math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum), 1e-12) }
+    widen(df).select(col(idCol), col(vecCol).as("__vec"),
+        explode(call_function("graft_ivf_cells", col(vecCol),
+          typedLit(local.map(_._1)), typedLit(local.map(_._2)), typedLit(cnrms),
+          lit(nprobe), lit(roundCos))).as("cell"))
+      .select(col(idCol), col("__vec"), col("cell"))
   }
 
   /** IVF ANN top-k — the second scale path next to [[lshTopKPortable]]:

@@ -521,6 +521,65 @@ class OpsSpec extends AnyFunSuite {
     assert(banded == brute && brute.nonEmpty)
   }
 
+  test("IvfCells.round6 matches Spark round(_, 6) on a dense boundary sweep") {
+    // the one float operation IvfCells performs itself; everything else
+    // (dot/norm folds, division) replicates arithmetic ops exactly. Sweep
+    // random cosines plus values dense around the x.xxxxxx5 rounding
+    // boundary where HALF_UP representations could diverge.
+    val vals = spark.range(2000000).select(
+      (col("id") % 1000000).as("k"),
+      when(col("id") < 1000000,
+        sin(col("id").cast("double")) // pseudo-random in [-1, 1]
+      ).otherwise( // boundary-dense: k*1e-7 +/- ulp-scale jitter
+        (col("id") % 1000000 - 500000).cast("double") * 1e-7d +
+          (col("id") % 13).cast("double") * 1e-16d).as("x"))
+      .select(col("x"), round(col("x"), 6).as("r"))
+      .as[(Double, Double)].collect()
+    vals.foreach { case (x, r) =>
+      val mine = IvfCells.round6(x)
+      assert(java.lang.Double.compare(mine, r) == 0,
+        s"round6($x): mine=$mine spark=$r")
+    }
+  }
+
+  test("IvfCells expression matches the literal-centroid transform+sort chain") {
+    // the pre-r8 assignCellsLocal column pipeline, inlined as the
+    // executable contract, vs the codegen expression — same cells, same
+    // order semantics (cc desc via round(cos,6), ties to smaller cell)
+    ArrayDotProduct.ensure(spark)
+    IvfCells.ensure(spark)
+    val items = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val local = Similarity.ivfCentroidsPortable(items, "vec_id", "embedding", 16)
+      .select($"cell".cast("int"), $"c_vec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val nprobe = 4
+    val centArr = array(local.map { case (cell, vec) =>
+      struct(lit(cell).as("cell"), typedLit(vec).as("c_vec"),
+        lit(math.max(math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum), 1e-12))
+          .as("c_nrm"))
+    }: _*)
+    val expected = items
+      .select($"vec_id", $"embedding".as("__vec"),
+        Similarity.nrm($"embedding").as("__nrm"))
+      .select($"vec_id",
+        explode(slice(reverse(array_sort(transform(centArr, c => {
+          val cc = call_function("graft_dot", $"__vec", c("c_vec")) /
+            ($"__nrm" * c("c_nrm"))
+          struct(round(cc, 6).as("cc"), (-c("cell")).as("nc"))
+        }))), 1, nprobe)).as("__top"))
+      .select($"vec_id", (-$"__top"("nc")).as("cell"))
+      .as[(Long, Int)].collect().toSet
+    val cnrms = local.map { case (_, vec) =>
+      math.max(math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum), 1e-12) }
+    val got = items.select($"vec_id",
+        explode(call_function("graft_ivf_cells", $"embedding",
+          typedLit(local.map(_._1)), typedLit(local.map(_._2)), typedLit(cnrms),
+          lit(nprobe), lit(true))).as("cell"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("RepetitionStats projection matches the explode+groupBy+window form") {
     // the pre-r8 shape, inlined as the executable contract (the DuckDB
     // q_repetition oracle recomputes the same tallies its own way)
