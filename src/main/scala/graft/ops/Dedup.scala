@@ -46,14 +46,20 @@ object Dedup {
     // per-shingle exchange for an aggregation whose result is a per-row
     // function of the text (guide §2.4, §4). Values are bit-identical
     // (OpsSpec pins the projection to the aggregate form, and the DuckDB
-    // oracle recomputes the same md5-derived mins). The null filter mirrors
-    // the exploded form for docs with no shingles (< 3 tokens): no exploded
-    // rows meant no signature row.
+    // oracle recomputes the same md5-derived mins). Docs with no shingles
+    // (null text / < 3 tokens) had no signature row in the exploded form;
+    // the guard filters on the CHEAP token count, not on the computed
+    // signature — a sig.isNotNull filter gets pushed below widen()'s
+    // exchange with the expression substituted in, running the whole
+    // md5+min loop TWICE per row (guide §4.4 duplication; the r8 sig-plan
+    // audit caught it as a Filter(isnotnull(graft_...)) under the
+    // exchange). With the guard, the signature can never be null.
     MinHashSig.ensure(docs.sparkSession)
-    widen(docs).select(col(idCol).as("id"),
-      call_function("graft_minhash_sig",
-        split(lower(trim(col(textCol))), "\\s+"), lit(3), lit(n)).as("sig"))
-      .filter(col("sig").isNotNull)
+    widen(docs)
+      .filter(size(split(lower(trim(col(textCol))), "\\s+")) >= 3)
+      .select(col(idCol).as("id"),
+        call_function("graft_minhash_sig",
+          split(lower(trim(col(textCol))), "\\s+"), lit(3), lit(n)).as("sig"))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs over the portable
@@ -97,14 +103,19 @@ object Dedup {
     * per row ([[SimHash64]]) — a pure projection, no per-token explode and
     * no exchange into a 64-sum aggregate at all (guide §2.4, §4). Values
     * are bit-identical (OpsSpec pins the projection to the aggregate form).
-    * The null filter mirrors the exploded form's behavior for null text:
-    * explode(null) emitted no rows, so such a doc was absent. */
+    * The text.isNotNull guard mirrors the exploded form's behavior for
+    * null text (explode(null) emitted no rows, so such a doc was absent);
+    * every non-null text splits to >= 1 token, so the signature itself can
+    * never be null — filtering on the SOURCE column instead of the
+    * computed one keeps the predicate pushable to the scan without
+    * substituting (and double-evaluating) the expression below widen()'s
+    * exchange (guide §4.4). */
   def simhashSigPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     SimHash64.ensure(docs.sparkSession)
-    widen(docs).select(col(idCol).as("id"),
-      call_function("graft_simhash64",
-        split(lower(trim(col(textCol))), "\\s+")).as("sh"))
-      .filter(col("sh").isNotNull)
+    widen(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("graft_simhash64",
+          split(lower(trim(col(textCol))), "\\s+")).as("sh"))
   }
 
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -153,10 +153,18 @@ object Similarity {
   def rhpSigTablePortable(docs: DataFrame, idCol: String, vecCol: String,
                           bits: Int, tables: Int): DataFrame = {
     RhpSigs.ensure(docs.sparkSession)
-    widen(docs).select(col(idCol).as("id"),
-      call_function("graft_rhp_sigs", col(vecCol), lit(bits), lit(tables)).as("sigs"))
-      .filter(col("sigs").isNotNull)
-      .select(col("id"), posexplode(col("sigs")))
+    // empty/null-vec guard on the CHEAP source column (size), not on the
+    // computed sigs — a sigs.isNotNull filter gets pushed below widen()'s
+    // exchange with the expression substituted in, running the projection
+    // loop twice per row (guide §4.4); with the guard, sigs is never null.
+    // posexplode_OUTER: the non-outer form makes InferFiltersFromGenerate
+    // add size(sigs) > 0 AND isnotnull(sigs) — the same substituted
+    // double-evaluation through the back door (caught in the r8 sig-plan
+    // audit); with the guard the outer form emits identical rows.
+    widen(docs).filter(size(col(vecCol)) > 0)
+      .select(col(idCol).as("id"),
+        call_function("graft_rhp_sigs", col(vecCol), lit(bits), lit(tables)).as("sigs"))
+      .select(col("id"), posexplode_outer(col("sigs")))
       .select(col("id"), col("pos").as("tbl"), col("col").as("sig"))
   }
 
@@ -183,12 +191,14 @@ object Similarity {
     ArrayDotProduct.ensure(items.sparkSession)
     RhpSigs.ensure(items.sparkSession)
     def side(df: DataFrame, pfx: String): DataFrame =
-      widen(df).select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"${pfx}_vec"),
-        nrm(col(vecCol)).as(s"${pfx}_nrm"),
-        call_function("graft_rhp_sigs", col(vecCol), lit(bits), lit(tables)).as("sigs"))
-        .filter(col("sigs").isNotNull)
+      // empty-vec guard on size() + posexplode_outer, not sigs.isNotNull —
+      // see rhpSigTablePortable (guide §4.4 duplication, both doors)
+      widen(df).filter(size(col(vecCol)) > 0)
+        .select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"${pfx}_vec"),
+          nrm(col(vecCol)).as(s"${pfx}_nrm"),
+          call_function("graft_rhp_sigs", col(vecCol), lit(bits), lit(tables)).as("sigs"))
         .select(col(s"${pfx}_id"), col(s"${pfx}_vec"), col(s"${pfx}_nrm"),
-          posexplode(col("sigs")))
+          posexplode_outer(col("sigs")))
         .select(col(s"${pfx}_id"), col(s"${pfx}_vec"), col(s"${pfx}_nrm"),
           col("pos").as("tbl"), col("col").as("sig"))
     verifyTopK(side(items, "item"), side(queries, "q"), Seq("tbl", "sig"), k)
