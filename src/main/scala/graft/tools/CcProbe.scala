@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Per-round timing of the CC fixpoint over the bench link graph
-  * (diagnostic only — mirrors ConnectedComponents.run's loop). */
+  * (diagnostic only — mirrors ConnectedComponents.run's STAR loop; note
+  * production converge() takes the single-partition local-finish endgame
+  * instead whenever the checkpointed edge set has coalesced to one
+  * partition, so the rounds timed here are the multi-partition fallback
+  * cost, not necessarily what the bench pays). */
 object CcProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(40000L)
@@ -35,11 +39,16 @@ object CcProbe {
     }
 
     val edges0 = KgPipeline.entityEdges(links)
-    var edges = timed("init distinct+ckpt") {
-      val e = edges0.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-        .filter($"a" =!= $"b").distinct().localCheckpoint(false)
+    // mirrors converge(): canonical distinct -> partition-local union-find
+    // contraction -> cross-partition distinct -> lazy checkpoint
+    var edges = timed("init contract+ckpt") {
+      val canon = edges0.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .filter($"a" =!= $"b").distinct()
+      val e = graft.kg.ConnectedComponents.contractLocal(spark, canon)
+        .distinct().localCheckpoint(false)
       e.count(); e
     }
+    println(s"[ccprobe] contracted_edges=${edges.count()}")
     def digest(df: org.apache.spark.sql.DataFrame): (Long, String) = {
       val r = df.agg(count(lit(1)), sum(xxhash64($"a", $"b").cast("decimal(38,0)"))).head()
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)

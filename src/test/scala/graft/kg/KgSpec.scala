@@ -35,6 +35,41 @@ class KgSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"mismatched: ${diff.take(5)}")
   }
 
+  test("CC local contraction is exact across partitions (chain + cliques + singletons)") {
+    // r8: converge() contracts each partition with a local union-find
+    // before the star rounds. Plant structures that SPAN partitions so the
+    // contraction can never see a whole component locally: one 2000-node
+    // chain (hash-partitioning scatters adjacent edges), two 30-cliques,
+    // and duplicate/reversed edges; force 8 partitions.
+    val chain = (0L until 1999L).map(k => (k + 10000L, k + 10001L))
+    val clique1 = for (i <- 0 until 30; j <- i + 1 until 30) yield (100L + i, 100L + j)
+    val clique2 = for (i <- 0 until 30; j <- i + 1 until 30) yield (500L + j, 500L + i) // reversed
+    val edges = (chain ++ clique1 ++ clique2 ++ chain.take(50)).toDF("src", "dst")
+      .repartition(8)
+    val got = ConnectedComponents.run(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected =
+      (10000L to 11999L).map(_ -> 10000L) ++
+        (100L until 130L).map(_ -> 100L) ++ (500L until 530L).map(_ -> 500L)
+    assert(got == expected.toMap)
+    // same graph through the multi-partition STAR branch: with AQE
+    // coalescing off, the contracted set keeps 4 shuffle partitions, so
+    // the single-partition endgame never fires and the star rounds must
+    // produce the identical forest
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(key, "false")
+    try {
+      val gotStar = ConnectedComponents.run(spark, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == expected.toMap)
+    } finally spark.conf.set(key, "true")
+    // runWithVertices: vertex set covers endpoints plus edge-free singletons
+    val verts = (Seq(1L, 2L) ++ got.keys).toDF("id")
+    val withV = ConnectedComponents.runWithVertices(spark, edges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withV == expected.toMap ++ Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("span tagger preserves per-row span-sequence (kind,text,media_ref,order)") {
     val docs = DocSynth.docs(spark, 200, seed = 42, partitions = 4)
     val tagged = KgPipeline.tagSpans(docs)
