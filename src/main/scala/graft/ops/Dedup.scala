@@ -255,6 +255,7 @@ object Dedup {
     // same values (collisions: ~2^-60 per pair, and identical engines
     // would collide identically anyway)
     ShingleHashes.ensure(docs.sparkSession)
+    ArrayJaccard.ensure(docs.sparkSession)
     // ONE compact array<long> row per doc (distinct shingle hashes, the
     // whole tokenize+shingle+md5 chain in one codegen loop), checkpointed;
     // the exploded posting view AND the per-doc verify arrays both derive
@@ -275,12 +276,21 @@ object Dedup {
     // hot boilerplate shingles from being collected at all), so the lists
     // are bounded at any scale; the groupBy reuses the join's s-partitioning
     // so no new exchange is paid. Same candidate set as the self-join.
+    // two chained generators instead of the nested transform/flatten HOF:
+    // higher-order lambdas evaluate interpreted per element (the §11
+    // lesson), and the r8 stage audit measured the HOF pair build as 1.0 s
+    // of CPU serialized onto the 2 AQE-coalesced post-aggregate partitions.
+    // posexplode picks each id_a with its index, explode(slice(...)) emits
+    // its later partners — plain codegen'd Generate nodes, same (id_a,
+    // id_b) set (slice clamps past the end exactly like the HOF form). The
+    // round-robin repartition after the agg spreads the pair expansion
+    // over all cores; it shuffles only the bounded (s, ids) rows.
     val cand = posting.groupBy(col("s"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("pr"))
-      .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .distinct().localCheckpoint()
     // pair-bounded frame, materialized once: it feeds the id filter AND
     // both verify joins below, which would otherwise re-run the whole
@@ -312,12 +322,15 @@ object Dedup {
     // set ops below are order-insensitive (same distinct hash sets).
     val arr = hs.join(candIds, "id")
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // per-pair jaccard via the merge-count expression (ArrayJaccard):
+    // array_intersect + array_union build a hash set per ROW — 8.6 s of
+    // task CPU on this stage in the r8 audit; the sort+merge loop returns
+    // the identical round-4 value (OpsSpec pins it to the old column form)
     candW
       .join(arr.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(arr.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 4).as("jaccard"))
+        call_function("graft_jaccard", col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -929,6 +929,31 @@ class OpsSpec extends AnyFunSuite {
     assert(Seq("n_url", "n_email", "n_ip", "n_phone").forall(c => got(2L).getAs[Long](c) == 0))
   }
 
+  test("ArrayJaccard merge equals the array_intersect/array_union column form") {
+    // executable contract for the one-pass merge (what the ngram verify
+    // stage now runs): identical round-4 value to the set-builtin chain,
+    // over real shingle-hash arrays plus adversarial edges (empty/one
+    // side empty, identical, disjoint, duplicates, unsorted input)
+    ArrayJaccard.ensure(spark)
+    ShingleHashes.ensure(spark)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(split(lower(trim($"text")), "\\s+").as("tk"))
+      .select(call_function("graft_shingle_hashes", $"tk", lit(3)).as("sh"))
+      .limit(40).as[Seq[Long]].collect().toSeq
+    val edges = Seq(Seq.empty[Long], Seq(5L), Seq(5L, 5L, 5L),
+      Seq(9L, 1L, 9L, 3L), Seq(3L, 1L), Seq(Long.MinValue, Long.MaxValue, 0L))
+    val pool = (real ++ edges).zipWithIndex
+    val pairs = (for ((a, i) <- pool; (b, j) <- pool if j >= i)
+      yield (a, b)).toDF("sh_a", "sh_b")
+    val exp = pairs.select(
+      round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+        greatest(size(array_union($"sh_a", $"sh_b")), lit(1)), 4))
+      .as[Double].collect().toSeq
+    val got = pairs.select(call_function("graft_jaccard", $"sh_a", $"sh_b"))
+      .as[Double].collect().toSeq
+    assert(got == exp)
+  }
+
   test("graft_dot returns null on ragged arrays, matching the HOF form") {
     ArrayDotProduct.ensure(spark)
     val df = Seq(
