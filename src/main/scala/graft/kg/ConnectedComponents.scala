@@ -110,18 +110,25 @@ object ConnectedComponents {
   private def converge(spark: SparkSession, edges0: DataFrame,
                        maxIter: Int): DataFrame = {
     import spark.implicits._
-    // undirected, deduped, self-loops dropped; canonical a<b. Checkpoints
-    // are LAZY throughout: the digest aggregation right below each one is
-    // the materializing action, so every round costs ONE job (digest) that
+    // undirected, self-loops dropped; canonical a<b. Checkpoints are LAZY
+    // throughout: the digest aggregation right below each one is the
+    // materializing action, so every round costs ONE job (digest) that
     // both truncates the lineage and reads the convergence digest, instead
     // of an eager-checkpoint job plus a digest job.
+    // NO edge-multiset distinct before the contraction: union-find is
+    // insensitive to duplicate edges, so deduping the RAW multiset would
+    // shuffle the full edge set (21.5M rows in the 150k-doc scaling run)
+    // just to protect a pass that never needed it — the contraction reads
+    // the upstream partitions in place (zero shuffle, and source locality
+    // means a partition's docs share entities, which contracts BETTER than
+    // the hash-mixed layout the distinct produced), and the only distinct
+    // paid is over the tiny contracted star set (guide §2.4: remove
+    // shuffles outright). That distinct dedupes members shared between
+    // partitions; no checkpoint before it — the digest (or the endgame's
+    // own checkpoint) materializes the whole chain once.
     val canon = edges0.select(
         least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .filter($"a" =!= $"b").distinct()
-    // local contraction first (see contractLocal); the cross-partition
-    // distinct dedupes members shared between partitions. The canon
-    // distinct needs no checkpoint of its own — contraction is its only
-    // consumer and the digest below materializes the whole chain once.
+      .filter($"a" =!= $"b")
     var edges = contractLocal(spark, canon).distinct()
       .localCheckpoint(false)
 

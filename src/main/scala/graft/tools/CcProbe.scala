@@ -39,11 +39,12 @@ object CcProbe {
     }
 
     val edges0 = KgPipeline.entityEdges(links)
-    // mirrors converge(): canonical distinct -> partition-local union-find
-    // contraction -> cross-partition distinct -> lazy checkpoint
+    // mirrors converge(): canonical projection (no multiset distinct —
+    // union-find tolerates duplicates) -> partition-local union-find
+    // contraction -> distinct over the contracted set -> lazy checkpoint
     var edges = timed("init contract+ckpt") {
       val canon = edges0.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-        .filter($"a" =!= $"b").distinct()
+        .filter($"a" =!= $"b")
       val e = graft.kg.ConnectedComponents.contractLocal(spark, canon)
         .distinct().localCheckpoint(false)
       e.count(); e
